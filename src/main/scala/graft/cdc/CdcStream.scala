@@ -1,0 +1,72 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.core.Schemas
+import graft.lake.LakeTable
+
+/** Structured-Streaming WAL tail → lake upsert.
+  *
+  * The WAL is a directory of parquet segment files (the sandbox Kafka
+  * stand-in; on a cluster this swaps for `readStream.format("kafka")` with the
+  * same `foreachBatch` body — reference analogue: `load_kafka offset=store`,
+  * `plugins/kafka/builtins/plugin.cpp:85-112`). Source offsets live in the
+  * Spark checkpoint; sink idempotence lives in the lake snapshot's batch-id
+  * watermark — together they give exactly-once table state over an
+  * at-least-once source, resumable from any checkpoint.
+  */
+object CdcStream {
+
+  /** Change-envelope schema as written by the generator (seg = WAL segment). */
+  val walSchema: StructType =
+    StructType(Schemas.changeEvent.fields :+ StructField("seg", LongType, nullable = false))
+
+  /** Start the CDC ingest query. `Trigger.AvailableNow` drains everything
+    * currently in the WAL and stops — loop it (or use ProcessingTime) for a
+    * continuous tail.
+    *
+    * @param maxFilesPerTrigger bounds micro-batch size (backpressure knob; the
+    *        reference's demand window analogue, `execution_node.cpp:44-67`)
+    * @param onBatch            test/metrics hook invoked after each commit
+    */
+  def start(
+      spark: SparkSession,
+      walDir: String,
+      table: LakeTable,
+      checkpointDir: String,
+      queryId: String = "cdc",
+      maxFilesPerTrigger: Int = 8,
+      createBuckets: Int = 64,
+      onBatch: ApplyStats => Unit = _ => ()): StreamingQuery = {
+    spark.readStream
+      .schema(walSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(walDir)
+      .writeStream
+      .queryName(queryId)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        onBatch(CdcApply.applyBatch(table, batch, queryId, batchId, createBuckets))
+      }
+      .start()
+  }
+
+  /** Drain the WAL completely and return the number of committed batches. */
+  def runToCompletion(
+      spark: SparkSession,
+      walDir: String,
+      table: LakeTable,
+      checkpointDir: String,
+      queryId: String = "cdc",
+      maxFilesPerTrigger: Int = 8,
+      createBuckets: Int = 64): Long = {
+    var batches = 0L
+    val q = start(spark, walDir, table, checkpointDir, queryId, maxFilesPerTrigger,
+      createBuckets, onBatch = _ => batches += 1)
+    q.awaitTermination()
+    batches
+  }
+}

@@ -1,0 +1,276 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.core.Schemas
+
+/** A from-scratch Iceberg-style table: Parquet data files hash-bucketed by
+  * `xxhash64(url)`, plus a JSON manifest log with per-file column stats and an
+  * atomic version-file commit protocol.
+  *
+  * Layout:
+  * {{{
+  *   <root>/manifests/v%012d.json   // one immutable snapshot per version
+  *   <root>/data/<uuid>/_bucket=<n>/part-*.parquet
+  * }}}
+  *
+  * Commit = `FileSystem.create(path, overwrite = false)` of the next version
+  * file — an atomic claim on HDFS-like filesystems; a concurrent writer loses
+  * with a FileAlreadyExists error and must re-plan (single-streaming-writer is
+  * the supported mode; the claim just makes corruption impossible).
+  *
+  * Reference analogues: partition/catalog write path
+  * (`/root/reference/libtenzir/src/importer.cpp:35-106`,
+  * `src/catalog.cpp:98-106`), pruning read path (`src/catalog.cpp:120-171`),
+  * `rebuild` compaction (`libtenzir/builtins/commands/rebuild.cpp:45-77`).
+  */
+class LakeTable(val spark: SparkSession, val root: String) {
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+  private val manifestDir = new Path(root, "manifests")
+  private val dataDir = new Path(root, "data")
+
+  def exists: Boolean = fs.exists(manifestDir) && latestVersion.isDefined
+
+  // ---------------------------------------------------------------- manifests
+
+  private def versionPath(v: Long) = new Path(manifestDir, f"v$v%012d.json")
+
+  private def latestVersion: Option[Long] =
+    if (!fs.exists(manifestDir)) None
+    else {
+      val vs = fs.listStatus(manifestDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  def currentSnapshot: Option[Snapshot] = latestVersion.map(snapshotAt)
+
+  def snapshotAt(version: Long): Snapshot = {
+    val in = fs.open(versionPath(version))
+    try ManifestCodec.fromJson(
+      new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+    finally in.close()
+  }
+
+  /** Atomically publish `snap` as the next version. Returns the committed
+    * snapshot (with its final version number).
+    */
+  def commit(snap: Snapshot): Snapshot = {
+    fs.mkdirs(manifestDir)
+    val v = latestVersion.getOrElse(-1L) + 1
+    val resolved = snap.copy(
+      version = v,
+      parentVersion = latestVersion.getOrElse(-1L),
+      lineage = snap.lineage.takeRight(LakeTable.LineageRetention)
+        .map(le => if (le.snapshotVersion < 0) le.copy(snapshotVersion = v) else le))
+    val out = fs.create(versionPath(v), false) // overwrite=false: atomic claim
+    try out.write(ManifestCodec.toJson(resolved).getBytes("UTF-8"))
+    finally out.close()
+    resolved
+  }
+
+  def create(userSchema: StructType, buckets: Int): Snapshot = {
+    require(!exists, s"table already exists at $root")
+    commit(Snapshot(
+      version = 0L, parentVersion = -1L,
+      currentSchemaId = 0,
+      schemas = Map("0" -> LakeTable.fileSchema(userSchema).json),
+      buckets = buckets,
+      files = Nil, watermarks = Map.empty, lineage = Nil,
+      props = Map("format" -> "graft-lake/1")))
+  }
+
+  // -------------------------------------------------------------------- reads
+
+  /** Read raw file rows (system columns included) for the given files, aligning
+    * every file group to `target` (missing columns → null, narrower numerics
+    * cast up) — our schema-evolution read path (reference widening analogue:
+    * `libtenzir/include/tenzir/cast.hpp:30-140`).
+    */
+  def readFiles(snap: Snapshot, files: Seq[DataFile], target: StructType): DataFrame = {
+    if (files.isEmpty) return emptyDf(target)
+    files.groupBy(_.schemaId).map { case (sid, group) =>
+      val fileSchema = DataType.fromJson(snap.schemaJson(sid)).asInstanceOf[StructType]
+      val df = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
+      align(df, target)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(target.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def currentFileSchema(snap: Snapshot): StructType =
+    DataType.fromJson(snap.currentSchemaJson).asInstanceOf[StructType]
+
+  /** Full raw scan at a snapshot (tombstones + system columns included). */
+  def scanRaw(snap: Snapshot): DataFrame =
+    readFiles(snap, snap.files, currentFileSchema(snap))
+
+  /** The user-facing page table at a snapshot: live rows, user columns only. */
+  def pages(snap: Snapshot): DataFrame = {
+    val sys = Schemas.systemColumns.map(_.name).toSet
+    val live = scanRaw(snap).filter(!col("_deleted"))
+    live.select(live.columns.filterNot(sys.contains).map(col).toIndexedSeq: _*)
+  }
+
+  def pages(): DataFrame = pages(currentSnapshot.getOrElse(
+    throw new IllegalStateException(s"no table at $root")))
+
+  // ---------------------------------------------------------- pruned planning
+
+  /** Manifest-stat file pruning: keep files whose [min,max] ranges intersect
+    * the predicate. Driver-side O(#files); no data IO (reference analogue:
+    * catalog candidate lookup, `src/catalog.cpp:120-171`).
+    */
+  def planFiles(
+      snap: Snapshot,
+      buckets: Option[Set[Int]] = None,
+      urlHash: Option[Long] = None,
+      lsnAtLeast: Option[Long] = None): Seq[DataFile] =
+    snap.files.filter { f =>
+      buckets.forall(_.contains(f.bucket)) &&
+      urlHash.forall(h => h >= f.minUrlHash && h <= f.maxUrlHash) &&
+      lsnAtLeast.forall(l => f.maxLsn >= l)
+    }
+
+  /** Point lookup for one url: bucket + urlhash-range pruning, then filter. */
+  def lookupUrl(snap: Snapshot, url: String): DataFrame = {
+    val h = LakeTable.urlHash(url)
+    val b = LakeTable.bucketOf(h, snap.buckets)
+    val files = planFiles(snap, buckets = Some(Set(b)), urlHash = Some(h))
+    readFiles(snap, files, currentFileSchema(snap))
+      .filter(col("url") === lit(url) && !col("_deleted"))
+  }
+
+  // -------------------------------------------------------------------- write
+
+  /** Write `rows` (already in file-schema shape, `_bucket` NOT included) as new
+    * per-bucket data files; returns their DataFile entries with footer stats.
+    * One output file per touched bucket: rows are hash-repartitioned on the
+    * bucket id and the dynamic-partition writer splits residual collisions.
+    * `sortWithinPartitions(_urlhash, url)` gives deterministic file content for
+    * replay comparison and clusters urls for scan locality.
+    */
+  def writeDataFiles(rows: DataFrame, schemaId: Int, buckets: Int, nTasks: Int): Seq[DataFile] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dir = new Path(dataDir, commitId).toString
+    rows
+      .withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
+      .repartition(math.max(1, nTasks), col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
+      .write.partitionBy("_bucket").parquet(dir)
+    collectDataFiles(dir, schemaId)
+  }
+
+  /** List written files and read their Parquet footers for stats — O(#files)
+    * driver-side metadata reads, the same trick Iceberg uses; never rescans
+    * data to build the manifest.
+    */
+  private def collectDataFiles(dir: String, schemaId: Int): Seq[DataFile] = {
+    val d = new Path(dir)
+    val buckets = fs.listStatus(d).filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+    buckets.flatMap { bs =>
+      val bucket = bs.getPath.getName.stripPrefix("_bucket=").toInt
+      fs.listStatus(bs.getPath).filter(f => f.getPath.getName.endsWith(".parquet")).map { f =>
+        val (rows, stats) = LakeTable.footerStats(f.getPath, conf, Seq("_lsn", "_urlhash"))
+        val (minL, maxL) = stats("_lsn"); val (minH, maxH) = stats("_urlhash")
+        DataFile(f.getPath.toString, bucket, schemaId, rows, f.getLen, minL, maxL, minH, maxH)
+      }
+    }.toSeq
+  }
+
+  // --------------------------------------------------------------- compaction
+
+  /** Rewrite any bucket holding more than `maxFilesPerBucket` files into a
+    * single file (bin-packing compaction; reference analogue `rebuild.cpp`).
+    * If `gcTombstonesBelowLsn` is set, tombstones with `_lsn` below it are
+    * dropped — safe once the source's out-of-orderness bound guarantees no
+    * older update can still arrive.
+    */
+  def compact(maxFilesPerBucket: Int = 1, gcTombstonesBelowLsn: Option[Long] = None): Snapshot = {
+    val snap = currentSnapshot.getOrElse(throw new IllegalStateException("no table"))
+    val byBucket = snap.files.groupBy(_.bucket)
+    val victims = byBucket.filter(_._2.size > maxFilesPerBucket)
+    if (victims.isEmpty && gcTombstonesBelowLsn.isEmpty) return snap
+    val target = if (victims.nonEmpty) victims else byBucket
+    val schema = currentFileSchema(snap)
+    val in = readFiles(snap, target.values.flatten.toSeq, schema)
+    val kept = gcTombstonesBelowLsn match {
+      case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
+      case None => in
+    }
+    val newFiles = writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
+      nTasks = math.max(1, target.size))
+    val untouched = snap.files.filterNot(f => target.contains(f.bucket))
+    commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage))
+  }
+}
+
+object LakeTable {
+  /** Max lineage entries carried in the *current* manifest; full history
+    * remains readable in older version files (time travel).
+    */
+  val LineageRetention = 1000
+
+  /** File schema = user columns + system columns (`_lsn`,`_deleted`,`_urlhash`). */
+  def fileSchema(userSchema: StructType): StructType =
+    StructType(userSchema.fields ++ Schemas.systemColumns)
+
+  def bucketCol(urlHash: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(urlHash, lit(buckets)).cast("int")
+
+  /** Driver-side xxhash64(url) matching Spark's `xxhash64` (seed 42). */
+  def urlHash(url: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    XxHash64(Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(url))), 42L)
+      .eval(null).asInstanceOf[Long]
+  }
+
+  def bucketOf(hash: Long, buckets: Int): Int = {
+    val m = hash % buckets
+    (if (m < 0) m + buckets else m).toInt
+  }
+
+  /** Row count + per-column (min,max) from a Parquet footer (no data IO). */
+  def footerStats(path: Path, conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String]): (Long, Map[String, (Long, Long)]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = cols.map { c =>
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).foreach { cc =>
+            val s = cc.getStatistics
+            if (s != null && !s.isEmpty) {
+              mn = math.min(mn, s.genericGetMin.asInstanceOf[java.lang.Long])
+              mx = math.max(mx, s.genericGetMax.asInstanceOf[java.lang.Long])
+            }
+          }
+        }
+        c -> (mn, mx)
+      }.toMap
+      (rows, stats)
+    } finally reader.close()
+  }
+}

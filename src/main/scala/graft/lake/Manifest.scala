@@ -1,0 +1,70 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.json.JsonMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Per-file column statistics used for scan pruning — the analogue of the
+  * reference's per-partition synopses (min/max + bloom,
+  * `libtenzir/include/tenzir/partition_synopsis.hpp:30-44`,
+  * `libtenzir/src/synopsis.cpp:70-110`). We track min/max over `_lsn` and
+  * `_urlhash` (and row/byte counts) extracted from Parquet footers at commit
+  * time, so pruning is a driver-side O(#files) manifest scan — no data IO.
+  */
+case class DataFile(
+    path: String,
+    bucket: Int,
+    schemaId: Int,
+    rows: Long,
+    bytes: Long,
+    minLsn: Long,
+    maxLsn: Long,
+    minUrlHash: Long,
+    maxUrlHash: Long)
+
+/** Per-batch lineage record (north rule: "checkpoints per-partition offsets and
+  * lineage (source LSN range, batch id, snapshot id, row counts)").
+  */
+case class LineageEntry(
+    queryId: String,
+    batchId: Long,
+    events: Long,
+    upserts: Long,
+    deletes: Long,
+    minLsn: Long,
+    maxLsn: Long,
+    snapshotVersion: Long)
+
+/** One committed table version. `schemas` maps schemaId → Spark StructType JSON
+  * of the *file* schema in force when each file was written (schema evolution
+  * never rewrites old files; readers align per-schemaId and cast up).
+  * `watermarks` maps streaming queryId → highest committed batchId: batches
+  * commit in order within a query, so a high-watermark (not a set) suffices for
+  * exactly-once replay skipping at 10^10-event scale.
+  */
+case class Snapshot(
+    version: Long,
+    parentVersion: Long,
+    currentSchemaId: Int,
+    schemas: Map[String, String], // schemaId (as string, for JSON keys) → StructType.json
+    buckets: Int,
+    files: Seq[DataFile],
+    watermarks: Map[String, Long],
+    lineage: Seq[LineageEntry],
+    props: Map[String, String]) {
+  def schemaJson(id: Int): String = schemas(id.toString)
+  def currentSchemaJson: String = schemaJson(currentSchemaId)
+}
+
+object ManifestCodec {
+  private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
+  def toJson(s: Snapshot): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(s)
+  def fromJson(j: String): Snapshot = {
+    val s = mapper.readValue(j, classOf[Snapshot])
+    // Type erasure: Jackson fills Map[String, Long] with boxed Integers for
+    // small values — normalize through Number to avoid unboxing CCEs.
+    val wm = s.watermarks.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
+    s.copy(watermarks = wm)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.cdc.CdcStream
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+
+class CdcStreamSpec extends SparkSpec {
+
+  val cfg = GenConfig(events = 6000, segmentSize = 512)
+  lazy val golden = expectedMap(ChangeGen.events(spark, cfg).collect().toSeq)
+
+  test("streaming WAL tail drains to the golden final state") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeGen.writeWal(spark, cfg, wal)
+    val table = new LakeTable(spark, tmpDir("lake"))
+    val batches = CdcStream.runToCompletion(spark, wal, table, ckpt,
+      maxFilesPerTrigger = 6, createBuckets = 16)
+    assert(batches > 2, s"want multiple micro-batches, got $batches")
+    assert(pagesMap(table.pages()) == golden)
+    // lineage was recorded per batch with the source lsn range
+    val lin = table.currentSnapshot.get.lineage
+    assert(lin.nonEmpty && lin.forall(_.queryId == "cdc"))
+    assert(lin.map(_.events).sum >= cfg.events)
+  }
+
+  test("crash mid-stream, resume from checkpoint: exactly-once convergence") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeGen.writeWal(spark, cfg, wal)
+    val table = new LakeTable(spark, tmpDir("lake"))
+    // Crash AFTER the lake commit of batch 2 but BEFORE Spark checkpoints it —
+    // the worst-case window; resume must skip the already-committed batch.
+    var n = 0
+    val q = CdcStream.start(spark, wal, table, ckpt, maxFilesPerTrigger = 4,
+      createBuckets = 16, onBatch = { st =>
+        n += 1
+        if (n == 3) throw new RuntimeException("injected crash")
+      })
+    intercept[StreamingQueryException](q.awaitTermination())
+    val versionAtCrash = table.currentSnapshot.get.version
+    assert(versionAtCrash >= 2)
+
+    var skips = 0
+    val q2 = CdcStream.start(spark, wal, table, ckpt, maxFilesPerTrigger = 4,
+      createBuckets = 16, onBatch = st => if (st.skipped) skips += 1)
+    q2.awaitTermination()
+    assert(skips >= 1, "the replayed in-flight batch must be watermark-skipped")
+    assert(pagesMap(table.pages()) == golden)
+
+    // replaying the WHOLE stream from a fresh checkpoint against the same
+    // table also converges (idempotent re-apply of every batch)
+    val q3 = CdcStream.start(spark, wal, table, tmpDir("ckpt2"), maxFilesPerTrigger = 4,
+      createBuckets = 16)
+    q3.awaitTermination()
+    assert(pagesMap(table.pages()) == golden)
+  }
+}

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries, MLQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator catalog (SURVEY.md §2 surface + the
+  * training-data operators); `oracleSql` holds the DuckDB-equivalent SQL for
+  * every query whose semantics are ANSI-SQL-expressible. Queries built on
+  * xxhash64 (minhash/simhash/LSH signatures) have no DuckDB twin and are
+  * covered by ScalaTest property suites instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the CDC engine end-to-end on sf0.001 — events-as-WAL replayed
+    * through LakeTable MERGE commits, returning the final page table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MLQueries.queries("q_cdc_lww_table")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ MLQueries.queries
+
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql ++ MLQueries.oracleSql
 }

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines, expressed
+  * as pure Catalyst `Column` compositions (codegen-friendly, no UDFs unless
+  * noted). The reference's scalar-function surface is thin wrappers over Arrow
+  * compute kernels (`/root/reference/libtenzir/builtins/functions/string.cpp:242`);
+  * these play the same role over Spark's built-in expressions.
+  *
+  * Everything is deterministic (seeded hashes, no wall clock) so results are
+  * byte-identical across replays and cluster sizes.
+  */
+object Text {
+
+  /** Whitespace tokens of a text column (empty input → empty array). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy count: runs of letters, runs of digits, and single
+    * other non-space chars — the standard pre-tokenizer regex shape.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Canonical normalized form: lowercase, whitespace collapsed to single
+    * spaces, trimmed. The basis for exact-dup fingerprints.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-dup fingerprint: md5 hex of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling polynomial fingerprint over normalized tokens
+    * (FNV-prime multiplier; long arithmetic wraps — deterministic).
+    */
+  def fingerprint64(text: Column): Column =
+    aggregate(tokens(normalize(text)), lit(0xcbf29ce484222325L),
+      (acc, w) => acc * lit(1099511628211L) + xxhash64(w))
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard similarity.
+    * Documents shorter than n words yield their full text as one shingle so
+    * they still participate in dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalize(text))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(grams)
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Ratio of punctuation/symbol characters to total characters. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text).cast("double")
+    when(len === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / len)
+  }
+
+  /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(normalize(text))
+    when(size(t) === 0, 0.0)
+      .otherwise(size(array_distinct(t)).cast("double") / size(t).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(normalize(text))
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t).cast("double"))
+  }
+
+  /** Fraction of tokens that appear in a stopword list (signals natural
+    * prose vs. boilerplate/code).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(normalize(text))
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("double")
+        / size(t).cast("double"))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "this", "that", "be", "are", "was", "from")
+
+  /** Composite quality score in [0,1]: length band, lexical diversity,
+    * stopword presence, low punctuation. Fixed weights; deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val stop = least(stopwordRatio(text, EnglishStopwords) * 5.0, lit(1.0))
+    val punct = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    lenScore * 0.25 + diversity * 0.25 + stop * 0.25 + punct * 0.25
+  }
+
+  // ------------------------------------------------------------- language ID
+
+  /** Tiny per-language stopword profiles (n-gram-heuristic class of language
+    * ID). Intentionally small — the point is the distributed scoring shape.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "un", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "una", "en", "que"),
+    "pt" -> Seq("o", "a", "os", "e", "de", "um", "uma", "em", "que", "para"))
+
+  /** Predicted language: argmax over per-profile stopword hit counts, with a
+    * deterministic tiebreak (score, then language code) via struct-array max —
+    * pure Column logic, whole-stage-codegen eligible.
+    */
+  def langId(text: Column, default: String = "und"): Column = {
+    val t = tokens(normalize(text))
+    val scored = LangProfiles.map { case (lang, words) =>
+      struct(
+        size(filter(t, w => w.isin(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit(default))
+  }
+
+  // ------------------------------------------------------------- vectors
+
+  /** Dot product of two array<numeric> columns in double precision,
+    * left-to-right fold (deterministic; matches an oracle computing the same
+    * sequential sum).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe zero for zero-norm vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+}

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document deduplication for web-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard. All stages are declarative
+  * DataFrame plans: candidate generation is a shuffle on *bucket keys* (never
+  * an all-pairs cross join), so cost scales with bucket occupancy, not n².
+  *
+  * Reference analogue: Tenzir's `deduplicate` operator is exact/keyed only
+  * (`/root/reference/libtenzir/builtins/operators/deduplicate.cpp:107-205`);
+  * the near-dup family is the web-scale extension the north star asks for.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup on a normalized-text fingerprint: keeps the row with the
+    * smallest `idCol` per fingerprint group (deterministic survivor).
+    * Map-side combine via min_by; one shuffle on the fingerprint.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = Text.fingerprintMd5(col(textCol))
+    df.withColumn("fingerprint", fp)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature: k independent permutation-minima over the shingle
+    * set. Hash family: xxhash64 seeded per component by mixing in the
+    * component index (standard one-hash-function + index trick).
+    * Pure Column expression — codegen, no UDF.
+    */
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
+    val sh = Text.shingles(text, shingleN)
+    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  }
+
+  /** Estimated Jaccard from two equal-length signatures: fraction of equal
+    * components.
+    */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / k.toDouble
+
+  /** MinHash+LSH near-dup candidate pairs.
+    *
+    * Pipeline: signature → b bands of r rows → hash each band → explode to
+    * (band, bandHash) bucket keys → self-join *within buckets only* → distinct
+    * pairs → estimated Jaccard from signatures → threshold filter.
+    *
+    * Scale: the join key (band, bandHash) is high-cardinality, so the shuffle
+    * is fine-grained; giant buckets (boilerplate cluster) are the one skew
+    * risk — AQE skew-join splits them, and `maxBucket` hard-caps pathological
+    * buckets (dropping a bucket of b identical boilerplate docs loses no
+    * information a sane dedup needs — it keeps one pair via other bands).
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bands: Int = 16,
+      rows: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rows
+    val withSig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), k, shingleN).as("sig"))
+
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pruned = a.withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("cnt") <= maxBucket).drop("cnt")
+
+    pruned.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ----------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over normalized tokens: per-bit balance of token-hash
+    * bits, sign → bit. Expressed as a nested Column fold (no UDF): for each
+    * bit position, aggregate +1/-1 contributions across token hashes.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(Text.tokens(Text.normalize(text)), w => xxhash64(w))
+    val bits = (0 until 64).map { i =>
+      val balance = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(balance > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** SimHash near-dup candidates: block on q non-overlapping bit segments
+    * (pigeonhole: any pair within `maxHamming < q` differs in at most q-1
+    * segments, so at least one segment matches → zero false negatives),
+    * verify by exact Hamming distance. One shuffle on segment keys.
+    */
+  def simhashDup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      segments: Int = 4): DataFrame = {
+    val segBits = 64 / segments
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val seg = withSig.select(
+      col("id"), col("sim"),
+      posexplode(array((0 until segments).map(s =>
+        shiftrightunsigned(col("sim"), s * segBits)
+          .bitwiseAND((1L << segBits) - 1L)): _*)).as(Seq("seg", "key")))
+    val a = seg.select(col("seg"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = seg.select(col("seg"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("seg", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------- exact jaccard
+
+  /** Exact word-n-gram Jaccard over all pairs sharing ≥1 shingle, via an
+    * inverted-index self-join (shuffle on shingle, then on the pair key —
+    * never a cross join). |A∪B| = |A|+|B|−|A∩B| avoids materializing unions.
+    *
+    * Output: (id_a, id_b, jaccard) for pairs with jaccard ≥ threshold.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("setsize", size(col("sh")))
+    val inv = sets.select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col("shingle"), col("id").as("id_a"), col("setsize").as("size_a"))
+    val b = inv.select(col("shingle"), col("id").as("id_b"), col("setsize").as("size_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("size_a")).as("sa"), first(col("size_b")).as("sb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------- embedding cosine
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold, candidates generated
+    * by random-hyperplane LSH over the embedding (sign-bit signature bands),
+    * verified by exact cosine. Same bucket-join shape as minhashLsh — scales
+    * by bucket occupancy.
+    */
+  def embeddingDup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val sig = Similarity.hyperplaneSig(col(vecCol), planes, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
+    val perBand = planes / bands
+    val banded = base.select(
+      col("id"), col("v"),
+      posexplode(array((0 until bands).map(bd =>
+        shiftrightunsigned(col("sig"), bd * perBand).bitwiseAND((1L << perBand) - 1L)): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Text.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

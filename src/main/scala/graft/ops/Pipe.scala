@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The Tenzir operator surface (SURVEY.md §2.1/§2.7) re-expressed as a thin,
+  * idiomatic extension API over `DataFrame`. Every method is a *declarative*
+  * Catalyst plan fragment — no RDDs, no driver loops — so predicate pushdown,
+  * column pruning and whole-stage codegen apply across operator boundaries
+  * exactly where the reference has to hand-roll fusion
+  * (`/root/reference/libtenzir/src/pipeline.cpp:208-250`).
+  *
+  * Operators whose reference semantics are inherently *positional* (slice,
+  * enumerate, head/tail on an unordered stream) take explicit sort keys: Spark
+  * streams have no arrival order, so position must be defined by data — which
+  * is also what makes the result deterministic and replayable at cluster scale.
+  */
+object Pipe {
+
+  implicit class PipeOps(val df: DataFrame) extends AnyVal {
+
+    // ----------------------------------------------------------- §2.1 core
+
+    /** `where expr` — reference `where_map.cpp:50-122`. */
+    def where_(pred: Column): DataFrame = df.filter(pred)
+
+    /** `select f1, f2…` — reference `select.cpp:31-90`. */
+    def select_(cols: String*): DataFrame = df.select(cols.map(col): _*)
+
+    /** `drop f…` — reference `drop.cpp`. */
+    def drop_(cols: String*): DataFrame = df.drop(cols: _*)
+
+    /** `set x = expr` / `put/extend` — reference `set_select.cpp`,
+      * `put_extend_replace_set.cpp`.
+      */
+    def set_(name: String, value: Column): DataFrame = df.withColumn(name, value)
+
+    /** `rename new=old` — reference `rename.cpp`. */
+    def rename_(pairs: (String, String)*): DataFrame =
+      pairs.foldLeft(df) { case (d, (to, from)) => d.withColumnRenamed(from, to) }
+
+    /** `move to=from` — reference `move.cpp` (rename, position change is moot
+      * in a named-column model).
+      */
+    def move_(to: String, from: String): DataFrame = df.withColumnRenamed(from, to)
+
+    /** `flatten` — nested records → dotted top-level fields, recursive
+      * (reference `flatten.cpp`; separator '.' like the reference default,
+      * configurable because '.' needs backtick-quoting in Spark SQL).
+      */
+    def flatten_(sep: String = "."): DataFrame = {
+      val cols = df.schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case s: StructType => expandFrom(col(f.name), f.name, s, sep)
+          case _ => Seq(col(f.name))
+        }
+      }
+      df.select(cols: _*)
+    }
+
+    /** `unflatten` — inverse of flatten: dotted names → nested structs
+      * (reference `unflatten.cpp`).
+      */
+    def unflatten_(sep: String = "."): DataFrame = {
+      // group columns by first path segment; recurse
+      def build(cols: Seq[(List[String], Column)]): Seq[Column] = {
+        val (leaves, nested) = cols.partition(_._1.lengthCompare(1) == 0)
+        val leafCols = leaves.map { case (name :: Nil, c) => c.as(name); case _ => sys.error("unreachable") }
+        val nestedCols = nested.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (head, group) =>
+          val children = build(group.map { case (path, c) => (path.tail, c) })
+          struct(children: _*).as(head)
+        }
+        leafCols ++ nestedCols
+      }
+      val parts = df.columns.toSeq.map(n => (n.split(java.util.regex.Pattern.quote(sep)).toList, col(s"`$n`")))
+      df.select(build(parts): _*)
+    }
+
+    /** `unroll field` — one event per list element (reference `unroll.cpp`).
+      * Null/empty lists drop the event, matching the reference.
+      */
+    def unroll_(field: String): DataFrame = {
+      val others = df.columns.filterNot(_ == field).map(col)
+      df.select((others :+ explode(col(field)).as(field)).toIndexedSeq: _*)
+    }
+
+    /** `enumerate [field]` — 0-based index by an explicit total order
+      * (reference `enumerate.cpp:35-60`; default field `#` → `index` since `#`
+      * needs quoting everywhere in SQL).
+      */
+    def enumerate_(orderBy: Seq[Column], field: String = "index"): DataFrame =
+      df.withColumn(field, row_number().over(Window.orderBy(orderBy: _*)) - 1)
+
+    /** `deduplicate fields… limit=n` — first `limit` events per key by the
+      * given order (reference `deduplicate.cpp:107-205`; `distance`/`timeout`
+      * expiry is a streaming concern → `dropDuplicatesWithinWatermark` there).
+      */
+    def deduplicate_(keys: Seq[String], order: Seq[Column], limit: Int = 1): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= limit).drop("__rn")
+    }
+
+    /** `sort [-]expr…` — total sort (reference `sort.cpp:86-131`; Spark's
+      * range-partitioned sort-shuffle replaces the in-memory gather and spills).
+      */
+    def sort_(keys: Column*): DataFrame = df.orderBy(keys: _*)
+
+    /** `head n` over an explicit order (reference `head.cpp:27-40`). */
+    def head_(n: Int, order: Seq[Column]): DataFrame = df.orderBy(order: _*).limit(n)
+
+    /** `tail n` — last n by the order, re-emitted in ascending order
+      * (reference `tail.cpp`). TakeOrdered on the reversed order, then re-sort:
+      * no full sort of the input.
+      */
+    def tail_(n: Int, order: Seq[Column], reversed: Seq[Column]): DataFrame =
+      df.orderBy(reversed: _*).limit(n).orderBy(order: _*)
+
+    /** `slice begin:end` by an explicit total order (reference `slice.cpp`;
+      * stride via `where_(col(field) % stride === 0)` on the emitted index).
+      * Emits the 0-based `index` column to keep the result self-describing.
+      */
+    def slice_(begin: Long, end: Long, order: Seq[Column], field: String = "index"): DataFrame =
+      enumerate_(order, field).filter(col(field) >= begin && col(field) < end)
+
+    /** `taste n` — first n per group (reference `taste.cpp:26-62`; the
+      * reference groups by schema, we group by any key — schema-per-group is a
+      * special case with a schema-name column).
+      */
+    def taste_(n: Int, groupKeys: Seq[String], order: Seq[Column]): DataFrame =
+      deduplicate_(groupKeys, order, n)
+
+    /** `top field` — most frequent values (reference `top_rare.cpp:78-113`;
+      * value tiebreak makes it deterministic, which the reference leaves open).
+      */
+    def top_(field: String, n: Int, countName: String = "n"): DataFrame =
+      df.groupBy(col(field)).agg(count(lit(1)).as(countName))
+        .orderBy(col(countName).desc, col(field)).limit(n)
+
+    /** `rare field` — least frequent values. */
+    def rare_(field: String, n: Int, countName: String = "n"): DataFrame =
+      df.groupBy(col(field)).agg(count(lit(1)).as(countName))
+        .orderBy(col(countName).asc, col(field)).limit(n)
+
+    /** `summarize group…, agg…` — hash aggregate with map-side partials
+      * (reference `summarize.cpp:47-170`).
+      */
+    def summarize_(groupBy: Seq[Column], aggs: Column*): DataFrame =
+      if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupBy: _*).agg(aggs.head, aggs.tail: _*)
+
+    /** `sample fraction` — deterministic hash-based sampling (the reference's
+      * adaptive `sample.cpp` is rate-driven; at cluster scale a seeded hash
+      * filter is reproducible and shuffle-free).
+      */
+    def sample_(fraction: Double, keys: Seq[Column], seed: Long = 42L): DataFrame = {
+      val bound = (fraction * (1L << 32).toDouble).toLong
+      df.filter(pmod(xxhash64(keys :+ lit(seed): _*), lit(1L << 32)) < bound)
+    }
+
+    /** `if pred { then } else { else }` at operator level — route through two
+      * subplans and merge (reference `if.cpp`). Subplans must produce
+      * union-compatible schemas.
+      */
+    def ifElse_(pred: Column, thenP: DataFrame => DataFrame, elseP: DataFrame => DataFrame): DataFrame =
+      thenP(df.filter(pred)).unionByName(elseP(df.filter(!pred || pred.isNull)), allowMissingColumns = true)
+
+    /** `assert expr` — filter that counts what it drops into an accumulator-
+      * style metric column contract (reference `where_map.cpp:148-248`); we
+      * surface dropped counts via `observe`.
+      */
+    def assert_(pred: Column, metricName: String = "assert_dropped"): DataFrame =
+      df.observe(metricName, sum(when(pred, 0L).otherwise(1L)).as("dropped")).filter(pred)
+
+    // ------------------------------------------------- §2.2 enrich (contexts)
+
+    /** `context::enrich key=f` — broadcast build-probe lookup join (reference
+      * `lookup_table.cpp:314-341`). `mode=set` overwrite semantics; the lookup
+      * side is explicitly broadcast — the big stream is never shuffled.
+      */
+    def enrich_(lookup: DataFrame, key: Seq[String], how: String = "left"): DataFrame =
+      df.join(broadcast(lookup), key, how)
+  }
+
+  /** Recursive flatten helper (outside the value class — nested defs with
+    * closures are fine, but keep the value-class body allocation-free).
+    */
+  private def expandFrom(base: Column, prefix: String, schema: StructType, sep: String): Seq[Column] =
+    schema.fields.toSeq.flatMap { f =>
+      val name = s"$prefix$sep${f.name}"
+      f.dataType match {
+        case s: StructType => expandFrom(base.getField(f.name), name, s, sep)
+        case _ => Seq(base.getField(f.name).as(name))
+      }
+    }
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcApply
+import graft.functions.Text
+import graft.lake.LakeTable
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Driver-checked query catalog, part 2: web-scale training-data operators
+  * (dedup family, similarity search, text analysis, multimodal plumbing) and
+  * the CDC engine itself run end-to-end inside a query.
+  *
+  * Oracle notes: everything numeric is either integer-exact or a single
+  * deterministic IEEE expression evaluated in the same order in both engines
+  * (sequential left folds for vector math). Queries whose Spark-side hashing
+  * (xxhash64) has no DuckDB twin are registered without an oracle — their
+  * correctness is covered by ScalaTest property tests instead.
+  */
+object MLQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalized whitespace-split words, shared by several oracles. */
+  private val NormWords =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  /** events table → CDC change-event envelope: key = user, lsn = event_id,
+    * `error` events are deletes, everything else upserts the user's page.
+    */
+  private def envelope(events: DataFrame): DataFrame =
+    events.select(
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("event_id").as("lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("wal_part"),
+      concat(lit("u"), col("user_id").cast("string")).as("url"),
+      col("ts").as("warc_ts"),
+      when(col("event_type") === "error", lit(null)).otherwise(col("props"))
+        .cast("binary").as("html"),
+      when(col("event_type") === "error", lit(null)).otherwise(col("props")).as("text"),
+      when(col("event_type") === "error", lit(null)).otherwise(col("event_type")).as("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id", shingleN = 3, threshold = 0.2)),
+
+    // xxhash64-based — no DuckDB twin; covered by DedupSpec property tests.
+    "q_minhash_sig" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        posexplode(Dedup.minhashSignature(col("text"), k = 32, shingleN = 3))
+          .as(Seq("h_idx", "h_val")))),
+
+    "q_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
+        bands = 16, rows = 2, shingleN = 3, threshold = 0.0)),
+
+    "q_simhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))),
+
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id", maxHamming = 16, segments = 4)),
+
+    // threshold tuned to the driver data: embeddings are near-random
+    // (max pairwise cosine ≈ 0.51 at sf0.01), so 0.35 marks the "near" tail
+    "q_embed_dup" -> ((s, d) =>
+      Dedup.embeddingDup(t(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.35, planes = 8, bands = 4)),
+
+    // ------------------------------------------------------- similarity
+    "q_embed_norm" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"), Text.norm(col("embedding")).as("l2"))),
+
+    "q_ann_bruteforce" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        planes = 12, bands = 6)
+    }),
+
+    // ----------------------------------------------------- text analysis
+    "q_text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        Text.tokenCount(col("text")).as("n_words"),
+        Text.typeTokenRatio(col("text")).as("ttr"),
+        Text.meanTokenLen(col("text")).as("mean_wlen"),
+        Text.punctRatio(col("text")).as("punct_ratio"))),
+
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("ws_tokens"),
+        Text.subwordCount(col("text")).as("subword_tokens"))),
+
+    "q_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+
+    // ------------------------------------------------------- multimodal
+    "q_multimodal_meta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mime = when(pmod(col("doc_id"), lit(3)) === 0, "image/jpeg")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+        .otherwise("video/mp4")
+      Multimodal.withMediaMeta(docs.select(col("doc_id"), col("text")), "text", mime)
+        .select(col("doc_id"),
+          col("media_meta.mime").as("mime"),
+          col("media_meta.byte_len").as("byte_len"))
+    }),
+
+    // Full fake-decode pipeline (batched codec + frame sampling + resize) —
+    // xxhash64-based features, no oracle; MultimodalSpec covers semantics.
+    "q_multimodal_decode" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val docs = t(s, d, "documents")
+      val media = docs.select(
+        col("doc_id").as("id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image/jpeg")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        col("text").cast("binary").as("bytes")).as[Multimodal.MediaRow]
+      val decoded = Multimodal.decodeBatched(media, Multimodal.FakeCodec).toDF()
+      Multimodal.resizeMeta(Multimodal.sampleFrames(decoded, stride = 30), maxDim = 512)
+    }),
+
+    // -------------------------------------------------------------- CDC
+    // LWW dedup as a pure declarative op (max_by over the LSN order).
+    "q_cdc_lww_df" -> ((s, d) => {
+      val env = envelope(t(s, d, "events"))
+      val cols = env.columns
+      env.groupBy(col("url"))
+        .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), col("lsn")).as("w"))
+        .select(col("w.*"))
+        .filter(col("op") =!= "D")
+        .select(col("url"), col("lsn"), col("text"))
+    }),
+
+    // The real engine end-to-end: envelope → 4 micro-batches → LakeTable
+    // MERGE commits → read back the final page table.
+    "q_cdc_lww_table" -> ((s, d) => {
+      val env = envelope(t(s, d, "events")).cache()
+      try {
+        val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
+        val step = math.max(1L, maxLsn / 4 + 1)
+        val work = java.nio.file.Files.createTempDirectory("graft-q-cdc").toString
+        val table = new LakeTable(s, s"$work/lake")
+        (0L to maxLsn / step).foreach { b =>
+          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          CdcApply.applyBatch(table, batch, "q_cdc", b, createBuckets = 16)
+        }
+        table.pages().select(col("url"), col("text"), col("lang"))
+      } finally env.unpersist()
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+         |      i -> array_to_string(w[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, $NormWords AS w FROM documents)
+         |), inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS DOUBLE) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) AS jaccard
+         |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING jaccard >= 0.2""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2
+        |FROM embeddings""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.e)),
+        |      i -> q.e[i] * c.e[i])), (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(q.e, x -> x * x)), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c.e, x -> x * x)), (a, b) -> a + b)) AS nc
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |)
+        |SELECT query_id, corpus_id,
+        |  CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE d / (nq * nc) END AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE d / (nq * nc) END DESC, corpus_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(len($NormWords) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct($NormWords)) AS DOUBLE) / CAST(len($NormWords) AS DOUBLE) AS ttr,
+         |  CAST(list_reduce(list_prepend(0, list_transform($NormWords, w -> length(w))), (a, b) -> a + b) AS DOUBLE)
+         |    / CAST(len($NormWords) AS DOUBLE) AS mean_wlen,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS subword_tokens
+        |FROM documents""".stripMargin,
+    "q_langid" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter($NormWords, w -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], w)))"
+      val profiles = Text.LangProfiles.toMap
+      val s_en = score(profiles("en")); val s_de = score(profiles("de"))
+      val s_fr = score(profiles("fr")); val s_es = score(profiles("es"))
+      val s_pt = score(profiles("pt"))
+      s"""SELECT doc_id, CASE
+         |  WHEN greatest(en, de, fr, es, pt) = 0 THEN 'und'
+         |  WHEN pt >= en AND pt >= de AND pt >= fr AND pt >= es THEN 'pt'
+         |  WHEN fr >= en AND fr >= de AND fr >= es THEN 'fr'
+         |  WHEN es >= en AND es >= de THEN 'es'
+         |  WHEN en >= de THEN 'en'
+         |  ELSE 'de' END AS lang_pred
+         |FROM (SELECT doc_id, $s_en AS en, $s_de AS de, $s_fr AS fr, $s_es AS es, $s_pt AS pt
+         |      FROM documents)""".stripMargin
+    },
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin,
+    "q_cdc_lww_df" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max(event_id) AS lsn,
+        |  max_by(props, event_id) AS text
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
+    "q_cdc_lww_table" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
+        |  max_by(event_type, event_id) AS lang
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin
+  )
+}

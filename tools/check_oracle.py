@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Dev harness replicating the driver's correctness gate: for each query
+parquet dumped by graft.Verify, run the corresponding oracle SQL in DuckDB
+over the same sf tables and compare (columns sorted by name, rows sorted,
+exact value equality; floats reported with max abs diff when not identical).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints -> int64 (nullable), floats -> float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"; continue
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(got)}" + (" !!EMPTY" if len(got) == 0 else "")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR {str(e)[:120]}"; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"COLUMNS got={list(g.columns)} exp={list(e.columns)}"; continue
+        if len(g) != len(e):
+            results[name] = f"ROWCOUNT got={len(g)} exp={len(e)}"; continue
+        bad = []
+        for c in g.columns:
+            gc, ec = g[c], e[c]
+            if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(ec):
+                gv, ev = gc.astype(float).values, ec.astype(float).values
+                eq = (gv == ev) | (np.isnan(gv) & np.isnan(ev))
+                if not eq.all():
+                    d = np.nanmax(np.abs(gv - ev))
+                    bad.append(f"{c}: {np.sum(~eq)} diffs maxabs={d:.3e}")
+            else:
+                eq = (gc.values == ec.values) | (gc.isna().values & ec.isna().values)
+                if not eq.all():
+                    i = int(np.argmax(~eq))
+                    bad.append(f"{c}: {np.sum(~eq)} diffs first@{i} got={gc.iloc[i]!r} exp={ec.iloc[i]!r}")
+        results[name] = "OK rows=%d" % len(g) if not bad else "VALUES " + "; ".join(bad[:3])
+    npass = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    for name in sorted(results):
+        tag = "PASS" if results[name].startswith(("OK", "ROWS_ONLY")) else "FAIL"
+        print(f"{tag:4} {name:24} {results[name]}")
+    print(f"== {npass}/{len(results)} pass ==")
+
+if __name__ == "__main__":
+    main()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, MLQueries}
+import graft.queries.{CoreQueries, FormatQueries, MLQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     MLQueries.queries("q_cdc_lww_table")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ MLQueries.queries
+    CoreQueries.queries ++ MLQueries.queries ++ FormatQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ MLQueries.oracleSql
+    CoreQueries.oracleSql ++ MLQueries.oracleSql ++ FormatQueries.oracleSql
 }

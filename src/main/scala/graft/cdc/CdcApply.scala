@@ -53,6 +53,12 @@ object CdcApply {
   /** Envelope columns that are not payload (plus generator bookkeeping). */
   private val NonPayload = Set("op", "lsn", "wal_part", "seg")
 
+  /** Above this many distinct keys per batch, the merge join is left to the
+    * shuffle planner instead of a forced broadcast (~2M urls ≈ 100+ MB
+    * broadcast — past the point where shipping it to every executor wins).
+    */
+  val BroadcastKeyLimit: Long = 2L * 1000 * 1000
+
   /** LWW ordering: LSN, then table-residency (a committed row beats a
     * redelivered duplicate of itself), then WAL partition for determinism.
     */
@@ -122,11 +128,18 @@ object CdcApply {
       val existing = table.readFiles(snap0, candidateFiles, mergedFile)
 
       // ------------------------------------------- copy-on-write merge plan
-      val keys = withBucket.select(col("url"))
-      val untouched = existing.join(broadcast(keys), Seq("url"), "left_anti")
+      // Small batches (the common steady-state case): force-broadcast the key
+      // set so the pruned-but-still-large existing side never shuffles. Huge
+      // catch-up batches (keys beyond what an executor should hold) fall back
+      // to a shuffled join and let AQE plan it — forcing a broadcast there
+      // would OOM at 10^10-event scale.
+      val keyCount = deletes + upserts
+      val keysRaw = withBucket.select(col("url"))
+      val keys = if (keyCount <= BroadcastKeyLimit) broadcast(keysRaw) else keysRaw
+      val untouched = existing.join(keys, Seq("url"), "left_anti")
 
       // Committed rows competing with the batch become pseudo-events.
-      val touchedEv = existing.join(broadcast(keys), Seq("url"), "left_semi")
+      val touchedEv = existing.join(keys, Seq("url"), "left_semi")
         .select(
           (Seq(
             when(col("_deleted"), lit("D")).otherwise(lit("U")).as("op"),

@@ -46,14 +46,31 @@ object Text {
   /** Word n-gram shingles (distinct), the unit set for Jaccard similarity.
     * Documents shorter than n words yield their full text as one shingle so
     * they still participate in dedup.
+    *
+    * Construction is shift-and-zip — n shifted views of the token array,
+    * zipped with string concat — NOT `transform(sequence(...), i =>
+    * slice(toks, …))`: a lambda body that references the tokenization subtree
+    * re-evaluates it per element (per shingle!), turning an O(len) row into
+    * O(len²). Here tokenization appears n+1 times at the top level of one
+    * projection → O(n) evaluations per row.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(normalize(text))
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(grams)
+    // window count; min 1 so short docs yield their full text as one shingle
+    val wins = greatest(size(toks) - (n - 1), lit(1))
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), wins))
+    // zip_with pads the shorter side with null; concat_ws skips nulls, so
+    // short docs degrade gracefully to "all tokens joined"
+    val grams = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    // empty doc: [""] (one empty shingle), matching the sequence-based form
+    when(size(toks) === 0, array(lit(""))).otherwise(array_distinct(grams))
   }
+
+  /** xxhash64 of each normalized token — materialize this once (as a column)
+    * and feed it to the per-bit/per-component folds in simhash/minhash.
+    */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(normalize(text)), w => xxhash64(w))
 
   // ------------------------------------------------------------- quality
 

@@ -31,15 +31,23 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature: k independent permutation-minima over the shingle
-    * set. Hash family: xxhash64 seeded per component by mixing in the
-    * component index (standard one-hash-function + index trick).
-    * Pure Column expression — codegen, no UDF.
+  /** MinHash signature from an already-materialized shingle-array column.
+    * Hash family: xxhash64 seeded per component by mixing in the component
+    * index (standard one-hash-function + index trick). Pure Column logic.
+    *
+    * `sh` MUST be a materialized column (a projected attribute), not an
+    * inline shingle expression: each of the k component branches walks `sh`,
+    * so an inline expression would be tokenized k times per row.
     */
-  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
-    val sh = Text.shingles(text, shingleN)
+  def minhashSigFromShingles(sh: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
-  }
+
+  /** MinHash signature straight from text — convenience for one-off use; for
+    * anything hot, project [[graft.functions.Text.shingles]] into a column
+    * first and call [[minhashSigFromShingles]].
+    */
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
+    minhashSigFromShingles(Text.shingles(text, shingleN), k)
 
   /** Estimated Jaccard from two equal-length signatures: fraction of equal
     * components.
@@ -71,9 +79,10 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
-    val withSig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), k, shingleN).as("sig"))
+    // two projections: shingle once per row, then hash the materialized array
+    val withSig = df
+      .select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), minhashSigFromShingles(col("sh"), k).as("sig"))
 
     val banded = withSig.select(
       col("id"), col("sig"),
@@ -97,12 +106,12 @@ object Dedup {
 
   // ----------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over normalized tokens: per-bit balance of token-hash
-    * bits, sign → bit. Expressed as a nested Column fold (no UDF): for each
-    * bit position, aggregate +1/-1 contributions across token hashes.
+  /** 64-bit SimHash from an already-materialized token-hash array column
+    * ([[graft.functions.Text.tokenHashes]]): per-bit balance of token-hash
+    * bits, sign → bit. 64 folds over the materialized long array — do NOT
+    * inline the tokenization here (it would run 64× per row).
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(Text.tokens(Text.normalize(text)), w => xxhash64(w))
+  def simhash64FromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val balance = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -110,6 +119,12 @@ object Dedup {
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
+
+  /** SimHash straight from text — convenience; hot paths should materialize
+    * [[graft.functions.Text.tokenHashes]] first.
+    */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(Text.tokenHashes(text))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
@@ -126,7 +141,9 @@ object Dedup {
       maxHamming: Int = 3,
       segments: Int = 4): DataFrame = {
     val segBits = 64 / segments
-    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val withSig = df
+      .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), simhash64FromHashes(col("th")).as("sim"))
     val seg = withSig.select(
       col("id"), col("sim"),
       posexplode(array((0 until segments).map(s =>

@@ -55,16 +55,20 @@ object MLQueries {
 
     // xxhash64-based — no DuckDB twin; covered by DedupSpec property tests.
     "q_minhash_sig" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        posexplode(Dedup.minhashSignature(col("text"), k = 32, shingleN = 3))
-          .as(Seq("h_idx", "h_val")))),
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"),
+          posexplode(Dedup.minhashSigFromShingles(col("sh"), k = 32))
+            .as(Seq("h_idx", "h_val")))),
 
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
         bands = 16, rows = 2, shingleN = 3, threshold = 0.0)),
 
     "q_simhash" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))),
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
+        .select(col("doc_id"), Dedup.simhash64FromHashes(col("th")).as("simhash"))),
 
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id", maxHamming = 16, segments = 4)),

@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // cap G1's worker threads: at local[32] the default (23 GC threads on top
+  // of 32 busy task threads) oversubscribes the 32-vCPU VM and collapses
+  // throughput ~5x (hypervisor co-scheduling; measured in BASELINE.md)
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

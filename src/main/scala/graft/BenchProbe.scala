@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.CdcStream
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+
+/** Scaling-diagnosis probe: one CDC replay at a given core count / shuffle
+  * partitioning, with per-batch wall times printed, so regressions in the
+  * N-vs-4N scaling efficiency can be attributed to a phase.
+  *
+  * Usage: BenchProbe <cores> <shufflePartitions> <events> <walDir|-> <filesPerTrigger?> <mode?>
+  * (walDir reused across invocations if it already exists; mode = cow | mor)
+  */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val parts = args(1).toInt
+    val nEvents = args(2).toLong
+    // tmpfs: the sandbox's single virtio disk throttles to ~10 MB/s under
+    // sustained load, which makes any COW-write benchmark measure the disk's
+    // burst credits instead of the engine. A real deployment writes to
+    // S3/HDFS whose bandwidth scales with the cluster; tmpfs is the
+    // single-node stand-in that lets the N-vs-4N protocol measure compute.
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/dev/shm/graft")
+    new java.io.File(scratch).mkdirs()
+    val walDir =
+      if (args.length > 3 && args(3) != "-") args(3) else s"$scratch/probe-wal-$nEvents"
+    val filesPerTrigger = if (args.length > 4) args(4).toInt else 16
+    val mode = if (args.length > 5) args(5) else "cow"
+
+    def session(name: String): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(name)
+        .config("spark.sql.shuffle.partitions", parts.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", s"$scratch/spark-local")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    val spark = session(s"probe-$cores-$parts")
+    if (!new java.io.File(walDir).exists()) {
+      println(s"[probe] generating $nEvents events into $walDir")
+      ChangeGen.writeWal(spark, GenConfig(events = nEvents, segmentSize = nEvents / 96), walDir)
+    }
+
+    val work = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratch), s"probe-$cores").toString
+    val table = new LakeTable(spark, s"$work/lake")
+    var last = System.nanoTime()
+    val t0 = last
+    var events = 0L
+    CdcStream.start(spark, walDir, table, s"$work/ckpt",
+      maxFilesPerTrigger = filesPerTrigger, createBuckets = 64, mode = mode,
+      onBatch = st => {
+        val now = System.nanoTime()
+        println(f"[probe] batch ${st.batchId}%3d events=${st.events}%8d " +
+          f"secs=${(now - last) / 1e9}%6.2f")
+        last = now
+        events += st.events
+      }).awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] cores=$cores parts=$parts mode=$mode events=$events secs=$secs%.1f " +
+      f"tp=${events / secs}%.0f ev/s")
+    spark.stop()
+  }
+}

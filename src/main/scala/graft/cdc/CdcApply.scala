@@ -54,10 +54,13 @@ object CdcApply {
   private val NonPayload = Set("op", "lsn", "wal_part", "seg")
 
   /** Above this many distinct keys per batch, the merge join is left to the
-    * shuffle planner instead of a forced broadcast (~2M urls ≈ 100+ MB
-    * broadcast — past the point where shipping it to every executor wins).
+    * shuffle planner instead of a forced broadcast (~1M urls ≈ 60+ MB
+    * broadcast — past the point where driver collect + ship beats a shuffle
+    * of the bucket-pruned existing side). Overridable for experiments via
+    * `-Dgraft.broadcastKeyLimit=N`.
     */
-  val BroadcastKeyLimit: Long = 2L * 1000 * 1000
+  def BroadcastKeyLimit: Long =
+    sys.props.get("graft.broadcastKeyLimit").map(_.toLong).getOrElse(1L * 1000 * 1000)
 
   /** LWW ordering: LSN, then table-residency (a committed row beats a
     * redelivered duplicate of itself), then WAL partition for determinism.
@@ -94,35 +97,42 @@ object CdcApply {
 
     // ------------------------------------------------- LWW dedup within batch
     // max_by over struct: partial-aggregable → map-side combine kills hot-key
-    // skew before the shuffle.
+    // skew before the shuffle. Batch bookkeeping (event count, LSN range) rides
+    // in the same aggregation — per-url partials re-aggregate per bucket below,
+    // so the whole batch needs exactly TWO Spark jobs (stats, merge+write):
+    // short driver-serial jobs, not data volume, are what capped scaling.
     val evCols = ev.columns
     val winners = ev
       .groupBy(col("url"))
-      .agg(max_by(struct(evCols.map(col).toIndexedSeq: _*), ordKey(lit(0))).as("w"))
-      .select(col("w.*"))
+      .agg(
+        max_by(struct(evCols.map(col).toIndexedSeq: _*), ordKey(lit(0))).as("w"),
+        count(lit(1)).as("_n"),
+        min(col("lsn")).as("_minLsn"),
+        max(col("lsn")).as("_maxLsn"))
+      .select(col("w.*"), col("_n"), col("_minLsn"), col("_maxLsn"))
+      .withColumn("_urlhash", xxhash64(col("url")))
+      .withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), snap0.buckets))
       .persist()
 
     try {
-      val batchAgg = ev.agg(
-        count(lit(1)), min(col("lsn")), max(col("lsn"))).head()
-      val events = batchAgg.getLong(0)
+      // one job: per-bucket stats (≤ #buckets rows to the driver)
+      val perBucket = winners.groupBy(col("_bucket")).agg(
+        sum(col("_n")), min(col("_minLsn")), max(col("_maxLsn")),
+        sum(when(col("op") === "D", 1L).otherwise(0L)),
+        sum(when(col("op") =!= "D", 1L).otherwise(0L))).collect()
+
+      val events = perBucket.map(_.getLong(1)).sum
       if (events == 0L) { // empty batch: advance the watermark only
         val s = table.commit(snap0.copy(
           watermarks = snap0.watermarks + (queryId -> batchId),
           lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
         return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
       }
-      val (minLsn, maxLsn) = (batchAgg.getLong(1), batchAgg.getLong(2))
-      val winAgg = winners.agg(
-        sum(when(col("op") === "D", 1L).otherwise(0L)),
-        sum(when(col("op") =!= "D", 1L).otherwise(0L))).head()
-      val (deletes, upserts) = (winAgg.getLong(0), winAgg.getLong(1))
-
-      // --------------------------------------------------- affected buckets
-      val withBucket = winners.withColumn("_urlhash", xxhash64(col("url")))
-        .withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), snap0.buckets))
-      val affected: Set[Int] = withBucket.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).toSet // ≤ #buckets ints — driver-safe
+      val minLsn = perBucket.map(_.getLong(2)).min
+      val maxLsn = perBucket.map(_.getLong(3)).max
+      val deletes = perBucket.map(_.getLong(4)).sum
+      val upserts = perBucket.map(_.getLong(5)).sum
+      val affected: Set[Int] = perBucket.map(_.getInt(0)).toSet
 
       val candidateFiles = table.planFiles(snap0, buckets = Some(affected))
       val existing = table.readFiles(snap0, candidateFiles, mergedFile)
@@ -134,7 +144,7 @@ object CdcApply {
       // to a shuffled join and let AQE plan it — forcing a broadcast there
       // would OOM at 10^10-event scale.
       val keyCount = deletes + upserts
-      val keysRaw = withBucket.select(col("url"))
+      val keysRaw = winners.select(col("url"))
       val keys = if (keyCount <= BroadcastKeyLimit) broadcast(keysRaw) else keysRaw
       val untouched = existing.join(keys, Seq("url"), "left_anti")
 
@@ -144,7 +154,7 @@ object CdcApply {
           (Seq(
             when(col("_deleted"), lit("D")).otherwise(lit("U")).as("op"),
             col("_lsn").as("lsn"),
-            lit(-1).as("wal_part"),
+            col("_wal_part").as("wal_part"),
             lit(1).as("is_table"),
             col("url")) ++
             mergedUser.fields.filter(_.name != "url").map(f => col(f.name))).toIndexedSeq: _*)
@@ -168,7 +178,8 @@ object CdcApply {
           Seq(
             col("lsn").as("_lsn"),
             isDel.as("_deleted"),
-            xxhash64(col("url")).as("_urlhash"))).toIndexedSeq: _*)
+            xxhash64(col("url")).as("_urlhash"),
+            col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
 
       val newData = untouched.unionByName(rows)
       val newFiles = table.writeDataFiles(newData, schemaId, snap0.buckets,
@@ -188,6 +199,112 @@ object CdcApply {
       ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
         minLsn, maxLsn, committed.version)
     } finally winners.unpersist()
+  }
+
+  /** Merge-on-read apply: append the batch's LWW winners as new per-bucket
+    * delta files WITHOUT reading or rewriting existing data — per-batch cost is
+    * O(batch), not O(table). Readers resolve the row version with the highest
+    * `(_lsn, _wal_part)` across files ([[graft.lake.LakeTable.pages]]);
+    * compaction folds deltas back into one file per bucket.
+    *
+    * This is the write-optimized path for sustained high-rate ingest (the COW
+    * [[applyBatch]] is the read-optimized path): copy-on-write rewrites the
+    * whole touched bucket set every batch, so at 10^10-event scale its write
+    * amplification — not compute — caps throughput. Same exactly-once
+    * watermark, lineage, and schema-evolution semantics; batch bookkeeping
+    * rides in an `observe` on the write itself, so the whole apply is ONE
+    * Spark job plus footer-stat reads and the manifest commit.
+    *
+    * Reference analogue: Tenzir's import path appends store partitions and
+    * never rewrites them (`libtenzir/src/importer.cpp:35-106`); its
+    * lookup-table context resolves upserts/erases at probe time
+    * (`libtenzir/builtins/contexts/lookup_table.cpp:416-470`).
+    */
+  def applyBatchAppend(
+      table: LakeTable,
+      batch: DataFrame,
+      queryId: String,
+      batchId: Long,
+      createBuckets: Int = 64): ApplyStats = {
+
+    val snap0: Snapshot = table.currentSnapshot.getOrElse {
+      table.create(userSchemaOf(batch.schema), createBuckets)
+    }
+    if (snap0.watermarks.get(queryId).exists(_ >= batchId))
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+
+    val ev = batch.drop("seg")
+
+    val tableUser = StructType(table.currentFileSchema(snap0).fields
+      .filterNot(f => Schemas.systemColumns.exists(_.name == f.name)))
+    val evUser = userSchemaOf(ev.schema)
+    val mergedUser = Schemas.mergeStructs(tableUser, evUser)
+    val evolved = mergedUser != tableUser
+    val schemaId = if (evolved) snap0.schemas.keys.map(_.toInt).max + 1 else snap0.currentSchemaId
+    val mergedFile = LakeTable.fileSchema(mergedUser)
+
+    // LWW winners within the batch (map-side combine absorbs hot keys), then
+    // straight to file-schema rows — no table read, no join. Raw-batch
+    // bookkeeping (event count, LSN range — pre-dedup, like the COW path)
+    // observes below the aggregation; winner stats observe above it.
+    val rawObs = org.apache.spark.sql.Observation(s"cdc-raw-$queryId-$batchId")
+    val evObs = ev.observe(rawObs,
+      count(lit(1)).as("events"), min(col("lsn")).as("minLsn"), max(col("lsn")).as("maxLsn"))
+    val evCols = ev.columns
+    val winners = alignUser(
+      evObs.groupBy(col("url"))
+        .agg(max_by(struct(evCols.map(col).toIndexedSeq: _*), ordKey(lit(0))).as("w"))
+        .select(col("w.*")),
+      mergedUser)
+
+    val isDel = col("op") === "D"
+    val rows = winners.select(
+      (Seq(col("url")) ++
+        mergedUser.fields.filter(_.name != "url").map(f =>
+          when(isDel, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)) ++
+        Seq(
+          col("lsn").as("_lsn"),
+          isDel.as("_deleted"),
+          xxhash64(col("url")).as("_urlhash"),
+          col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
+
+    // winner bookkeeping rides in the write job itself
+    val winObs = org.apache.spark.sql.Observation(s"cdc-win-$queryId-$batchId")
+    val observed = rows.observe(winObs,
+      count(lit(1)).as("winners"),
+      sum(when(col("_deleted"), 1L).otherwise(0L)).as("deletes"))
+
+    // write parallelism tracks the cluster, capped by bucket count: tiny
+    // sessions don't pay 64-task overhead, big ones use every slot (a task
+    // covering several buckets just writes several files)
+    val slots = table.spark.sparkContext.defaultParallelism
+    val newFiles = table.writeDataFiles(observed, schemaId, snap0.buckets,
+      nTasks = math.max(1, math.min(snap0.buckets, slots * 2)))
+    val raw = rawObs.get; val win = winObs.get
+    val events = raw("events").asInstanceOf[Long]
+    if (events == 0L) {
+      val s = table.commit(snap0.copy(
+        watermarks = snap0.watermarks + (queryId -> batchId),
+        lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
+      return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
+    }
+    val deletes = win("deletes").asInstanceOf[Long]
+    val upserts = win("winners").asInstanceOf[Long] - deletes
+    val minLsn = raw("minLsn").asInstanceOf[Long]
+    val maxLsn = raw("maxLsn").asInstanceOf[Long]
+
+    val schemas =
+      if (evolved) snap0.schemas + (schemaId.toString -> mergedFile.json) else snap0.schemas
+    val committed = table.commit(snap0.copy(
+      currentSchemaId = schemaId,
+      schemas = schemas,
+      files = snap0.files ++ newFiles,
+      watermarks = snap0.watermarks + (queryId -> batchId),
+      lineage = snap0.lineage :+
+        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1)))
+
+    ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
+      minLsn, maxLsn, committed.version)
   }
 
   /** The user-table schema carried by a change envelope: url + payload. */

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -29,6 +29,9 @@ object CdcStream {
     *
     * @param maxFilesPerTrigger bounds micro-batch size (backpressure knob; the
     *        reference's demand window analogue, `execution_node.cpp:44-67`)
+    * @param mode               `"cow"` (read-optimized copy-on-write MERGE) or
+    *                           `"mor"` (write-optimized merge-on-read append;
+    *                           see [[CdcApply.applyBatchAppend]])
     * @param onBatch            test/metrics hook invoked after each commit
     */
   def start(
@@ -39,7 +42,13 @@ object CdcStream {
       queryId: String = "cdc",
       maxFilesPerTrigger: Int = 8,
       createBuckets: Int = 64,
+      mode: String = "cow",
       onBatch: ApplyStats => Unit = _ => ()): StreamingQuery = {
+    val apply: (DataFrame, Long) => ApplyStats = mode match {
+      case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
+      case "mor" => (b, id) => CdcApply.applyBatchAppend(table, b, queryId, id, createBuckets)
+      case other => throw new IllegalArgumentException(s"unknown CDC mode '$other'")
+    }
     spark.readStream
       .schema(walSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -48,8 +57,8 @@ object CdcStream {
       .queryName(queryId)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        onBatch(CdcApply.applyBatch(table, batch, queryId, batchId, createBuckets))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(apply(batch, batchId))
       }
       .start()
   }

@@ -46,11 +46,16 @@ object Schemas {
     *  - `_urlhash` : xxhash64(url); file-level min/max stats over it drive
     *                 manifest pruning (reference analogue: partition synopses,
     *                 `libtenzir/include/tenzir/partition_synopsis.hpp:30-44`).
+    *  - `_wal_part`: WAL partition of the winning writer — the LWW tiebreaker
+    *                 after `_lsn`, persisted so merge-on-read resolution
+    *                 (multiple row versions across delta files) stays
+    *                 deterministic at read time.
     */
   val systemColumns: Seq[StructField] = Seq(
     StructField("_lsn", LongType, nullable = false),
     StructField("_deleted", BooleanType, nullable = false),
-    StructField("_urlhash", LongType, nullable = false)
+    StructField("_urlhash", LongType, nullable = false),
+    StructField("_wal_part", IntegerType, nullable = false)
   )
 
   /** Columns that are payload (not key, not system) in the change envelope. */

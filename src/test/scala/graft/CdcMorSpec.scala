@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.cdc.{CdcApply, CdcStream}
+import graft.gen.{ChangeGen, GenConfig, GenEvent}
+import graft.lake.LakeTable
+
+/** Merge-on-read apply path: append-only delta files + LWW resolve at read.
+  * Must reach byte-identical state to the COW path and the independent oracle.
+  */
+class CdcMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = GenConfig(events = 8000, segmentSize = 512)
+  lazy val allEvents: Seq[GenEvent] = ChangeGen.events(spark, cfg).collect().toSeq
+  lazy val golden: Map[String, (String, String, Long, Int)] = expectedMap(allEvents)
+
+  private def replayMor(table: LakeTable, groups: Seq[Seq[GenEvent]], queryId: String): Unit =
+    groups.zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppend(table, spark.createDataset(g).toDF(), queryId, i.toLong,
+        createBuckets = 16)
+    }
+
+  private def segGroups(events: Seq[GenEvent], segsPerBatch: Int): Seq[Seq[GenEvent]] =
+    events.groupBy(_.seg / segsPerBatch).toSeq.sortBy(_._1).map(_._2)
+
+  test("MOR replay converges to the independent oracle (append-only writes)") {
+    val table = new LakeTable(spark, tmpDir())
+    val v0files = 0
+    replayMor(table, segGroups(allEvents, 8), "m1")
+    val snap = table.currentSnapshot.get
+    assert(pagesMap(table.pages()) == golden)
+    // append-only: every batch added files, none were rewritten
+    assert(snap.files.size > v0files)
+    val lineageBatches = snap.lineage.map(_.batchId).toSet
+    assert(lineageBatches == segGroups(allEvents, 8).indices.map(_.toLong).toSet)
+  }
+
+  test("MOR and COW reach identical final state from the same WAL") {
+    val mor = new LakeTable(spark, tmpDir()); replayMor(mor, segGroups(allEvents, 5), "m")
+    val cow = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 5).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(cow, spark.createDataset(g).toDF(), "c", i.toLong, createBuckets = 16)
+    }
+    assert(pagesMap(mor.pages()) == pagesMap(cow.pages()))
+    assert(pagesMap(mor.pages()) == golden)
+  }
+
+  test("MOR re-applied batch is skipped (exactly-once watermark)") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 8)
+    replayMor(table, groups, "q")
+    val before = table.currentSnapshot.get
+    val st = CdcApply.applyBatchAppend(table, spark.createDataset(groups(1)).toDF(), "q", 1L)
+    assert(st.skipped)
+    assert(table.currentSnapshot.get.version == before.version)
+    assert(pagesMap(table.pages()) == golden)
+  }
+
+  test("MOR tombstone: stale update after delete stays dead across delta files") {
+    val table = new LakeTable(spark, tmpDir())
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, part: Int, url: String, text: String): GenEvent =
+      GenEvent(op, lsn, part, url, ts,
+        if (op == "D") null else text.getBytes("UTF-8"),
+        if (op == "D") null else text, if (op == "D") null else "en", 0L)
+    val b0 = Seq(ev("I", 1, 0, "https://a/x", "v1"), ev("I", 2, 0, "https://a/y", "w1"))
+    val b1 = Seq(ev("D", 10, 1, "https://a/x", null))
+    val b2 = Seq(ev("U", 5, 2, "https://a/x", "stale"), ev("U", 11, 1, "https://a/y", "w2"))
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      CdcApply.applyBatchAppend(table, spark.createDataset(b).toDF(), "q", i.toLong,
+        createBuckets = 4)
+    }
+    val rows = table.pages().collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(rows == Map("https://a/y" -> "w2"))
+    // point lookup resolves across deltas too
+    assert(table.lookupUrl(table.currentSnapshot.get, "https://a/x").count() == 0)
+    val y = table.lookupUrl(table.currentSnapshot.get, "https://a/y").collect()
+    assert(y.length == 1 && y(0).getAs[String]("text") == "w2")
+  }
+
+  test("compaction folds MOR deltas to one file per bucket, preserving state") {
+    val table = new LakeTable(spark, tmpDir())
+    replayMor(table, segGroups(allEvents, 2), "q") // many delta commits
+    val before = table.currentSnapshot.get
+    assert(before.files.groupBy(_.bucket).values.exists(_.size > 1), "deltas expected")
+    val maxLsn = allEvents.map(_.lsn).max
+    val snap = table.compact(maxFilesPerBucket = 1, gcTombstonesBelowLsn = Some(maxLsn + 1))
+    assert(snap.files.groupBy(_.bucket).values.forall(_.size == 1))
+    assert(pagesMap(table.pages(snap)) == golden)
+    assert(table.scanRaw(snap).filter(org.apache.spark.sql.functions.col("_deleted")).count() == 0)
+    // pre-compaction snapshot still time-travels identically
+    assert(pagesMap(table.pages(table.snapshotAt(before.version))) == golden)
+  }
+
+  test("streaming MOR tail drains to the golden state and resumes exactly-once") {
+    val work = tmpDir()
+    val walDir = s"$work/wal"
+    ChangeGen.writeWal(spark, cfg, walDir)
+    val table = new LakeTable(spark, s"$work/lake")
+    CdcStream.start(spark, walDir, table, s"$work/ckpt", queryId = "s",
+      maxFilesPerTrigger = 6, createBuckets = 16, mode = "mor").awaitTermination()
+    assert(pagesMap(table.pages()) == golden)
+    val v = table.currentSnapshot.get.version
+    // second run: nothing new → same version
+    CdcStream.start(spark, walDir, table, s"$work/ckpt", queryId = "s",
+      maxFilesPerTrigger = 6, createBuckets = 16, mode = "mor").awaitTermination()
+    assert(table.currentSnapshot.get.version == v)
+    // wipe checkpoint: all batches replay as skips, state unchanged
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$work/ckpt"))
+    var skips = 0
+    CdcStream.start(spark, walDir, table, s"$work/ckpt2", queryId = "s",
+      maxFilesPerTrigger = 6, createBuckets = 16, mode = "mor",
+      onBatch = st => if (st.skipped) skips += 1).awaitTermination()
+    assert(skips > 0)
+    assert(pagesMap(table.pages()) == golden)
+  }
+}

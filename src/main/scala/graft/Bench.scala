@@ -52,43 +52,54 @@ object Bench {
   private def rmrf(path: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
 
-  /** One full WAL replay into a fresh lake; returns (events applied, secs). */
-  private def replay(spark: SparkSession, walDir: String, work: String, mode: String): (Long, Double) = {
+  /** One full WAL replay into a fresh lake; returns (events applied, secs).
+    * ~48 segment files ≈ 4M events per micro-batch: big enough that executor
+    * work dominates per-batch fixed costs, small enough that the LWW shuffle
+    * doesn't spill at N=4 (10M-row batches measurably crater the 4-core run).
+    */
+  private def replay(spark: SparkSession, walDir: String, work: String, mode: String,
+      filesPerTrigger: Int = 48): (Long, Double) = {
     var events = 0L
     val table = new LakeTable(spark, s"$work/lake")
     val t0 = System.nanoTime()
     CdcStream.start(spark, walDir, table, s"$work/ckpt",
-      maxFilesPerTrigger = 48, createBuckets = 64, mode = mode,
+      maxFilesPerTrigger = filesPerTrigger, createBuckets = 64, mode = mode,
       onBatch = st => events += st.events).awaitTermination()
     (events, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Warmup + best-of-2 timed replays at a core count. */
-  private def cdcRun(cores: Int, walDir: String, warmupWal: String, mode: String): (Long, Double) = {
+  /** Warmup + best-of-`runs` timed replays at a core count. */
+  private def cdcRun(cores: Int, walDir: String, warmupWal: String, mode: String,
+      runs: Int = 2, filesPerTrigger: Int = 48): (Long, Double) = {
     val spark = session(cores)
     try {
       val base = s"$scratch/run-$mode-$cores"
       rmrf(base)
       replay(spark, warmupWal, s"$base/warmup", mode) // JIT/codegen warmup, untimed
-      val r1 = replay(spark, walDir, s"$base/t1", mode)
-      val r2 = replay(spark, walDir, s"$base/t2", mode)
+      val results = (1 to runs).map { i =>
+        val r = replay(spark, walDir, s"$base/t$i", mode, filesPerTrigger)
+        rmrf(s"$base/t$i"); r
+      }
       rmrf(base)
-      if (r1._2 <= r2._2) r1 else r2
+      results.minBy(_._2)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "8000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
 
-    // ---- generate the deterministic WAL once (not timed) ----
+    // ---- generate the deterministic WALs once (not timed) ----
     new java.io.File(scratch).mkdirs()
     val gen = session(16)
     val mainWal = s"$scratch/wal-main"; val warmWal = s"$scratch/wal-warm"
+    val cowWal = s"$scratch/wal-cow" // quarter-size: COW is the secondary mode
     if (!new java.io.File(mainWal).exists())
-      ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 96), mainWal)
+      ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 192), mainWal)
     if (!new java.io.File(warmWal).exists())
       ChangeGen.writeWal(gen, GenConfig(events = 500000, segmentSize = 125000), warmWal)
+    if (!new java.io.File(cowWal).exists())
+      ChangeGen.writeWal(gen, GenConfig(events = nEvents / 4, segmentSize = nEvents / 192), cowWal)
     gen.stop()
 
     // ---- CDC throughput at N=4 and 4N=16 (BASELINE.md sandbox protocol) ----
@@ -97,13 +108,15 @@ object Bench {
     val tpM4 = evM4 / secM4
     val tpM16 = evM16 / secM16
     val effM = tpM16 / (4.0 * tpM4)
-    // COW (read-optimized MERGE) alongside, same protocol
-    val (evC4, secC4) = cdcRun(4, mainWal, warmWal, "cow")
-    val (evC16, secC16) = cdcRun(16, mainWal, warmWal, "cow")
+    // COW (read-optimized MERGE) alongside: single timed run on the smaller
+    // WAL, smaller triggers so later batches actually merge against a
+    // populated table (one giant batch would just measure a bulk load)
+    val (evC4, secC4) = cdcRun(4, cowWal, warmWal, "cow", runs = 1, filesPerTrigger = 12)
+    val (evC16, secC16) = cdcRun(16, cowWal, warmWal, "cow", runs = 1, filesPerTrigger = 12)
     val tpC4 = evC4 / secC4
     val tpC16 = evC16 / secC16
     val effC = tpC16 / (4.0 * tpC4)
-    rmrf(s"$scratch/wal-main"); rmrf(s"$scratch/wal-warm"); rmrf(s"$scratch/spark-local")
+    rmrf(mainWal); rmrf(warmWal); rmrf(cowWal); rmrf(s"$scratch/spark-local")
 
     // ---- operator catalog timings ----
     val queryTimes: Seq[(String, Double)] =

@@ -36,7 +36,7 @@ object BenchProbe {
         .appName(name)
         .config("spark.sql.shuffle.partitions", parts.toString)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
         .config("spark.local.dir", s"$scratch/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -35,9 +35,11 @@ object Demo {
     } else println(s"[demo] reusing existing WAL at $wal")
 
     val table = new LakeTable(spark, lake)
+    // SPARK_GRAFT_MODE=mor exercises the merge-on-read apply path
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
     var applied = 0L; var skipped = 0L
     val q = CdcStream.start(spark, wal, table, ckpt, maxFilesPerTrigger = 8,
-      createBuckets = 32, onBatch = { st =>
+      createBuckets = 32, mode = mode, onBatch = { st =>
         if (st.skipped) skipped += 1 else applied += 1
         println(f"[demo] batch ${st.batchId}%3d ${if (st.skipped) "SKIP" else "apply"}" +
           f" events=${st.events}%7d upserts=${st.upserts}%7d deletes=${st.deletes}%5d" +
@@ -46,8 +48,8 @@ object Demo {
     q.awaitTermination()
 
     val snap = table.currentSnapshot.get
-    println(s"[demo] batches applied=$applied skipped=$skipped; table version=${snap.version}" +
-      s" files=${snap.files.size} buckets=${snap.buckets}")
+    println(s"[demo] mode=$mode batches applied=$applied skipped=$skipped;" +
+      s" table version=${snap.version} files=${snap.files.size} buckets=${snap.buckets}")
     val pages = table.pages()
     println(s"[demo] live pages: ${pages.count()}")
     pages.orderBy("url").show(5, 60)

@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the VM has 128 GiB, and the benchmark protocol hosts several
+  // successive SparkContexts (gen + warmups + timed replays) in ONE forked JVM
+  // — the 8g default OOM-collapsed the round-1 driver-run bench (BENCH_r01
+  // rc=1) while a hand-run 24g JVM passed. Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

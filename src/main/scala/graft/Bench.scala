@@ -133,78 +133,125 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** All interleaved timed runs for one mode, at both core counts. */
+  case class ModeRuns(r4: Seq[ReplayResult], r16: Seq[ReplayResult]) {
+    def best4: ReplayResult = r4.minBy(_.secs)
+    def best16: ReplayResult = r16.minBy(_.secs)
+    private def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size - 1) / 2)
+    }
+    def medTp4: Double = med(r4.map(_.tp))
+    def medTp16: Double = med(r16.map(_.tp))
+    def medSteadyTp4: Double = med(r4.map(_.steadyTp))
+    def medSteadyTp16: Double = med(r16.map(_.steadyTp))
+  }
+
   /** Scaling measurement resistant to this VM's time-varying noise: after a
-    * JIT/codegen warmup pair, run (N, 4N) replays INTERLEAVED `pairs` times
-    * and keep the fastest of each — a slow hypervisor phase then penalizes
-    * both sides instead of whichever core count it happened to overlap.
+    * JIT/codegen warmup pair, run (N, 4N) replays INTERLEAVED `pairs` times.
+    * Both best-of (noise filter) and median (typical) are reported — best-of
+    * alone systematically flatters the result.
     */
   private def cdcPairs(walDir: String, warmupWal: String, mode: String,
-      pairs: Int, filesPerTrigger: Int = 48): (ReplayResult, ReplayResult) = {
+      pairs: Int, filesPerTrigger: Int = 48): ModeRuns = {
     oneRun(4, warmupWal, mode, filesPerTrigger)
     oneRun(16, warmupWal, mode, filesPerTrigger)
     val runs = (1 to pairs).map { _ =>
       (oneRun(4, walDir, mode, filesPerTrigger), oneRun(16, walDir, mode, filesPerTrigger))
     }
-    (runs.map(_._1).minBy(_.secs), runs.map(_._2).minBy(_.secs))
+    ModeRuns(runs.map(_._1), runs.map(_._2))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
+    val askedEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
+    // Survive small-heap launchers: the full 16M-event protocol needs ~12g+
+    // of driver heap (several successive SparkContexts in one JVM); under a
+    // smaller cap scale the WAL down rather than die mid-bench (r1 lesson).
+    val maxHeapGiB = Runtime.getRuntime.maxMemory / (1L << 30)
+    val nEvents =
+      if (maxHeapGiB >= 12 || askedEvents <= 8000000L) askedEvents else 8000000L
 
-    // ---- generate the deterministic WALs once (not timed) ----
-    new java.io.File(scratch).mkdirs()
-    val gen = session(16)
-    val mainWal = s"$scratch/wal-main"; val warmWal = s"$scratch/wal-warm"
-    val cowWal = s"$scratch/wal-cow" // quarter-size: COW is the secondary mode
-    if (!new java.io.File(mainWal).exists())
-      ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 192), mainWal)
-    if (!new java.io.File(warmWal).exists())
-      ChangeGen.writeWal(gen, GenConfig(events = 500000, segmentSize = 125000), warmWal)
-    if (!new java.io.File(cowWal).exists())
-      ChangeGen.writeWal(gen, GenConfig(events = nEvents / 4, segmentSize = nEvents / 192), cowWal)
-    gen.stop()
+    // Accumulate JSON fields as sections complete so a crash in a later
+    // section still emits a parsable line with everything measured so far.
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failure: Option[String] = None
 
-    // ---- CDC throughput at N=4 and 4N=16 (BASELINE.md sandbox protocol) ----
-    val (m4, m16) = cdcPairs(mainWal, warmWal, "mor", pairs = 3)
-    val effM = m16.tp / (4.0 * m4.tp)
-    val effMSteady = m16.steadyTp / (4.0 * m4.steadyTp)
-    // COW (read-optimized MERGE) alongside on the smaller WAL, smaller
-    // triggers so later batches actually merge against a populated table
-    // (one giant batch would just measure a bulk load)
-    val (c4, c16) = cdcPairs(cowWal, warmWal, "cow", pairs = 2, filesPerTrigger = 12)
-    val effC = c16.tp / (4.0 * c4.tp)
-    val effCSteady = c16.steadyTp / (4.0 * c4.steadyTp)
-    rmrf(mainWal); rmrf(warmWal); rmrf(cowWal); rmrf(s"$scratch/spark-local")
-    val ceiling = cpuCeiling()
-
-    // ---- operator catalog timings ----
-    val queryTimes: Seq[(String, Double)] =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty
-      else {
-        val spark = session(16)
-        try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-          name -> (System.nanoTime() - t0) / 1e9
-        } finally spark.stop()
-      }
-
-    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val totalQ = queryTimes.map(_._2).sum
-    def modeJson(r4: ReplayResult, r16: ReplayResult, eff: Double, effSteady: Double): String =
+    def modeJson(runs: ModeRuns): String = {
+      val (r4, r16) = (runs.best4, runs.best16)
+      val eff = r16.tp / (4.0 * r4.tp)
+      val effSteady = r16.steadyTp / (4.0 * r4.steadyTp)
+      val effMed = runs.medTp16 / (4.0 * runs.medTp4)
+      val effMedSteady = runs.medSteadyTp16 / (4.0 * runs.medSteadyTp4)
       f""""applied_events":${r16.events},"secs_n4":${r4.secs}%.1f,"secs_n16":${r16.secs}%.1f,""" +
       f""""throughput_n4":${r4.tp}%.0f,"throughput_n16":${r16.tp}%.0f,""" +
       f""""scaling_efficiency_n_to_4n":$eff%.3f,""" +
       f""""sustained_throughput_n4":${r4.steadyTp}%.0f,"sustained_throughput_n16":${r16.steadyTp}%.0f,""" +
-      f""""sustained_scaling_efficiency_n_to_4n":$effSteady%.3f"""
+      f""""sustained_scaling_efficiency_n_to_4n":$effSteady%.3f,""" +
+      f""""median_throughput_n4":${runs.medTp4}%.0f,"median_throughput_n16":${runs.medTp16}%.0f,""" +
+      f""""median_scaling_efficiency_n_to_4n":$effMed%.3f,""" +
+      f""""median_sustained_scaling_efficiency_n_to_4n":$effMedSteady%.3f"""
+    }
+
+    var headline = 0.0
+    try {
+      // ---- generate the deterministic WALs once (not timed). Dirs are keyed
+      // by event count so a stale cache from a differently-sized (or crashed)
+      // run is never silently replayed.
+      new java.io.File(scratch).mkdirs()
+      val gen = session(16)
+      val mainWal = s"$scratch/wal-main-$nEvents"
+      val warmWal = s"$scratch/wal-warm-500000"
+      val cowWal = s"$scratch/wal-cow-${nEvents / 4}" // quarter-size: COW is secondary
+      try {
+        if (!new java.io.File(mainWal).exists())
+          ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 192), mainWal)
+        if (!new java.io.File(warmWal).exists())
+          ChangeGen.writeWal(gen, GenConfig(events = 500000, segmentSize = 125000), warmWal)
+        if (!new java.io.File(cowWal).exists())
+          ChangeGen.writeWal(gen, GenConfig(events = nEvents / 4, segmentSize = nEvents / 192), cowWal)
+      } finally gen.stop()
+
+      try {
+        // ---- CDC throughput at N=4 and 4N=16 (BASELINE.md sandbox protocol) ----
+        val mor = cdcPairs(mainWal, warmWal, "mor", pairs = 3)
+        headline = mor.medSteadyTp16
+        parts += s""""cdc_mor":{"wal_events":$nEvents,${modeJson(mor)}}"""
+        // COW (read-optimized MERGE) alongside on the smaller WAL, smaller
+        // triggers so later batches actually merge against a populated table
+        // (one giant batch would just measure a bulk load)
+        val cow = cdcPairs(cowWal, warmWal, "cow", pairs = 2, filesPerTrigger = 12)
+        parts += s""""cdc_cow":{${modeJson(cow)}}"""
+      } finally {
+        rmrf(mainWal); rmrf(warmWal); rmrf(cowWal); rmrf(s"$scratch/spark-local")
+      }
+      val ceiling = cpuCeiling()
+      parts += f""""vm_cpu_scaling_ceiling_4_to_16":$ceiling%.3f"""
+
+      // ---- operator catalog timings ----
+      val queryTimes: Seq[(String, Double)] =
+        if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty
+        else {
+          val spark = session(16)
+          try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+            name -> (System.nanoTime() - t0) / 1e9
+          } finally spark.stop()
+        }
+      val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      parts += f""""queries":$qs,"total_query_sec":${queryTimes.map(_._2).sum}%.1f"""
+    } catch {
+      case e: Throwable =>
+        e.printStackTrace()
+        failure = Some(e.toString.replaceAll("[\"\\\\\n\r]", " ").take(300))
+    }
+
+    // Headline value = MEDIAN sustained 16-core MOR throughput (typical steady
+    // state, not best-of — see ADVICE r1); best-of remains in cdc_mor fields.
+    val err = failure.map(m => s""","error":"$m"""").getOrElse("")
     println(
-      f"""{"metric":"cdc_apply_events_per_sec","value":${m16.tp}%.0f,"unit":"events/sec","sf":"$sfDir",""" +
-      f""""cdc_mor":{"wal_events":$nEvents,${modeJson(m4, m16, effM, effMSteady)}},""" +
-      f""""cdc_cow":{${modeJson(c4, c16, effC, effCSteady)}},""" +
-      f""""vm_cpu_scaling_ceiling_4_to_16":$ceiling%.3f,""" +
-      f""""hardware_normalized_efficiency_mor":${effM / ceiling}%.3f,""" +
-      f""""queries":$qs,"total_query_sec":$totalQ%.1f}""")
+      f"""{"metric":"cdc_apply_events_per_sec","value":$headline%.0f,"unit":"events/sec","sf":"$sfDir",""" +
+      parts.mkString(",") + err + "}")
   }
 }

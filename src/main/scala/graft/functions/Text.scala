@@ -55,7 +55,9 @@ object Text {
     * projection → O(n) evaluations per row.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalize(text))
+    // null text → empty token array (not null), so the empty-doc guard below
+    // fires and null-text docs still participate in dedup as [""].
+    val toks = coalesce(tokens(normalize(text)), array().cast("array<string>"))
     // window count; min 1 so short docs yield their full text as one shingle
     val wins = greatest(size(toks) - (n - 1), lit(1))
     val shifted = (0 until n).map(j => slice(toks, lit(j + 1), wins))

@@ -115,7 +115,9 @@ object CoreQueries {
 
     "q_summarize_time" -> ((s, d) =>
       t(s, d, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        // date_trunc coerces NTZ→LTZ; cast back so the output parquet column
+        // stays naive TIMESTAMP like the DuckDB oracle's (r1 schema FAIL).
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
 
@@ -241,7 +243,7 @@ object CoreQueries {
         month(col("ts")).cast("long").as("mo"),
         dayofmonth(col("ts")).cast("long").as("dom"),
         hour(col("ts")).cast("long").as("hr"),
-        date_trunc("day", col("ts")).as("day"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
         date_format(col("ts"), "yyyy-MM-dd HH").as("fmt"),
         unix_timestamp(col("ts")).as("unix_s"))),
 

@@ -160,7 +160,11 @@ object MLQueries {
       try {
         val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
         val step = math.max(1L, maxLsn / 4 + 1)
-        val work = java.nio.file.Files.createTempDirectory("graft-q-cdc").toString
+        // fixed scratch path, cleared per invocation (a fresh temp dir per
+        // call leaked /tmp/graft-q-cdc* dirs; the lake must outlive this
+        // call's lazy read, so clean-before-build, not after)
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-lww"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
         val table = new LakeTable(s, s"$work/lake")
         (0L to maxLsn / step).foreach { b =>
           val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)

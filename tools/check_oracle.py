@@ -50,6 +50,14 @@ def main():
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {str(e)[:120]}"; continue
+        # strict tz-awareness compare BEFORE canon erases it: the driver's
+        # schema gate fails tz-aware vs naive timestamps (r1: q_timefns).
+        def tzmap(df):
+            return {c: str(df[c].dtype) for c in df.columns
+                    if pd.api.types.is_datetime64_any_dtype(df[c])}
+        gt, et = tzmap(got), tzmap(exp)
+        if gt != et:
+            results[name] = f"SCHEMA_TZ got={gt} exp={et}"; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"COLUMNS got={list(g.columns)} exp={list(e.columns)}"; continue

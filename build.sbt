@@ -27,7 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cap G1's worker threads: at local[32] the default (23 GC threads on top
   // of 32 busy task threads) oversubscribes the 32-vCPU VM and collapses
   // throughput ~5x (hypervisor co-scheduling; measured in BASELINE.md)
-  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
+  s"-XX:ParallelGCThreads=${sys.env.getOrElse("SPARK_GC_THREADS", "8")}",
+  s"-XX:ConcGCThreads=${sys.env.getOrElse("SPARK_CONCGC_THREADS", "2")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: the VM has 128 GiB, and the benchmark protocol hosts several

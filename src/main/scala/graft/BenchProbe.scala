@@ -37,6 +37,8 @@ object BenchProbe {
         .config("spark.sql.shuffle.partitions", parts.toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        .config("spark.sql.files.maxPartitionBytes",
+          sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
         .config("spark.local.dir", s"$scratch/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -45,6 +47,30 @@ object BenchProbe {
     }
 
     val spark = session(s"probe-$cores-$parts")
+    // Per-stage wall + task-skew report (straggler diagnosis): for each stage,
+    // wall time, task count, and max/median task runtime.
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("true")) {
+      import org.apache.spark.scheduler._
+      val taskTimes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          taskTimes.computeIfAbsent(t.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(t.taskInfo.duration)
+        }
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val info = s.stageInfo
+          val wall = (for { a <- info.completionTime; b <- info.submissionTime } yield a - b).getOrElse(-1L)
+          val ts = Option(taskTimes.get(info.stageId)).map(q => {
+            import scala.jdk.CollectionConverters._
+            q.asScala.toSeq.sorted
+          }).getOrElse(Seq.empty)
+          val med = if (ts.nonEmpty) ts((ts.size - 1) / 2) else -1L
+          val mx = if (ts.nonEmpty) ts.last else -1L
+          println(f"[stage] id=${info.stageId}%3d wall=${wall / 1e3}%7.2fs tasks=${info.numTasks}%3d " +
+            f"taskMed=${med / 1e3}%6.2fs taskMax=${mx / 1e3}%6.2fs  ${info.name.takeWhile(_ != '(').trim}")
+        }
+      })
+    }
     if (!new java.io.File(walDir).exists()) {
       println(s"[probe] generating $nEvents events into $walDir")
       ChangeGen.writeWal(spark, GenConfig(events = nEvents, segmentSize = nEvents / 96), walDir)
@@ -53,21 +79,35 @@ object BenchProbe {
     val work = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(scratch), s"probe-$cores").toString
     val table = new LakeTable(spark, s"$work/lake")
+    try {
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     var last = System.nanoTime()
+    var lastGc = gcMillis()
     val t0 = last
     var events = 0L
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
     CdcStream.start(spark, walDir, table, s"$work/ckpt",
-      maxFilesPerTrigger = filesPerTrigger, createBuckets = 64, mode = mode,
+      maxFilesPerTrigger = filesPerTrigger, createBuckets = buckets, mode = mode,
       onBatch = st => {
-        val now = System.nanoTime()
+        val now = System.nanoTime(); val gc = gcMillis()
         println(f"[probe] batch ${st.batchId}%3d events=${st.events}%8d " +
-          f"secs=${(now - last) / 1e9}%6.2f")
-        last = now
+          f"secs=${(now - last) / 1e9}%6.2f gcSecs=${(gc - lastGc) / 1e3}%6.2f")
+        last = now; lastGc = gc
         events += st.events
       }).awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[probe] cores=$cores parts=$parts mode=$mode events=$events secs=$secs%.1f " +
       f"tp=${events / secs}%.0f ev/s")
+    } finally {
+      // leaked probe lakes on tmpfs were the round-2 "mystery" collapse:
+      // ~4 GB per run accumulates until the VM hits memory-pressure reclaim
+      // storms (us≈1%, sy≈36%, 10x slowdowns). Always clean.
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.CdcStream
+import graft.gen.{ChangeGen, GenConfig}
+import graft.lake.LakeTable
+
+/** Scaling experiment harness: runs a list of (mode, knobs) configs through
+  * the BASELINE.md interleaved N/4N protocol (warmup pair, then `pairs`
+  * interleaved timed pairs, best-of per side) on one shared WAL, printing
+  * throughput at both core counts and the scaling efficiency per config.
+  * Dev tool only — the official artifact stays graft.Bench.
+  *
+  * Usage: ScalingLab <events> <pairs> <configName>[,<configName>...]
+  */
+object ScalingLab {
+
+  case class Cfg(name: String, mode: String, buckets: Int = 64,
+      maxPart: String = "128m", filesPerTrigger: Int = 48, tasksPerSlot: Int = 2,
+      openCost: String = "4194304")
+
+  val configs: Map[String, Cfg] = Seq(
+    Cfg("mor", "mor"),
+    Cfg("morraw", "morraw"),
+    Cfg("morraw-mp32", "morraw", maxPart = "32m"),
+    Cfg("morraw-t1", "morraw", tasksPerSlot = 1),
+    // openCost=128m → every WAL segment file is its own scan split: even
+    // task sizes, whole waves (48 files = 3 waves at 16 cores)
+    Cfg("morraw-t1-oc", "morraw", tasksPerSlot = 1, openCost = "134217728"),
+    Cfg("mor-t1-oc", "mor", tasksPerSlot = 1, openCost = "134217728"),
+    Cfg("mor-mp32", "mor", maxPart = "32m"),
+    Cfg("morraw-b256", "morraw", buckets = 256),
+    Cfg("cow", "cow", filesPerTrigger = 12),
+  ).map(c => c.name -> c).toMap
+
+  private val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/dev/shm/graft")
+
+  private def rmrf(p: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+
+  private def session(cores: Int, cfg: Cfg): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"lab-$cores-${cfg.name}")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", cfg.maxPart)
+      .config("spark.sql.files.openCostInBytes", cfg.openCost)
+      .config("spark.local.dir", s"$scratch/spark-local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** One replay in a fresh session; returns (events, secs). */
+  private def oneRun(cores: Int, walDir: String, cfg: Cfg): (Long, Double) = {
+    val spark = session(cores, cfg)
+    try {
+      val work = s"$scratch/lab-${cfg.name}-$cores"
+      rmrf(work)
+      sys.props("graft.tasksPerSlot") = cfg.tasksPerSlot.toString
+      val table = new LakeTable(spark, s"$work/lake")
+      var events = 0L
+      val t0 = System.nanoTime()
+      CdcStream.start(spark, walDir, table, s"$work/ckpt",
+        maxFilesPerTrigger = cfg.filesPerTrigger, createBuckets = cfg.buckets,
+        mode = cfg.mode, onBatch = st => events += st.events).awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      rmrf(work)
+      (events, secs)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args(0).toLong
+    val pairs = args(1).toInt
+    val names = args(2).split(",").toSeq
+    new java.io.File(scratch).mkdirs()
+
+    val wal = s"$scratch/lab-wal-$nEvents"
+    val warm = s"$scratch/lab-wal-warm"
+    locally {
+      val gen = session(16, Cfg("gen", "mor"))
+      try {
+        if (!new java.io.File(wal).exists())
+          ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 96), wal)
+        if (!new java.io.File(warm).exists())
+          ChangeGen.writeWal(gen, GenConfig(events = 500000, segmentSize = 125000), warm)
+      } finally gen.stop()
+    }
+
+    for (name <- names) {
+      val cfg = configs(name)
+      oneRun(4, warm, cfg); oneRun(16, warm, cfg) // JIT warmup
+      val runs = (1 to pairs).map { i =>
+        val r4 = oneRun(4, wal, cfg)
+        val r16 = oneRun(16, wal, cfg)
+        println(f"[lab] $name pair $i: n4=${r4._1 / r4._2}%.0f ev/s (${r4._2}%.1f s)  " +
+          f"n16=${r16._1 / r16._2}%.0f ev/s (${r16._2}%.1f s)")
+        (r4, r16)
+      }
+      val best4 = runs.map(r => r._1._1 / r._1._2).max
+      val best16 = runs.map(r => r._2._1 / r._2._2).max
+      println(f"[lab] == $name: best n4=$best4%.0f n16=$best16%.0f " +
+        f"eff=${best16 / (4 * best4)}%.3f ==")
+    }
+  }
+}

@@ -53,6 +53,22 @@ object CdcApply {
   /** Envelope columns that are not payload (plus generator bookkeeping). */
   private val NonPayload = Set("op", "lsn", "wal_part", "seg")
 
+  /** Phase profiler for scaling diagnosis: `-Dgraft.profile=true` prints one
+    * stderr line per phase so the driver-serial slice of a batch (snapshot
+    * load, write job, footer stats, commit) can be attributed at different
+    * core counts. Zero overhead when off.
+    */
+  private val profile = sys.props.get("graft.profile").contains("true") ||
+    sys.env.get("SPARK_GRAFT_PROFILE").contains("true")
+  @inline private[graft] def phase[T](name: String)(body: => T): T =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[phase] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** Above this many distinct keys per batch, the merge join is left to the
     * shuffle planner instead of a forced broadcast (~1M urls ≈ 60+ MB
     * broadcast — past the point where driver collect + ship beats a shuffle
@@ -61,6 +77,18 @@ object CdcApply {
     */
   def BroadcastKeyLimit: Long =
     sys.props.get("graft.broadcastKeyLimit").map(_.toLong).getOrElse(1L * 1000 * 1000)
+
+  /** Write-stage tasks per executor slot (experiment knob, default 2). */
+  private def tasksPerSlot: Int =
+    sys.props.get("graft.tasksPerSlot").map(_.toInt).getOrElse(2)
+
+  /** Write parallelism: tracks the cluster, capped by bucket count — tiny
+    * sessions don't pay per-bucket task overhead, big ones use every slot.
+    */
+  private def writeTasks(table: LakeTable, buckets: Int): Int = {
+    val slots = table.spark.sparkContext.defaultParallelism
+    math.max(1, math.min(buckets, slots * tasksPerSlot))
+  }
 
   /** LWW ordering: LSN, then table-residency (a committed row beats a
     * redelivered duplicate of itself), then WAL partition for determinism.
@@ -227,9 +255,9 @@ object CdcApply {
       batchId: Long,
       createBuckets: Int = 64): ApplyStats = {
 
-    val snap0: Snapshot = table.currentSnapshot.getOrElse {
+    val snap0: Snapshot = phase("snapshot") { table.currentSnapshot.getOrElse {
       table.create(userSchemaOf(batch.schema), createBuckets)
-    }
+    } }
     if (snap0.watermarks.get(queryId).exists(_ >= batchId))
       return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
 
@@ -274,13 +302,9 @@ object CdcApply {
       count(lit(1)).as("winners"),
       sum(when(col("_deleted"), 1L).otherwise(0L)).as("deletes"))
 
-    // write parallelism tracks the cluster, capped by bucket count: tiny
-    // sessions don't pay 64-task overhead, big ones use every slot (a task
-    // covering several buckets just writes several files)
-    val slots = table.spark.sparkContext.defaultParallelism
-    val newFiles = table.writeDataFiles(observed, schemaId, snap0.buckets,
-      nTasks = math.max(1, math.min(snap0.buckets, slots * 2)))
-    val raw = rawObs.get; val win = winObs.get
+    val newFiles = phase("write-job") { table.writeDataFiles(observed, schemaId, snap0.buckets,
+      nTasks = writeTasks(table, snap0.buckets)) }
+    val raw = phase("obs-get") { rawObs.get }; val win = winObs.get
     val events = raw("events").asInstanceOf[Long]
     if (events == 0L) {
       val s = table.commit(snap0.copy(
@@ -295,13 +319,103 @@ object CdcApply {
 
     val schemas =
       if (evolved) snap0.schemas + (schemaId.toString -> mergedFile.json) else snap0.schemas
-    val committed = table.commit(snap0.copy(
+    val committed = phase("commit") { table.commit(snap0.copy(
       currentSchemaId = schemaId,
       schemas = schemas,
       files = snap0.files ++ newFiles,
       watermarks = snap0.watermarks + (queryId -> batchId),
       lineage = snap0.lineage :+
-        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1)))
+        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1))) }
+
+    ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
+      minLsn, maxLsn, committed.version)
+  }
+
+  /** Merge-on-read apply WITHOUT batch-level LWW dedup: every event row is
+    * appended to the delta files as its own version; readers and compaction
+    * already LWW-resolve across versions, so intra-batch losers are just
+    * extra delta rows that the next compaction folds (the LSM/sorted-run
+    * design — Paimon/Hudi-style changelog appends).
+    *
+    * Why this exists: the deduped append's `max_by(struct(<whole row>))`
+    * hash-aggregate holds the full row (html bytes included) per key in the
+    * aggregation buffer — measured as THE memory-bandwidth/GC hot spot that
+    * capped 4→16-core scaling at ~0.55 (stage profile: identical scan+agg
+    * tasks take 1.8 s at 4 cores, 7+ s when 16 run concurrently). Skipping
+    * the aggregate turns the batch into scan → one bucket shuffle → sorted
+    * parquet append: no wide hash map, ~half the memory traffic, and the
+    * intra-batch dup factor (~1.2×) is paid in delta bytes instead —
+    * amortized away by compaction.
+    *
+    * Lineage bookkeeping reports RAW event counts (upserts/deletes as
+    * delivered); exactly-once watermark + schema evolution identical to
+    * [[applyBatchAppend]].
+    */
+  def applyBatchAppendRaw(
+      table: LakeTable,
+      batch: DataFrame,
+      queryId: String,
+      batchId: Long,
+      createBuckets: Int = 64): ApplyStats = {
+
+    val snap0: Snapshot = phase("snapshot") { table.currentSnapshot.getOrElse {
+      table.create(userSchemaOf(batch.schema), createBuckets)
+    } }
+    if (snap0.watermarks.get(queryId).exists(_ >= batchId))
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+
+    val ev = batch.drop("seg")
+
+    val tableUser = StructType(table.currentFileSchema(snap0).fields
+      .filterNot(f => Schemas.systemColumns.exists(_.name == f.name)))
+    val evUser = userSchemaOf(ev.schema)
+    val mergedUser = Schemas.mergeStructs(tableUser, evUser)
+    val evolved = mergedUser != tableUser
+    val schemaId = if (evolved) snap0.schemas.keys.map(_.toInt).max + 1 else snap0.currentSchemaId
+    val mergedFile = LakeTable.fileSchema(mergedUser)
+
+    val aligned = alignUser(ev, mergedUser)
+    val isDel = col("op") === "D"
+    val rows = aligned.select(
+      (Seq(col("url")) ++
+        mergedUser.fields.filter(_.name != "url").map(f =>
+          when(isDel, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)) ++
+        Seq(
+          col("lsn").as("_lsn"),
+          isDel.as("_deleted"),
+          xxhash64(col("url")).as("_urlhash"),
+          col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
+
+    val obs = org.apache.spark.sql.Observation(s"cdc-raw-$queryId-$batchId")
+    val observed = rows.observe(obs,
+      count(lit(1)).as("events"),
+      sum(when(col("_deleted"), 1L).otherwise(0L)).as("deletes"),
+      min(col("_lsn")).as("minLsn"), max(col("_lsn")).as("maxLsn"))
+
+    val newFiles = phase("write-job") { table.writeDataFiles(observed, schemaId, snap0.buckets,
+      nTasks = writeTasks(table, snap0.buckets)) }
+    val m = phase("obs-get") { obs.get }
+    val events = m("events").asInstanceOf[Long]
+    if (events == 0L) {
+      val s = table.commit(snap0.copy(
+        watermarks = snap0.watermarks + (queryId -> batchId),
+        lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
+      return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
+    }
+    val deletes = m("deletes").asInstanceOf[Long]
+    val upserts = events - deletes
+    val minLsn = m("minLsn").asInstanceOf[Long]
+    val maxLsn = m("maxLsn").asInstanceOf[Long]
+
+    val schemas =
+      if (evolved) snap0.schemas + (schemaId.toString -> mergedFile.json) else snap0.schemas
+    val committed = phase("commit") { table.commit(snap0.copy(
+      currentSchemaId = schemaId,
+      schemas = schemas,
+      files = snap0.files ++ newFiles,
+      watermarks = snap0.watermarks + (queryId -> batchId),
+      lineage = snap0.lineage :+
+        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1))) }
 
     ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
       minLsn, maxLsn, committed.version)

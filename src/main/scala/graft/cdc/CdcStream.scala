@@ -47,6 +47,7 @@ object CdcStream {
     val apply: (DataFrame, Long) => ApplyStats = mode match {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
       case "mor" => (b, id) => CdcApply.applyBatchAppend(table, b, queryId, id, createBuckets)
+      case "morraw" => (b, id) => CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets)
       case other => throw new IllegalArgumentException(s"unknown CDC mode '$other'")
     }
     spark.readStream

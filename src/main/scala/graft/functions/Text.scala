@@ -36,6 +36,16 @@ object Text {
   /** Exact-dup fingerprint: md5 hex of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 
+  /** 60-bit hash from the first 15 hex chars of md5 — the oracle-checkable
+    * hash family: DuckDB computes the identical value as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`, so every sketch built on it
+    * (minhash, simhash, hyperplane LSH) gets a hard DuckDB oracle instead of
+    * `no_oracle` (round-1 lesson: xxhash64 has no DuckDB twin). Always
+    * non-negative (fits comfortably in a long).
+    */
+  def md5h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** 64-bit rolling polynomial fingerprint over normalized tokens
     * (FNV-prime multiplier; long arithmetic wraps — deterministic).
     */
@@ -68,11 +78,11 @@ object Text {
     when(size(toks) === 0, array(lit(""))).otherwise(array_distinct(grams))
   }
 
-  /** xxhash64 of each normalized token — materialize this once (as a column)
-    * and feed it to the per-bit/per-component folds in simhash/minhash.
+  /** [[md5h60]] of each normalized token — materialize this once (as a
+    * column) and feed it to the per-bit/per-component folds in simhash.
     */
   def tokenHashes(text: Column): Column =
-    transform(tokens(normalize(text)), w => xxhash64(w))
+    transform(tokens(normalize(text)), w => md5h60(w))
 
   // ------------------------------------------------------------- quality
 

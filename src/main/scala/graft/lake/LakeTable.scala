@@ -190,12 +190,19 @@ class LakeTable(val spark: SparkSession, val root: String) {
   def writeDataFiles(rows: DataFrame, schemaId: Int, buckets: Int, nTasks: Int): Seq[DataFile] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId).toString
-    rows
-      .withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
-      .repartition(math.max(1, nTasks), col("_bucket"))
-      .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
-      .write.partitionBy("_bucket").parquet(dir)
-    collectDataFiles(dir, schemaId)
+    graft.cdc.CdcApply.phase("spark-write") {
+      // Exact bucket→task placement (round-robin via ExactPartition): plain
+      // repartition(col("_bucket")) re-hashes 64 bucket ids into nTasks
+      // partitions and the balls-in-bins collisions gave the write stage a
+      // measured 2x straggler. Buckets are uniform in rows (hash of url), so
+      // round-robin slots are balanced.
+      val n = math.max(1, nTasks)
+      val bucketed = rows.withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
+      ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
+        .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
+        .write.partitionBy("_bucket").parquet(dir)
+    }
+    graft.cdc.CdcApply.phase("footer-stats") { collectDataFiles(dir, schemaId) }
   }
 
   /** List written files and read their Parquet footers for stats — O(#files)

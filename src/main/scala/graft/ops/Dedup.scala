@@ -31,23 +31,67 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  /** MinHash signature from an already-materialized shingle-array column.
-    * Hash family: xxhash64 seeded per component by mixing in the component
-    * index (standard one-hash-function + index trick). Pure Column logic.
-    *
-    * `sh` MUST be a materialized column (a projected attribute), not an
-    * inline shingle expression: each of the k component branches walks `sh`,
-    * so an inline expression would be tokenized k times per row.
+  /** Modulus for the minhash permutation family: 2^31 - 1 (prime), so
+    * `a*h1 + b*h2 + c` with 31-bit coefficients and 30-bit hash halves stays
+    * under 2^63 — exact in both Spark longs and DuckDB BIGINTs (DuckDB errors
+    * on 64-bit overflow rather than wrapping, so wrap-around mixing like
+    * xxhash is not oracle-checkable; this family is).
     */
-  def minhashSigFromShingles(sh: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  val MinhashP = 2147483647L
+  private val Mask30 = (1L << 30) - 1
 
-  /** MinHash signature straight from text — convenience for one-off use; for
-    * anything hot, project [[graft.functions.Text.shingles]] into a column
-    * first and call [[minhashSigFromShingles]].
+  /** splitmix64 finalizer (public-domain PRNG) for deterministic coefficients. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-component permutation coefficients (a ∈ [1,p-1], b,c ∈ [0,p-1]),
+    * derived from a fixed seed — embedded as literals both in the Spark plan
+    * and in the generated DuckDB oracle SQL.
+    */
+  def minhashCoefs(k: Int, seed: Long = 0x9D5EED42L): IndexedSeq[(Long, Long, Long)] =
+    (0 until k).map { i =>
+      val a = java.lang.Math.floorMod(mix(seed + 3L * i), MinhashP - 1) + 1
+      val b = java.lang.Math.floorMod(mix(seed + 3L * i + 1), MinhashP)
+      val c = java.lang.Math.floorMod(mix(seed + 3L * i + 2), MinhashP)
+      (a, b, c)
+    }
+
+  /** One minhash component over a materialized 60-bit-hash array: the
+    * universal-hash permutation `(a*hi + b*lo + c) mod p` of each element's
+    * two 30-bit halves, minimized over the set.
+    */
+  private def minhashComponent(hs: Column, a: Long, b: Long, c: Long): Column =
+    array_min(transform(hs, h =>
+      pmod(lit(a) * shiftrightunsigned(h, 30) + lit(b) * h.bitwiseAND(lit(Mask30)) + lit(c),
+        lit(MinhashP))))
+
+  /** MinHash signature from an already-materialized array of
+    * [[graft.functions.Text.md5h60]] shingle hashes. Pure Column logic; one
+    * md5 per shingle total (the k permutations are cheap integer mixes).
+    *
+    * `hs` MUST be a materialized column (a projected attribute), not an
+    * inline hash expression: each of the k component branches walks `hs`, so
+    * an inline expression would recompute the md5s k times per row.
+    */
+  def minhashSigFromHashes(hs: Column, k: Int): Column =
+    array(minhashCoefs(k).map { case (a, b, c) => minhashComponent(hs, a, b, c) }: _*)
+
+  /** md5h60 of every shingle — project this, then call
+    * [[minhashSigFromHashes]] on the materialized column.
+    */
+  def shingleHashes(sh: Column): Column = transform(sh, s => Text.md5h60(s))
+
+  /** MinHash signature straight from text — convenience for one-off/test use
+    * ONLY: inlining the hash expression recomputes the md5s per component.
+    * Hot paths must project [[graft.functions.Text.shingles]] then
+    * [[shingleHashes]] and call [[minhashSigFromHashes]].
     */
   def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
-    minhashSigFromShingles(Text.shingles(text, shingleN), k)
+    minhashSigFromHashes(shingleHashes(Text.shingles(text, shingleN)), k)
 
   /** Estimated Jaccard from two equal-length signatures: fraction of equal
     * components.
@@ -79,10 +123,12 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
-    // two projections: shingle once per row, then hash the materialized array
+    // three projections: shingle once, md5 each shingle once, then the k
+    // cheap integer permutations over the materialized hash array
     val withSig = df
       .select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), minhashSigFromShingles(col("sh"), k).as("sig"))
+      .select(col("id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), minhashSigFromHashes(col("hs"), k).as("sig"))
 
     val banded = withSig.select(
       col("id"), col("sig"),
@@ -106,13 +152,18 @@ object Dedup {
 
   // ----------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash from an already-materialized token-hash array column
-    * ([[graft.functions.Text.tokenHashes]]): per-bit balance of token-hash
-    * bits, sign → bit. 64 folds over the materialized long array — do NOT
-    * inline the tokenization here (it would run 64× per row).
+  /** SimHash width: 60 bits, matching the oracle-checkable
+    * [[graft.functions.Text.md5h60]] token-hash family.
     */
-  def simhash64FromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { i =>
+  val SimhashBits = 60
+
+  /** 60-bit SimHash from an already-materialized token-hash array column
+    * ([[graft.functions.Text.tokenHashes]]): per-bit balance of token-hash
+    * bits, sign → bit. 60 folds over the materialized long array — do NOT
+    * inline the tokenization here (it would run 60× per row).
+    */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = (0 until SimhashBits).map { i =>
       val balance = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(balance > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -123,8 +174,8 @@ object Dedup {
   /** SimHash straight from text — convenience; hot paths should materialize
     * [[graft.functions.Text.tokenHashes]] first.
     */
-  def simhash64(text: Column): Column =
-    simhash64FromHashes(Text.tokenHashes(text))
+  def simhash(text: Column): Column =
+    simhashFromHashes(Text.tokenHashes(text))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
@@ -140,10 +191,10 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       segments: Int = 4): DataFrame = {
-    val segBits = 64 / segments
+    val segBits = SimhashBits / segments
     val withSig = df
       .select(col(idCol).as("id"), Text.tokenHashes(col(textCol)).as("th"))
-      .select(col("id"), simhash64FromHashes(col("th")).as("sim"))
+      .select(col("id"), simhashFromHashes(col("th")).as("sim"))
     val seg = withSig.select(
       col("id"), col("sim"),
       posexplode(array((0 until segments).map(s =>

@@ -48,12 +48,24 @@ object Multimodal {
   def realCodec(batch: Seq[MediaRow]): Seq[MediaFeatures] = ???
 
   /** Deterministic stand-in codec: derives plausible dimensions/frame counts
-    * from the byte content alone (seeded hash). Same cost shape as a real
-    * decoder: touches every byte once (the hash), emits fixed-size features.
+    * from the byte content alone. Same cost shape as a real decoder: touches
+    * every byte once (the hash), emits fixed-size features. The hash is the
+    * low-60-bit md5 (same family as
+    * [[graft.functions.Text.md5h60]]) so the whole decode pipeline is
+    * DuckDB-oracle-checkable.
     */
   object FakeCodec extends (Seq[MediaRow] => Seq[MediaFeatures]) with Serializable {
+    /** JVM twin of Text.md5h60: long of the first 15 hex chars of md5. */
+    def md5h60(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      // first 15 hex chars = first 7 bytes + high nibble of byte 8
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      (v << 4) | ((d(7) & 0xf0L) >> 4)
+    }
     def apply(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
-      val h = graft.gen.ChangeGen.mix(java.util.Arrays.hashCode(r.bytes).toLong)
+      val h = if (r.bytes == null) 0L else md5h60(r.bytes)
       val isVideo = r.mime.startsWith("video/")
       MediaFeatures(
         width = 64 + (Math.floorMod(h, 16L) * 64L).toInt,
@@ -91,7 +103,13 @@ object Multimodal {
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded.withColumn("frame",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
-      .withColumn("frame_hash", xxhash64(col("feat_hash"), col("frame")))
+      // universal-hash mix of (feat_hash, frame) — overflow-free 63-bit
+      // arithmetic, so DuckDB computes the identical value (xxhash64 has no
+      // SQL twin)
+      .withColumn("frame_hash",
+        pmod(lit(48271L) * shiftrightunsigned(col("feat_hash"), 30) +
+          lit(16807L) * col("feat_hash").bitwiseAND(lit((1L << 30) - 1)) +
+          col("frame"), lit(2147483647L)))
 
   /** "Resize" feature metadata: pure arithmetic on decoded dims (a real
     * implementation rescales pixels; the plan shape is identical).

@@ -22,22 +22,47 @@ import graft.functions.Text
   */
 object Similarity {
 
-  /** Deterministic pseudo-random unit-ish hyperplane component: hash of
-    * (seed, plane, dim) mapped to [-1, 1). No stored model — any executor can
-    * recompute plane p, dimension d identically.
-    */
-  private def planeComponent(plane: Int, dim: Column, seed: Long): Column =
-    (pmod(xxhash64(lit(seed), lit(plane), dim), lit(1000000L)).cast("double") / 500000.0) - 1.0
+  /** Embedding dimension of the fixture tables (TESTDATA.md). */
+  val DefaultDim = 64
 
-  /** Sign-bit signature over `planes` random hyperplanes, packed into a long.
-    * Pure Column logic: dot(v, plane_p) = fold over element index.
+  /** Quantization scale for the sign test: multiplying a float by 2^20 is
+    * exact in double arithmetic, so `round` yields a deterministic integer
+    * in every engine — the whole sign computation is then integer-exact
+    * (no float-summation-order hazards between Spark and the DuckDB oracle).
     */
-  def hyperplaneSig(vec: Column, planes: Int, seed: Long): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
+  val QuantScale = 1L << 20
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic integer hyperplane matrix: `planes` rows of `dim`
+    * components in [-500000, 500000], derived from `seed` with splitmix64.
+    * Precomputed driver-side and embedded as literals — both in the Spark
+    * plan (constant-folded; round 1 recomputed a hash per row×plane×dim and
+    * it was the slowest expression in the catalog) and in the generated
+    * DuckDB oracle SQL.
+    */
+  def planeMatrix(planes: Int, dim: Int, seed: Long): Array[Array[Long]] =
+    Array.tabulate(planes, dim)((p, d) =>
+      java.lang.Math.floorMod(mix(seed ^ (1009L * p + d)), 1000001L) - 500000L)
+
+  /** Sign-bit signature over `planes` deterministic hyperplanes, packed into
+    * a long. Integer-exact: vec is quantized per element (`round(x * 2^20)`,
+    * exact — see [[QuantScale]]) and dotted with the integer plane row;
+    * magnitudes stay ≤ 2^45·dim, far from overflow.
+    */
+  def hyperplaneSig(vec: Column, planes: Int, seed: Long, dim: Int = DefaultDim): Column = {
+    val m = planeMatrix(planes, dim, seed)
     val bits = (0 until planes).map { p =>
-      val d = aggregate(idx, lit(0.0),
-        (acc, i) => acc + element_at(vec, i + 1).cast("double") * planeComponent(p, i, seed))
-      when(d > 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val dot = aggregate(
+        zip_with(vec, typedlit(m(p).toSeq),
+          (x, c) => round(x.cast("double") * QuantScale.toDouble).cast("long") * c),
+        lit(0L), (a, b) => a + b)
+      when(dot > 0L, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }

@@ -14,9 +14,10 @@ import graft.ops.{Dedup, Multimodal, Similarity}
   *
   * Oracle notes: everything numeric is either integer-exact or a single
   * deterministic IEEE expression evaluated in the same order in both engines
-  * (sequential left folds for vector math). Queries whose Spark-side hashing
-  * (xxhash64) has no DuckDB twin are registered without an oracle — their
-  * correctness is covered by ScalaTest property tests instead.
+  * (sequential left folds for vector math). All sketch families (minhash,
+  * simhash, hyperplane LSH, the fake media codec) hash with
+  * [[graft.functions.Text.md5h60]] + overflow-free integer permutations so
+  * DuckDB computes identical values — every query here has a hard oracle.
   */
 object MLQueries {
 
@@ -26,6 +27,63 @@ object MLQueries {
   /** Normalized whitespace-split words, shared by several oracles. */
   private val NormWords =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  /** Empty-filtered tokens — the exact twin of Text.tokens(normalize(_)). */
+  private val NormToks = s"list_filter($NormWords, t -> length(t) > 0)"
+
+  /** DuckDB twin of [[graft.functions.Text.md5h60]]. */
+  private def md5h60(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** 3-gram shingles over `w` (NormWords) — same twin q_ngram_jaccard uses. */
+  private val ShinglesSql =
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), " +
+      "i -> array_to_string(w[i:i+2], ' ')))"
+
+  /** The k minhash-component expressions over a 60-bit-hash list `hs`, with
+    * the same literal coefficients the Spark plan embeds.
+    */
+  private def minhashComponentsSql(k: Int): String =
+    Dedup.minhashCoefs(k).map { case (a, b, c) =>
+      s"list_min(list_transform(hs, h -> ($a * (h >> 30) + $b * (h & 1073741823) + $c) % ${Dedup.MinhashP}))"
+    }.mkString(", ")
+
+  /** 60-bit simhash over a hash list `hs` as one SQL expression (sum of
+    * disjoint bit terms ≡ bitwise OR).
+    */
+  private val SimhashSql: String =
+    (0 until Dedup.SimhashBits).map { i =>
+      s"(CASE WHEN coalesce(list_sum(list_transform(hs, h -> CASE WHEN ((h >> $i) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END)), 0) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+
+  /** Hyperplane signature as SQL over a quantized-int vector `q`, embedding
+    * the same literal plane matrix as the Spark plan (integer-exact dot).
+    */
+  private def hyperplaneSigSql(planes: Int, seed: Long): String = {
+    val m = graft.ops.Similarity.planeMatrix(planes, graft.ops.Similarity.DefaultDim, seed)
+    (0 until planes).map { p =>
+      val dot = m(p).zipWithIndex.map { case (c, d) => s"q[${d + 1}]*($c)" }.mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+  }
+
+  /** Quantized-int + double views of the embedding column. */
+  private val VecViews =
+    """SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |FROM embeddings""".stripMargin
+
+  /** Cosine twin (same left-fold shape as the passing q_ann_bruteforce). */
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (s, t) -> s + t)) = 0
+       |  OR sqrt(list_reduce(list_prepend(0.0, list_transform($b, x -> x * x)), (s, t) -> s + t)) = 0
+       |THEN 0.0
+       |ELSE list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)),
+       |    i -> $a[i] * $b[i])), (s, t) -> s + t)
+       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (s, t) -> s + t))
+       |     * sqrt(list_reduce(list_prepend(0.0, list_transform($b, x -> x * x)), (s, t) -> s + t)))
+       |END""".stripMargin
 
   /** events table → CDC change-event envelope: key = user, lsn = event_id,
     * `error` events are deletes, everything else upserts the user's page.
@@ -53,12 +111,12 @@ object MLQueries {
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id", shingleN = 3, threshold = 0.2)),
 
-    // xxhash64-based — no DuckDB twin; covered by DedupSpec property tests.
     "q_minhash_sig" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
         .select(col("doc_id"),
-          posexplode(Dedup.minhashSigFromShingles(col("sh"), k = 32))
+          posexplode(Dedup.minhashSigFromHashes(col("hs"), k = 32))
             .as(Seq("h_idx", "h_val")))),
 
     "q_minhash_pairs" -> ((s, d) =>
@@ -68,7 +126,7 @@ object MLQueries {
     "q_simhash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.tokenHashes(col("text")).as("th"))
-        .select(col("doc_id"), Dedup.simhash64FromHashes(col("th")).as("simhash"))),
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("th")).as("simhash"))),
 
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id", maxHamming = 16, segments = 4)),
@@ -251,6 +309,109 @@ object MLQueries {
         |       ELSE 'video/mp4' END AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents""".stripMargin,
+    "q_minhash_sig" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $ShinglesSql AS sh
+         |  FROM (SELECT doc_id, $NormWords AS w FROM documents)
+         |), h AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${md5h60("s")}) AS hs FROM d
+         |), sig AS (
+         |  SELECT doc_id, [${minhashComponentsSql(32)}] AS sig FROM h
+         |)
+         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS h_idx, sig[i] AS h_val
+         |FROM sig CROSS JOIN generate_series(1, 32) AS t(i)""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $ShinglesSql AS sh
+         |  FROM (SELECT doc_id, $NormWords AS w FROM documents)
+         |), h AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${md5h60("s")}) AS hs FROM d
+         |), sig AS (
+         |  SELECT doc_id, [${minhashComponentsSql(32)}] AS sig FROM h
+         |), banded AS (
+         |  SELECT doc_id, sig, b, sig[2*b+1 : 2*b+2] AS key
+         |  FROM sig CROSS JOIN generate_series(0, 15) AS t(b)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_filter(generate_series(1, 32), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 32.0
+         |    AS est_jaccard
+         |FROM pairs""".stripMargin,
+    "q_simhash" ->
+      s"""WITH h AS (SELECT doc_id, list_transform($NormToks, t -> ${md5h60("t")}) AS hs FROM documents)
+         |SELECT doc_id, ($SimhashSql) AS simhash FROM h""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, list_transform($NormToks, t -> ${md5h60("t")}) AS hs FROM documents),
+         |s AS (SELECT doc_id, ($SimhashSql) AS sim FROM h),
+         |seg AS (
+         |  SELECT doc_id, sim, g, ((sim >> CAST(g * 15 AS INTEGER)) & 32767) AS key
+         |  FROM s CROSS JOIN generate_series(0, 3) AS t(g)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+         |  FROM seg a JOIN seg b ON a.g = b.g AND a.key = b.key AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 16""".stripMargin,
+    "q_embed_dup" ->
+      s"""WITH v AS ($VecViews),
+         |sig AS (SELECT vec_id, e, (${hyperplaneSigSql(8, 42L)}) AS sig FROM v),
+         |banded AS (
+         |  SELECT vec_id, e, sig, bd, ((sig >> CAST(bd * 2 AS INTEGER)) & 3) AS bucket
+         |  FROM sig CROSS JOIN generate_series(0, 3) AS t(bd)
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS e_a, b.e AS e_b
+         |  FROM banded a JOIN banded b ON a.bd = b.bd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, ${cosineSql("e_a", "e_b")} AS cosine
+         |FROM cand WHERE ${cosineSql("e_a", "e_b")} >= 0.35""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH v AS ($VecViews),
+         |sig AS (SELECT vec_id, e, (${hyperplaneSigSql(12, 42L)}) AS sig FROM v),
+         |banded AS (
+         |  SELECT vec_id, e, sig, bd, ((sig >> CAST(bd * 2 AS INTEGER)) & 3) AS bucket
+         |  FROM sig CROSS JOIN generate_series(0, 5) AS t(bd)
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id, q.e AS qe, c.e AS ce
+         |  FROM banded q JOIN banded c ON q.bd = c.bd AND q.bucket = c.bucket
+         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |), scored AS (
+         |  SELECT query_id, corpus_id, ${cosineSql("qe", "ce")} AS cosine FROM cand
+         |)
+         |SELECT query_id, corpus_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_multimodal_decode" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |         ELSE 'video/mp4' END AS mime,
+         |    text AS payload
+         |  FROM documents
+         |), dec AS (
+         |  -- DuckDB md5 takes VARCHAR and hashes its UTF-8 bytes — identical
+         |  -- to the JVM codec's md5 over the binary payload
+         |  SELECT id, mime, CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len,
+         |    ${md5h60("payload")} AS h
+         |  FROM m
+         |), feat AS (
+         |  SELECT id, mime, byte_len,
+         |    CAST(64 + (h % 16) * 64 AS INTEGER) AS width,
+         |    CAST(64 + ((h >> 8) % 16) * 64 AS INTEGER) AS height,
+         |    CAST(CASE WHEN mime LIKE 'audio/%' THEN 1 ELSE 3 END AS INTEGER) AS channels,
+         |    CAST(CASE WHEN mime LIKE 'video/%' THEN 1 + ((h >> 16) % 300) ELSE 1 END AS INTEGER) AS n_frames,
+         |    h AS feat_hash
+         |  FROM dec
+         |), frames AS (
+         |  SELECT f.*, CAST(fr AS INTEGER) AS frame,
+         |    (48271 * (feat_hash >> 30) + 16807 * (feat_hash & 1073741823) + fr) % 2147483647 AS frame_hash
+         |  FROM feat f, LATERAL unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 30)) AS u(fr)
+         |)
+         |SELECT id, mime, byte_len, width, height, channels, n_frames, feat_hash, frame, frame_hash,
+         |  CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INTEGER) AS out_width,
+         |  CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS INTEGER) AS out_height
+         |FROM frames""".stripMargin,
     "q_cdc_lww_df" ->
       """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max(event_id) AS lsn,
         |  max_by(props, event_id) AS text

@@ -79,7 +79,7 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("simhash: near-dups are close in hamming, random pairs far") {
-    val sh = docsDf.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+    val sh = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     (0 until 5).foreach { i =>

@@ -2,15 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, FormatQueries, MLQueries}
+import graft.queries.{ContextQueries, CoreQueries, FormatQueries, MLQueries, ParserQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the full operator catalog (SURVEY.md §2 surface + the
   * training-data operators); `oracleSql` holds the DuckDB-equivalent SQL for
-  * every query whose semantics are ANSI-SQL-expressible. Queries built on
-  * xxhash64 (minhash/simhash/LSH signatures) have no DuckDB twin and are
-  * covered by ScalaTest property suites instead.
+  * every query. All sketch/hash families are md5h60-based so DuckDB computes
+  * identical values — every catalog query carries a hard oracle.
   */
 object SparkEntry {
 
@@ -21,8 +20,10 @@ object SparkEntry {
     MLQueries.queries("q_cdc_lww_table")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ MLQueries.queries ++ FormatQueries.queries
+    CoreQueries.queries ++ MLQueries.queries ++ FormatQueries.queries ++
+      ParserQueries.queries ++ ContextQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ MLQueries.oracleSql ++ FormatQueries.oracleSql
+    CoreQueries.oracleSql ++ MLQueries.oracleSql ++ FormatQueries.oracleSql ++
+      ParserQueries.oracleSql ++ ContextQueries.oracleSql
 }

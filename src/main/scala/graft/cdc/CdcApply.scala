@@ -78,9 +78,12 @@ object CdcApply {
   def BroadcastKeyLimit: Long =
     sys.props.get("graft.broadcastKeyLimit").map(_.toLong).getOrElse(1L * 1000 * 1000)
 
-  /** Write-stage tasks per executor slot (experiment knob, default 2). */
+  /** Write-stage tasks per executor slot (default 1: one whole wave of
+    * uniform write tasks measured ~15% faster than two at 16 cores —
+    * ScalingLab morraw-t1 vs morraw).
+    */
   private def tasksPerSlot: Int =
-    sys.props.get("graft.tasksPerSlot").map(_.toInt).getOrElse(2)
+    sys.props.get("graft.tasksPerSlot").map(_.toInt).getOrElse(1)
 
   /** Write parallelism: tracks the cluster, capped by bucket count — tiny
     * sessions don't pay per-bucket task overhead, big ones use every slot.
@@ -325,7 +328,8 @@ object CdcApply {
       files = snap0.files ++ newFiles,
       watermarks = snap0.watermarks + (queryId -> batchId),
       lineage = snap0.lineage :+
-        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1))) }
+        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1),
+      props = snap0.props + (LakeTable.NeedsResolveProp -> "true"))) }
 
     ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
       minLsn, maxLsn, committed.version)
@@ -415,7 +419,8 @@ object CdcApply {
       files = snap0.files ++ newFiles,
       watermarks = snap0.watermarks + (queryId -> batchId),
       lineage = snap0.lineage :+
-        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1))) }
+        LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1),
+      props = snap0.props + (LakeTable.NeedsResolveProp -> "true"))) }
 
     ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
       minLsn, maxLsn, committed.version)

@@ -29,9 +29,20 @@ object CdcStream {
     *
     * @param maxFilesPerTrigger bounds micro-batch size (backpressure knob; the
     *        reference's demand window analogue, `execution_node.cpp:44-67`)
-    * @param mode               `"cow"` (read-optimized copy-on-write MERGE) or
-    *                           `"mor"` (write-optimized merge-on-read append;
-    *                           see [[CdcApply.applyBatchAppend]])
+    * @param mode               `"cow"` (read-optimized copy-on-write MERGE),
+    *                           `"mor"` (merge-on-read append of batch-deduped
+    *                           LWW winners; [[CdcApply.applyBatchAppend]]), or
+    *                           `"morraw"` (LSM-style raw append, dedup wholly
+    *                           deferred to read/compaction;
+    *                           [[CdcApply.applyBatchAppendRaw]] — the
+    *                           write-optimized headline path)
+    * @param autoCompactFilesPerBucket when > 0, after a batch commit any
+    *        bucket holding more than this many delta files triggers a partial
+    *        compaction (bounded read amplification for long MOR streams;
+    *        reference analogue: auto-rebuild interval, `defaults.hpp:227`)
+    * @param expireKeepLast     when > 0, retain only this many snapshots after
+    *        each compaction, deleting expired manifests and any data file no
+    *        retained snapshot references (incl. crash orphans)
     * @param onBatch            test/metrics hook invoked after each commit
     */
   def start(
@@ -43,6 +54,8 @@ object CdcStream {
       maxFilesPerTrigger: Int = 8,
       createBuckets: Int = 64,
       mode: String = "cow",
+      autoCompactFilesPerBucket: Int = 0,
+      expireKeepLast: Int = 0,
       onBatch: ApplyStats => Unit = _ => ()): StreamingQuery = {
     val apply: (DataFrame, Long) => ApplyStats = mode match {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
@@ -60,6 +73,15 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onBatch(apply(batch, batchId))
+        if (autoCompactFilesPerBucket > 0) {
+          val snap = table.currentSnapshot.get
+          val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
+          if (worst > autoCompactFilesPerBucket) {
+            table.compact(maxFilesPerBucket = autoCompactFilesPerBucket)
+            if (expireKeepLast > 0) table.expireSnapshots(expireKeepLast)
+          }
+        }
+        ()
       }
       .start()
   }

@@ -139,10 +139,20 @@ class LakeTable(val spark: SparkSession, val root: String) {
       .select(col("w.*"))
   }
 
+  /** True when the snapshot may hold more than one version of a url (any
+    * merge-on-read append since the last full compaction). Cleared by
+    * [[compact]]; COW-only tables never set it, so their reads skip the
+    * whole-table resolve shuffle and stay pure scans.
+    */
+  def needsResolve(snap: Snapshot): Boolean =
+    snap.props.get(LakeTable.NeedsResolveProp).contains("true")
+
   /** The user-facing page table at a snapshot: live rows, user columns only. */
   def pages(snap: Snapshot): DataFrame = {
     val sys = Schemas.systemColumns.map(_.name).toSet
-    val live = resolve(scanRaw(snap)).filter(!col("_deleted"))
+    val raw = scanRaw(snap)
+    val one = if (needsResolve(snap)) resolve(raw) else raw
+    val live = one.filter(!col("_deleted"))
     live.select(live.columns.filterNot(sys.contains).map(col).toIndexedSeq: _*)
   }
 
@@ -173,9 +183,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val h = LakeTable.urlHash(url)
     val b = LakeTable.bucketOf(h, snap.buckets)
     val files = planFiles(snap, buckets = Some(Set(b)), urlHash = Some(h))
-    resolve(readFiles(snap, files, currentFileSchema(snap))
-        .filter(col("url") === lit(url)))
-      .filter(!col("_deleted"))
+    val hit = readFiles(snap, files, currentFileSchema(snap))
+      .filter(col("url") === lit(url))
+    (if (needsResolve(snap)) resolve(hit) else hit).filter(!col("_deleted"))
   }
 
   // -------------------------------------------------------------------- write
@@ -242,13 +252,20 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * If `gcTombstonesBelowLsn` is set, tombstones with `_lsn` below it are
     * dropped — safe once the source's out-of-orderness bound guarantees no
     * older update can still arrive.
+    *
+    * With `maxFilesPerBucket = 1` this is a FULL compaction: every bucket is
+    * folded through [[resolve]] down to one version per url, so the
+    * `needs_resolve` flag is cleared and subsequent reads are pure scans.
+    * Partial compaction (`maxFilesPerBucket > 1`) only bin-packs the worst
+    * buckets and keeps the flag.
     */
   def compact(maxFilesPerBucket: Int = 1, gcTombstonesBelowLsn: Option[Long] = None): Snapshot = {
     val snap = currentSnapshot.getOrElse(throw new IllegalStateException("no table"))
     val byBucket = snap.files.groupBy(_.bucket)
+    val full = maxFilesPerBucket <= 1 && needsResolve(snap)
     val victims = byBucket.filter(_._2.size > maxFilesPerBucket)
-    if (victims.isEmpty && gcTombstonesBelowLsn.isEmpty) return snap
-    val target = if (victims.nonEmpty) victims else byBucket
+    if (victims.isEmpty && gcTombstonesBelowLsn.isEmpty && !full) return snap
+    val target = if (victims.nonEmpty && !full) victims else byBucket
     val schema = currentFileSchema(snap)
     // resolve folds merge-on-read deltas down to one version per url
     val in = resolve(readFiles(snap, target.values.flatten.toSeq, schema))
@@ -259,7 +276,64 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val newFiles = writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
       nTasks = math.max(1, target.size))
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
-    commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage))
+    val props =
+      if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp
+      else snap.props
+    commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage, props = props))
+  }
+
+  // ---------------------------------------------- snapshot expiry / orphan GC
+
+  /** Expire old snapshots and garbage-collect data files: keep the newest
+    * `keepLast` manifest versions (time travel window), delete older
+    * manifests, and delete any file under `data/` referenced by NO retained
+    * snapshot. This also sweeps crash orphans — files written by an apply
+    * that died before its commit are referenced by no manifest at all.
+    *
+    * Single-streaming-writer assumption (same as commit): no other writer may
+    * be mid-`writeDataFiles` while this runs; the CDC stream invokes it
+    * between batches. Reference analogue: partition eviction + `rebuild`
+    * maintenance (`libtenzir/src/index.cpp` disk-monitor eviction,
+    * `rebuild.cpp:45-77`).
+    *
+    * @return (expired manifest count, deleted data file count)
+    */
+  def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val versions =
+      if (!fs.exists(manifestDir)) Seq.empty[Long]
+      else fs.listStatus(manifestDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
+    if (versions.isEmpty) return (0, 0)
+    val (expired, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val referenced: Set[String] = kept.flatMap(v => snapshotAt(v).files.map(f =>
+      new Path(f.path).toUri.getPath)).toSet
+    var deletedFiles = 0
+    if (fs.exists(dataDir)) {
+      // commit dirs with no referenced file go wholesale (incl. _SUCCESS and
+      // empty _bucket= subdirs); partially-referenced dirs lose only the
+      // unreferenced files
+      val referencedDirs = referenced.map(p => new Path(p).getParent.getParent.toUri.getPath)
+      fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+        if (!referencedDirs.contains(d.getPath.toUri.getPath)) {
+          val it = fs.listFiles(d.getPath, true)
+          while (it.hasNext) { if (it.next().isFile) deletedFiles += 1 }
+          fs.delete(d.getPath, true)
+        } else {
+          val it = fs.listFiles(d.getPath, true)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+                !referenced.contains(f.getPath.toUri.getPath)) dead += f.getPath
+          }
+          dead.foreach { p => fs.delete(p, false); deletedFiles += 1 }
+        }
+      }
+    }
+    expired.foreach(v => fs.delete(versionPath(v), false))
+    (expired.size, deletedFiles)
   }
 }
 
@@ -268,6 +342,11 @@ object LakeTable {
     * remains readable in older version files (time travel).
     */
   val LineageRetention = 1000
+
+  /** Snapshot prop set by merge-on-read appends, cleared by full compaction:
+    * "this table may hold multiple versions of a url; reads must resolve".
+    */
+  val NeedsResolveProp = "needs_resolve"
 
   /** File schema = user columns + system columns (`_lsn`,`_deleted`,`_urlhash`). */
   def fileSchema(userSchema: StructType): StructType =

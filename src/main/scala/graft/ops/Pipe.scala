@@ -89,9 +89,37 @@ object Pipe {
     /** `enumerate [field]` — 0-based index by an explicit total order
       * (reference `enumerate.cpp:35-60`; default field `#` → `index` since `#`
       * needs quoting everywhere in SQL).
+      *
+      * Scale design: a bare `Window.orderBy` funnels every row through ONE
+      * task (Spark's own "moving all data to a single partition" warning —
+      * the round-1 plan). Instead: range-partition on the order keys, count
+      * rows per partition with one tiny job, and add each partition's
+      * exclusive prefix offset to its local `row_number` — fully parallel,
+      * one extra O(#partitions) driver collect. Deterministic given a total
+      * order (range partitioner boundaries are seed-stable for identical
+      * input).
       */
-    def enumerate_(orderBy: Seq[Column], field: String = "index"): DataFrame =
-      df.withColumn(field, row_number().over(Window.orderBy(orderBy: _*)) - 1)
+    def enumerate_(orderBy: Seq[Column], field: String = "index"): DataFrame = {
+      val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+      // persist: the offsets job and the final job MUST see the identical
+      // range partitioning — the range partitioner re-samples per execution
+      // and boundary rows can land one partition over (observed off-by-one
+      // indexes without this). Blocks are evicted LRU / on session end.
+      val withPid = df.repartitionByRange(parts, orderBy: _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = withPid.groupBy(col("__pid")).count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        counts.map { case (p, n) => val o = acc; acc += n; (p, o) }.toMap
+      }
+      val offCol = Pipe.offsetColumn(offsets)
+      val w = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+      withPid
+        .withColumn(field, (row_number().over(w) - 1).cast("long") + offCol)
+        .drop("__pid")
+    }
 
     /** `deduplicate fields… limit=n` — first `limit` events per key by the
       * given order (reference `deduplicate.cpp:107-205`; `distance`/`timeout`
@@ -100,6 +128,23 @@ object Pipe {
     def deduplicate_(keys: Seq[String], order: Seq[Column], limit: Int = 1): DataFrame = {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= limit).drop("__rn")
+    }
+
+    /** `deduplicate fields… distance=n` — an event passes iff no event with
+      * the same key occurred within the previous `n` events of the total
+      * order (reference `deduplicate.cpp:107-124`: last-seen row index per
+      * key, refreshed on EVERY occurrence, forgotten once `n` rows pass).
+      * Plan: global sequence via the parallel [[enumerate_]], then a per-key
+      * `lag` — one range shuffle + one key shuffle, no single-partition
+      * funnel.
+      */
+    def deduplicateDistance_(keys: Seq[String], order: Seq[Column], distance: Long): DataFrame = {
+      val seq = "__seq"
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seq))
+      enumerate_(order, seq)
+        .withColumn("__prev", lag(col(seq), 1).over(w))
+        .filter(col("__prev").isNull || col(seq) - col("__prev") > distance)
+        .drop(seq, "__prev")
     }
 
     /** `sort [-]expr…` — total sort (reference `sort.cpp:86-131`; Spark's
@@ -117,12 +162,24 @@ object Pipe {
     def tail_(n: Int, order: Seq[Column], reversed: Seq[Column]): DataFrame =
       df.orderBy(reversed: _*).limit(n).orderBy(order: _*)
 
-    /** `slice begin:end` by an explicit total order (reference `slice.cpp`;
-      * stride via `where_(col(field) % stride === 0)` on the emitted index).
-      * Emits the 0-based `index` column to keep the result self-describing.
+    /** `slice begin:end[:stride]` by an explicit total order (reference
+      * `slice.cpp`, `web/docs/tql2/operators/slice.md:1-32`): negative
+      * `begin`/`end` count from the end (one extra count job), `end` is
+      * exclusive, `stride` keeps every stride-th row from `begin`. Emits the
+      * 0-based `index` column to keep the result self-describing. Fully
+      * parallel (rides the range-partitioned [[enumerate_]]).
       */
-    def slice_(begin: Long, end: Long, order: Seq[Column], field: String = "index"): DataFrame =
-      enumerate_(order, field).filter(col(field) >= begin && col(field) < end)
+    def slice_(begin: Long, end: Long, order: Seq[Column], field: String = "index",
+        stride: Long = 1): DataFrame = {
+      val (b, e) =
+        if (begin < 0 || end < 0) {
+          val n = df.count()
+          (if (begin < 0) math.max(0L, n + begin) else begin,
+            if (end < 0) n + end else end)
+        } else (begin, end)
+      val base = enumerate_(order, field).filter(col(field) >= b && col(field) < e)
+      if (stride <= 1) base else base.filter(pmod(col(field) - b, lit(stride)) === 0)
+    }
 
     /** `taste n` — first n per group (reference `taste.cpp:26-62`; the
       * reference groups by schema, we group by any key — schema-per-group is a
@@ -159,6 +216,33 @@ object Pipe {
       df.filter(pmod(xxhash64(keys :+ lit(seed): _*), lit(1L << 32)) < bound)
     }
 
+    /** `sample <period>` — RATE-ADAPTIVE sampling (reference `sample.cpp`,
+      * `sample.md:9-45`): the sample rate for each period is derived from the
+      * PREVIOUS period's event count, targeting `targetPerPeriod` emitted
+      * events; the first period passes everything (reference: first window
+      * samples 1:1). Deterministic: the keep-decision hashes `keyCol` with
+      * [[graft.functions.Text.md5h60]], so replays emit identical rows and a
+      * DuckDB oracle can verify exactly.
+      *
+      * Plan shape: one tiny aggregate over period buckets (#buckets rows), a
+      * lag window over those buckets (driver-scale, not data-scale), and a
+      * broadcast join back — the event stream itself is never shuffled.
+      */
+    def sampleAdaptive_(timeCol: Column, periodSec: Long, targetPerPeriod: Long,
+        keyCol: Column): DataFrame = {
+      val bucket = floor(unix_timestamp(timeCol) / periodSec).cast("long")
+      val perBucket = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col("__b")) // #periods rows — driver-scale
+      val rates = perBucket.withColumn("__k",
+        greatest(lit(1L),
+          floor(coalesce(lag(col("__n"), 1).over(w), lit(0L)) / targetPerPeriod).cast("long")))
+        .select(col("__b"), col("__k"))
+      df.withColumn("__b", bucket)
+        .join(broadcast(rates), Seq("__b"), "left")
+        .filter(pmod(graft.functions.Text.md5h60(keyCol.cast("string")), coalesce(col("__k"), lit(1L))) === 0)
+        .drop("__b", "__k")
+    }
+
     /** `if pred { then } else { else }` at operator level — route through two
       * subplans and merge (reference `if.cpp`). Subplans must produce
       * union-compatible schemas.
@@ -182,6 +266,13 @@ object Pipe {
     def enrich_(lookup: DataFrame, key: Seq[String], how: String = "left"): DataFrame =
       df.join(broadcast(lookup), key, how)
   }
+
+  /** Partition-offset literal map for [[PipeOps.enumerate_]] (outside the
+    * value class: `typedlit`'s TypeTag materialization is a nested class).
+    */
+  private def offsetColumn(offsets: Map[Int, Long]): Column =
+    if (offsets.isEmpty) lit(0L)
+    else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
 
   /** Recursive flatten helper (outside the value class — nested defs with
     * closures are fine, but keep the value-class body allocation-free).

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Contexts
+
+/** Driver-checked query catalog, part 5: context enrichment — Bloom-filter
+  * membership, TTL'd lookup tables, and subnet longest-prefix matching. The
+  * Bloom filter is md5h60-built, so the DuckDB oracle constructs the
+  * IDENTICAL filter (including its false positives) from the same build
+  * side.
+  */
+object ContextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val M = 16384 // bloom bits
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // membership context: build over customers, probe a hit/miss key mix
+    "q_bloom" -> ((s, d) => {
+      val bf = Contexts.bloomBuild(
+        t(s, d, "customer"), concat(lit("c"), col("c_custkey").cast("string")), M)
+      t(s, d, "orders")
+        .withColumn("key",
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            concat(lit("c"), col("o_custkey").cast("string")))
+            .otherwise(concat(lit("x"), col("o_orderkey").cast("string"))))
+        .select(col("o_orderkey"), col("key"), bf.mightContain(col("key")).as("might_contain"))
+    }),
+
+    // TTL'd lookup context: entries expire relative to the probing event's time
+    "q_enrich_ttl" -> ((s, d) => {
+      val ctx = t(s, d, "customer").select(
+        col("c_custkey"),
+        col("c_name"),
+        expr("timestampadd(HOUR, CAST(c_custkey % 1000 AS INT), TIMESTAMP_NTZ '1995-01-01 00:00:00')")
+          .as("created_ts"),
+        expr("timestampadd(HOUR, CAST(c_custkey % 1000 AS INT) + 240, TIMESTAMP_NTZ '1995-01-01 00:00:00')")
+          .as("updated_ts"))
+      Contexts.enrichWithTtl(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate")),
+        ctx, Seq("c_custkey"), col("o_orderdate"),
+        createTimeoutSec = Some(90L * 86400), updateTimeoutSec = Some(120L * 86400))
+        .select("o_orderkey", "c_custkey", "c_name")
+    }),
+
+    // subnet longest-prefix context
+    "q_enrich_subnet" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val ctx = Seq(
+        ("10.0.0.0/8", "wide"),
+        ("10.5.0.0/16", "mid"),
+        ("10.5.1.0/24", "narrow")).toDF("cidr", "tag")
+      val ev = t(s, d, "events").select(
+        col("event_id"),
+        concat(lit("10."), pmod(col("user_id"), lit(16)).cast("string"),
+          lit("."), pmod(col("event_id"), lit(4)).cast("string"), lit(".9")).as("ip"))
+      Contexts.enrichLongestPrefix(ev, "event_id", col("ip"), ctx)
+        .select("event_id", "ip", "tag", "prefix_len")
+    })
+  )
+
+  private val Md5h60 = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bloom" ->
+      s"""WITH h AS (SELECT ${Md5h60.format("concat('c', CAST(c_custkey AS VARCHAR))")} AS h FROM customer),
+         |pos AS (SELECT unnest([(h >> 30) % $M, (h & 1073741823) % $M]) AS p FROM h),
+         |words AS (SELECT CAST(p // 32 AS INTEGER) AS w,
+         |  bit_or((1::BIGINT) << CAST(p % 32 AS INTEGER)) AS bits FROM pos GROUP BY 1),
+         |probe AS (SELECT o_orderkey,
+         |  CASE WHEN o_orderkey % 3 = 0 THEN concat('c', CAST(o_custkey AS VARCHAR))
+         |       ELSE concat('x', CAST(o_orderkey AS VARCHAR)) END AS key FROM orders),
+         |ph AS (SELECT o_orderkey, key, ${Md5h60.format("key")} AS h FROM probe),
+         |pp AS (SELECT o_orderkey, key, (h >> 30) % $M AS p1, (h & 1073741823) % $M AS p2 FROM ph)
+         |SELECT o_orderkey, key,
+         |  coalesce(((w1.bits >> CAST(p1 % 32 AS INTEGER)) & 1) = 1, false)
+         |    AND coalesce(((w2.bits >> CAST(p2 % 32 AS INTEGER)) & 1) = 1, false) AS might_contain
+         |FROM pp
+         |LEFT JOIN words w1 ON w1.w = CAST(p1 // 32 AS INTEGER)
+         |LEFT JOIN words w2 ON w2.w = CAST(p2 // 32 AS INTEGER)""".stripMargin,
+    "q_enrich_ttl" ->
+      """WITH ctx AS (SELECT c_custkey, c_name,
+        |  TIMESTAMP '1995-01-01 00:00:00' + to_hours(c_custkey % 1000) AS created_ts,
+        |  TIMESTAMP '1995-01-01 00:00:00' + to_hours(c_custkey % 1000 + 240) AS updated_ts
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey AS c_custkey,
+        |  CASE WHEN ctx.c_custkey IS NOT NULL
+        |        AND o_orderdate < created_ts + to_seconds(90 * 86400)
+        |        AND o_orderdate < updated_ts + to_seconds(120 * 86400)
+        |       THEN c_name END AS c_name
+        |FROM orders LEFT JOIN ctx ON o_custkey = ctx.c_custkey""".stripMargin,
+    "q_enrich_subnet" ->
+      """WITH ctx(cidr, tag) AS (VALUES
+        |  ('10.0.0.0/8', 'wide'), ('10.5.0.0/16', 'mid'), ('10.5.1.0/24', 'narrow')),
+        |sub AS (SELECT tag,
+        |  CAST(split_part(cidr, '/', 2) AS INTEGER) AS len,
+        |  CASE WHEN CAST(split_part(cidr, '/', 2) AS INTEGER) = 0 THEN 0
+        |       ELSE xor(4294967295, (1::BIGINT << (32 - CAST(split_part(cidr, '/', 2) AS INTEGER))) - 1) END AS mask,
+        |  (CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216
+        |   + CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536
+        |   + CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256
+        |   + CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT)) AS base0
+        |  FROM ctx),
+        |subn AS (SELECT tag, len, mask, (base0 & mask) AS base FROM sub),
+        |ev AS (SELECT event_id, concat('10.', CAST(user_id % 16 AS VARCHAR), '.',
+        |  CAST(event_id % 4 AS VARCHAR), '.9') AS ip FROM events),
+        |evn AS (SELECT event_id, ip,
+        |  (CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+        |   + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+        |   + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+        |   + CAST(split_part(ip, '.', 4) AS BIGINT)) AS ipn FROM ev),
+        |best AS (SELECT event_id, arg_max(tag, len) AS tag, max(len) AS prefix_len
+        |  FROM evn JOIN subn ON (ipn & mask) = base GROUP BY event_id)
+        |SELECT e.event_id, e.ip, b.tag, b.prefix_len
+        |FROM ev e LEFT JOIN best b ON e.event_id = b.event_id""".stripMargin
+  )
+}

@@ -94,6 +94,25 @@ object CoreQueries {
         .slice_(100, 200, Seq(col("o_orderkey")), "idx")
         .set_("idx", col("idx").cast("long"))),
 
+    // full slice semantics: negative end (count from the back) + stride
+    "q_slice_stride" -> ((s, d) =>
+      t(s, d, "orders").select_("o_orderkey")
+        .slice_(10, -20, Seq(col("o_orderkey")), "idx", stride = 7)),
+
+    // distance-based dedup: a key is forgotten after 100 events pass
+    "q_dedup_distance" -> ((s, d) =>
+      t(s, d, "events")
+        .deduplicateDistance_(Seq("user_id"), Seq(col("event_id")), distance = 100)
+        .select_("event_id", "user_id")),
+
+    // rate-adaptive sampling: each period's 1-in-k rate targets ~50 events
+    // based on the previous period's count
+    "q_sample_adaptive" -> ((s, d) =>
+      t(s, d, "events")
+        .sampleAdaptive_(col("ts"), periodSec = 86400, targetPerPeriod = 50,
+          keyCol = col("event_id"))
+        .select_("event_id", "user_id")),
+
     "q_taste" -> ((s, d) =>
       t(s, d, "events")
         .taste_(3, Seq("event_type"), Seq(col("event_id")))
@@ -308,6 +327,25 @@ object CoreQueries {
       "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
     "q_enumerate" ->
       "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx FROM orders",
+    "q_slice_stride" ->
+      """WITH e AS (SELECT o_orderkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx,
+        |  count(*) OVER () AS n FROM orders)
+        |SELECT o_orderkey, idx FROM e
+        |WHERE idx >= 10 AND idx < n - 20 AND (idx - 10) % 7 = 0""".stripMargin,
+    "q_dedup_distance" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS seq FROM events),
+        |g AS (SELECT *, lag(seq) OVER (PARTITION BY user_id ORDER BY seq) AS prev FROM e)
+        |SELECT event_id, user_id FROM g WHERE prev IS NULL OR seq - prev > 100""".stripMargin,
+    "q_sample_adaptive" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bb FROM events),
+        |c AS (SELECT bb, count(*) AS n FROM b GROUP BY bb),
+        |r AS (SELECT bb, greatest(1, CAST(floor(coalesce(lag(n) OVER (ORDER BY bb), 0) / 50)
+        |  AS BIGINT)) AS k FROM c)
+        |SELECT event_id, user_id FROM b JOIN r USING (bb)
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % k = 0""".stripMargin,
     "q_dedup" ->
       """SELECT user_id, event_id, event_type FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1""".stripMargin,

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.formats.{Cef, Grok, JsonInfer, Leef, Syslog5424, Zeek}
+
+/** Driver-checked query catalog, part 4: the widened parser surface —
+  * grok with the real pattern library, syslog RFC 5424 (incl.
+  * STRUCTURED-DATA), CEF, LEEF, zeek TSV, and JSON schema inference /
+  * selector routing. Same contract as [[FormatQueries]]: each query
+  * synthesizes its raw input deterministically from the driver tables, parses
+  * it back with the engine's parser, and the DuckDB oracle runs the
+  * equivalent extraction on the identically-synthesized string.
+  */
+object ParserQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------- grok
+
+  /** Access-log grok expression compiled against the built-in library (all
+    * referenced patterns are RE2-safe, so DuckDB can run the SAME compiled
+    * regex with the SAME group indices).
+    */
+  val AccessGrok: Grok.Compiled = Grok.compile(
+    """%{IPV4:client_ip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:ts_str}\] "%{WORD:method} %{URIPATH:path} HTTP/%{NUMBER:httpversion}" %{NONNEGINT:status:int} %{NONNEGINT:bytes:int}""")
+
+  private def accessLine: Column =
+    concat(
+      lit("10."), pmod(col("user_id"), lit(256)).cast("string"), lit(".0.1 frank alice ["),
+      date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] \"GET /p/"),
+      col("event_type"), lit(" HTTP/1.1\" "),
+      (lit(200) + pmod(col("event_id"), lit(3)) * 100).cast("string"), lit(" "),
+      pmod(col("event_id"), lit(5000)).cast("string"))
+
+  // ---------------------------------------------------------- syslog RFC5424
+
+  private def syslog5424Line: Column =
+    concat(
+      lit("<"), (lit(8) + pmod(col("event_id"), lit(184))).cast("string"), lit(">1 "),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+      lit(" host"), pmod(col("user_id"), lit(50)).cast("string"),
+      lit(" app"), pmod(col("event_id"), lit(7)).cast("string"),
+      lit(" "), pmod(col("event_id"), lit(997)).cast("string"),
+      lit(" MSG"), pmod(col("event_id"), lit(13)).cast("string"),
+      lit(" [meta@1 type=\""), col("event_type"),
+      lit("\" uid=\""), col("user_id").cast("string"),
+      lit("\"][timing@2 ms=\""), pmod(col("event_id"), lit(900)).cast("string"),
+      lit("\"] event "), col("event_type"), lit(" fired"))
+
+  // --------------------------------------------------------------- CEF / LEEF
+
+  private def cefLine: Column =
+    concat(
+      lit("CEF:0|graft|engine|1.0|sig-"), pmod(col("event_id"), lit(40)).cast("string"),
+      lit("|"), col("event_type"), lit("|"), pmod(col("event_id"), lit(10)).cast("string"),
+      lit("|src=10."), pmod(col("user_id"), lit(256)).cast("string"),
+      lit(".0.1 dpt="), pmod(col("event_id"), lit(65536)).cast("string"),
+      lit(" act="), col("event_type"))
+
+  private def leefLine: Column =
+    concat(
+      lit("LEEF:1.0|graft|engine|1.0|ev-"), pmod(col("event_id"), lit(40)).cast("string"),
+      lit("|usrName=u"), col("user_id").cast("string"),
+      lit("\tsev="), pmod(col("event_id"), lit(10)).cast("string"),
+      lit("\tcat="), col("event_type"))
+
+  // ----------------------------------------------------------------- zeek TSV
+
+  /** A zeek-ish conn log synthesized from events: directive header + one
+    * data row per event (tab-separated), exercising time/count/bool/set
+    * typed parsing plus unset (`-`) and `(empty)` handling.
+    */
+  private def zeekLines(s: SparkSession, d: String): DataFrame = {
+    val header = Seq(
+      "#separator \\x09",
+      "#set_separator\t,",
+      "#empty_field\t(empty)",
+      "#unset_field\t-",
+      "#path\tconn",
+      "#fields\tts\tuid\torig_bytes\tlocal_orig\ttags",
+      "#types\ttime\tstring\tcount\tbool\tset[string]")
+    import s.implicits._
+    val headerDf = header.toDF("line")
+    val rows = t(s, d, "events").select(concat(
+      (col("event_id") + 1700000000L).cast("string"), lit(".000000\tC"),
+      col("event_id").cast("string"),
+      lit("\t"), when(pmod(col("event_id"), lit(10)) === 0, "-")
+        .otherwise(pmod(col("event_id"), lit(4096)).cast("string")),
+      lit("\t"), when(pmod(col("event_id"), lit(2)) === 0, "T").otherwise("F"),
+      lit("\t"), when(pmod(col("event_id"), lit(5)) === 0, lit("(empty)"))
+        .otherwise(concat(lit("a"), pmod(col("event_id"), lit(3)).cast("string"), lit(",b")))
+    ).as("line"))
+    headerDf.unionByName(rows)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grok_lib" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), accessLine.as("line"))
+        .select((col("event_id") +: AccessGrok.columns(col("line"))): _*)),
+
+    "q_syslog5424" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), syslog5424Line.as("line"))
+        .select((Seq(col("event_id")) ++ Syslog5424.headerColumns(col("line"))): _*)),
+
+    "q_syslog5424_sd" -> ((s, d) =>
+      Syslog5424.sdExploded(
+        t(s, d, "events").select(col("event_id"), syslog5424Line.as("line")), "line")
+        .select("event_id", "sd_id", "sd_key", "sd_value")),
+
+    "q_cef" -> ((s, d) =>
+      Cef.exploded(t(s, d, "events").select(col("event_id"), cefLine.as("line")), "line")
+        .select("event_id", "cef_version", "device_vendor", "device_product",
+          "signature_id", "name", "severity", "ext_key", "ext_value")),
+
+    "q_leef" -> ((s, d) =>
+      Leef.exploded(t(s, d, "events").select(col("event_id"), leefLine.as("line")), "line")
+        .select("event_id", "leef_version", "vendor", "product_name", "leef_event_id",
+          "attr_key", "attr_value")),
+
+    "q_zeek" -> ((s, d) =>
+      // tags joined to a scalar: array-typed outputs compare unreliably
+      // across the parquet/pandas bridge
+      Zeek.parse(zeekLines(s, d))
+        .withColumn("tags", array_join(col("tags"), ","))),
+
+    "q_json_infer" -> ((s, d) => {
+      val raw = t(s, d, "events").select(
+        col("event_id"),
+        to_json(struct(
+          col("event_id").as("id"),
+          col("event_type").as("t"),
+          struct(col("user_id").as("u")).as("n"))).as("js"))
+      JsonInfer.parseInferred(raw, "js")
+        .select(col("event_id"), col("parsed.id").as("id"), col("parsed.t").as("t"),
+          col("parsed.n.u").as("u"))
+    }),
+
+    "q_json_route" -> ((s, d) => {
+      // multi-schema stream: purchases carry `amount`, everything else `note`
+      val raw = t(s, d, "events").select(
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          to_json(struct(col("event_id").as("id"), col("event_type").as("type"),
+            floor(col("value") * 100).cast("long").as("amount"))))
+          .otherwise(
+            to_json(struct(col("event_id").as("id"), col("event_type").as("type"),
+              concat(lit("n"), col("user_id")).as("note")))).as("js"))
+      val routes = JsonInfer.routeBySelector(raw, "js", "type")
+      routes("purchase").select(col("event_id"), col("parsed.id").as("id"),
+        col("parsed.amount").as("amount"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = {
+    // both engines run the SAME compiled grok regex with the SAME group idx
+    // (single quotes in pattern bodies must be doubled inside the SQL literal)
+    val grokRe = AccessGrok.regex.replace("'", "''")
+    val grokCols = AccessGrok.fields.map { f =>
+      val ex = s"regexp_extract(line, '$grokRe', ${f.group})"
+      f.conv match {
+        case "int" => s"CAST($ex AS BIGINT) AS ${f.name}"
+        case "float" => s"CAST($ex AS DOUBLE) AS ${f.name}"
+        case _ => s"$ex AS ${f.name}"
+      }
+    }.mkString(",\n  ")
+
+    val accessRaw =
+      """SELECT event_id, concat('10.', CAST(user_id % 256 AS VARCHAR), '.0.1 frank alice [',
+        |  strftime(ts, '%d/%b/%Y:%H:%M:%S'), ' +0000] "GET /p/', event_type, ' HTTP/1.1" ',
+        |  CAST(200 + (event_id % 3) * 100 AS VARCHAR), ' ',
+        |  CAST(event_id % 5000 AS VARCHAR)) AS line FROM events""".stripMargin
+
+    val sys5424Raw =
+      """SELECT event_id, concat('<', CAST(8 + event_id % 184 AS VARCHAR), '>1 ',
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S'), ' host', CAST(user_id % 50 AS VARCHAR),
+        |  ' app', CAST(event_id % 7 AS VARCHAR), ' ', CAST(event_id % 997 AS VARCHAR),
+        |  ' MSG', CAST(event_id % 13 AS VARCHAR),
+        |  ' [meta@1 type="', event_type, '" uid="', CAST(user_id AS VARCHAR),
+        |  '"][timing@2 ms="', CAST(event_id % 900 AS VARCHAR),
+        |  '"] event ', event_type, ' fired') AS line FROM events""".stripMargin
+
+    val lineRe = Syslog5424.LineRegex
+    val sdElRe = Syslog5424.SdElementRegex
+    val sdPmRe = Syslog5424.SdParamRegex.replace("'", "''")
+
+    Map(
+      "q_grok_lib" ->
+        s"""WITH raw AS ($accessRaw)
+           |SELECT event_id,
+           |  $grokCols
+           |FROM raw""".stripMargin,
+      "q_syslog5424" ->
+        s"""WITH raw AS ($sys5424Raw)
+           |SELECT event_id,
+           |  CAST(regexp_extract(line, '$lineRe', 1) AS BIGINT) // 8 AS facility,
+           |  CAST(regexp_extract(line, '$lineRe', 1) AS BIGINT) % 8 AS severity,
+           |  CAST(regexp_extract(line, '$lineRe', 2) AS BIGINT) AS version,
+           |  CAST(nullif(regexp_extract(line, '$lineRe', 3), '-') AS TIMESTAMP) AS ts,
+           |  nullif(regexp_extract(line, '$lineRe', 4), '-') AS hostname,
+           |  nullif(regexp_extract(line, '$lineRe', 5), '-') AS app_name,
+           |  nullif(regexp_extract(line, '$lineRe', 6), '-') AS proc_id,
+           |  nullif(regexp_extract(line, '$lineRe', 7), '-') AS msg_id,
+           |  nullif(regexp_extract(line, '$lineRe', 9), '-') AS message
+           |FROM raw""".stripMargin,
+      "q_syslog5424_sd" ->
+        s"""WITH raw AS ($sys5424Raw),
+           |els AS (
+           |  SELECT event_id, unnest(regexp_extract_all(
+           |    nullif(regexp_extract(line, '$lineRe', 8), '-'), '$sdElRe', 1)) AS el
+           |  FROM raw
+           |)
+           |SELECT event_id, regexp_extract(el, '^(\\S+)', 1) AS sd_id,
+           |  unnest(regexp_extract_all(el, '$sdPmRe', 1)) AS sd_key,
+           |  unnest(list_transform(regexp_extract_all(el, '$sdPmRe', 2),
+           |    v -> regexp_replace(v, '\\\\([\\\\"\\]])', '\\1', 'g'))) AS sd_value
+           |FROM els""".stripMargin,
+      "q_cef" ->
+        """WITH raw AS (SELECT event_id, concat('CEF:0|graft|engine|1.0|sig-',
+          |  CAST(event_id % 40 AS VARCHAR), '|', event_type, '|',
+          |  CAST(event_id % 10 AS VARCHAR), '|src=10.', CAST(user_id % 256 AS VARCHAR),
+          |  '.0.1 dpt=', CAST(event_id % 65536 AS VARCHAR), ' act=', event_type) AS line
+          |  FROM events)
+          |SELECT event_id,
+          |  CAST(regexp_extract(split_part(line, '|', 1), '^CEF:(\d+)$', 1) AS BIGINT) AS cef_version,
+          |  split_part(line, '|', 2) AS device_vendor,
+          |  split_part(line, '|', 3) AS device_product,
+          |  split_part(line, '|', 5) AS signature_id,
+          |  split_part(line, '|', 6) AS name,
+          |  split_part(line, '|', 7) AS severity,
+          |  unnest(regexp_extract_all(regexp_extract(line, '^(?:[^|]*\|){7}(.*)$', 1),
+          |    '([\w.]+)=([^ ]*)', 1)) AS ext_key,
+          |  unnest(regexp_extract_all(regexp_extract(line, '^(?:[^|]*\|){7}(.*)$', 1),
+          |    '([\w.]+)=([^ ]*)', 2)) AS ext_value
+          |FROM raw""".stripMargin,
+      "q_leef" ->
+        """WITH raw AS (SELECT event_id, concat('LEEF:1.0|graft|engine|1.0|ev-',
+          |  CAST(event_id % 40 AS VARCHAR), '|usrName=u', CAST(user_id AS VARCHAR),
+          |  chr(9), 'sev=', CAST(event_id % 10 AS VARCHAR),
+          |  chr(9), 'cat=', event_type) AS line FROM events)
+          |SELECT event_id,
+          |  regexp_extract(split_part(line, '|', 1), '^LEEF:(.+)$', 1) AS leef_version,
+          |  split_part(line, '|', 2) AS vendor,
+          |  split_part(line, '|', 3) AS product_name,
+          |  split_part(line, '|', 5) AS leef_event_id,
+          |  unnest(regexp_extract_all(regexp_extract(line, '^(?:[^|]*\|){5}(.*)$', 1),
+          |    concat('([\w.]+)=([^', chr(9), ']*)'), 1)) AS attr_key,
+          |  unnest(regexp_extract_all(regexp_extract(line, '^(?:[^|]*\|){5}(.*)$', 1),
+          |    concat('([\w.]+)=([^', chr(9), ']*)'), 2)) AS attr_value
+          |FROM raw""".stripMargin,
+      "q_zeek" ->
+        """SELECT
+          |  make_timestamp((event_id + 1700000000) * 1000000) AS ts,
+          |  concat('C', CAST(event_id AS VARCHAR)) AS uid,
+          |  CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_id % 4096 END AS orig_bytes,
+          |  (event_id % 2 = 0) AS local_orig,
+          |  CASE WHEN event_id % 5 = 0 THEN ''
+          |       ELSE concat('a', CAST(event_id % 3 AS VARCHAR), ',b') END AS tags
+          |FROM events""".stripMargin,
+      "q_json_infer" ->
+        """SELECT event_id, event_id AS id, event_type AS t, user_id AS u
+          |FROM events""".stripMargin,
+      "q_json_route" ->
+        """SELECT event_id, event_id AS id, CAST(floor(value * 100) AS BIGINT) AS amount
+          |FROM events WHERE event_type = 'purchase'""".stripMargin
+    )
+  }
+}

@@ -104,7 +104,7 @@ object Grok {
     * not inside a character class, and not a `(?:`/`(?=`/`(?!`/`(?<=`/`(?<!`
     * construct; `(?<name>` IS capturing.
     */
-  private[formats] def countCaptures(s: String): Int = {
+  private[graft] def countCaptures(s: String): Int = {
     var i = 0; var n = 0; var inClass = false
     while (i < s.length) {
       s(i) match {

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.cdc.{CdcApply, CdcStream}
+import graft.gen.{ChangeGen, GenConfig, GenEvent}
+import graft.lake.LakeTable
+
+/** Raw (LSM-style) MOR append, auto-compaction, snapshot expiry / orphan GC,
+  * and the conditional-resolve flag.
+  */
+class CdcMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = GenConfig(events = 6000, segmentSize = 512)
+  lazy val allEvents: Seq[GenEvent] = ChangeGen.events(spark, cfg).collect().toSeq
+  lazy val golden: Map[String, (String, String, Long, Int)] = expectedMap(allEvents)
+
+  private def segGroups(events: Seq[GenEvent], segsPerBatch: Int): Seq[Seq[GenEvent]] =
+    events.groupBy(_.seg / segsPerBatch).toSeq.sortBy(_._1).map(_._2)
+
+  test("raw append (morraw) converges to the same golden state as deduped MOR") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 6).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "r", i.toLong,
+        createBuckets = 16)
+    }
+    assert(pagesMap(table.pages()) == golden)
+    // raw lineage counts events as delivered
+    assert(table.currentSnapshot.get.lineage.map(_.events).sum == allEvents.size)
+  }
+
+  test("raw append under permuted batch order still converges (LWW on read)") {
+    val groups = segGroups(allEvents, 6)
+    val permuted = Seq(groups.indices.reverse, scala.util.Random.shuffle(groups.indices.toList))
+    // batches must commit in batchId order per query, but CONTENT can be any
+    // partition of the WAL — permute which events land in which batch
+    val table = new LakeTable(spark, tmpDir())
+    permuted.head.zipWithIndex.foreach { case (gi, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(gi)).toDF(), "p", i.toLong,
+        createBuckets = 16)
+    }
+    assert(pagesMap(table.pages()) == golden)
+  }
+
+  test("needs_resolve: set by appends, cleared by full compaction; COW never sets it") {
+    val mor = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(mor, spark.createDataset(g).toDF(), "q", i.toLong,
+        createBuckets = 8)
+    }
+    assert(mor.needsResolve(mor.currentSnapshot.get))
+    mor.compact(maxFilesPerBucket = 1)
+    assert(!mor.needsResolve(mor.currentSnapshot.get))
+    assert(pagesMap(mor.pages()) == golden) // resolve-free read is correct
+    val cow = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(cow, spark.createDataset(g).toDF(), "q", i.toLong, createBuckets = 8)
+    }
+    assert(!cow.needsResolve(cow.currentSnapshot.get))
+    assert(pagesMap(cow.pages()) == golden)
+  }
+
+  test("auto-compaction bounds delta files per bucket during a streaming tail") {
+    val work = tmpDir()
+    ChangeGen.writeWal(spark, cfg, s"$work/wal")
+    val table = new LakeTable(spark, s"$work/lake")
+    CdcStream.start(spark, s"$work/wal", table, s"$work/ckpt", queryId = "ac",
+      maxFilesPerTrigger = 2, createBuckets = 8, mode = "morraw",
+      autoCompactFilesPerBucket = 3, expireKeepLast = 2).awaitTermination()
+    val snap = table.currentSnapshot.get
+    val worst = snap.files.groupBy(_.bucket).values.map(_.size).max
+    assert(worst <= 4, s"worst bucket has $worst files") // ≤ threshold + current batch
+    assert(pagesMap(table.pages()) == golden)
+    // expiry kept only 2 manifests
+    val manifests = new java.io.File(s"$work/lake/manifests").list().count(_.endsWith(".json"))
+    assert(manifests <= 3, s"$manifests manifests retained")
+  }
+
+  test("expireSnapshots sweeps crash orphans and unreferenced files") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "q", i.toLong,
+        createBuckets = 8)
+    }
+    // inject a crash orphan: a data dir written but never committed
+    val root = table.root
+    val orphanDir = new java.io.File(s"$root/data/orphan-commit/_bucket=0")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // compact (rewrites everything) then expire to 1 snapshot
+    table.compact(maxFilesPerBucket = 1)
+    val (expired, deleted) = table.expireSnapshots(keepLast = 1)
+    assert(expired > 0 && deleted > 0)
+    assert(!orphan.exists, "crash orphan survived GC")
+    // every remaining data file is referenced; state intact
+    val snap = table.currentSnapshot.get
+    val referenced = snap.files.map(f => new org.apache.hadoop.fs.Path(f.path).toUri.getPath).toSet
+    val onDisk = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) b += f.getAbsolutePath
+      walk(new java.io.File(s"$root/data")); b.toSet
+    }
+    assert(onDisk == referenced, s"unreferenced files remain: ${onDisk -- referenced}")
+    assert(pagesMap(table.pages()) == golden)
+  }
+}

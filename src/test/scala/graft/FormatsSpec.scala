@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.{Cef, Grok, JsonInfer, Leef, Syslog5424, Zeek}
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------- grok
+
+  test("grok: capture counting is class- and escape-aware") {
+    assert(Grok.countCaptures("(a)(b)") == 2)
+    assert(Grok.countCaptures("(?:a)(?=b)(?!c)(?<=d)(?<!e)") == 0)
+    assert(Grok.countCaptures("(?<name>x)") == 1)
+    assert(Grok.countCaptures("""\((a)""") == 1)
+    assert(Grok.countCaptures("""[(](a)""") == 1)
+    assert(Grok.countCaptures("""[\](](a)""") == 1)
+  }
+
+  test("grok: compile resolves nested patterns with correct group indices") {
+    val c = Grok.compile("%{NUMBER:num} %{WORD:w}")
+    assert(c.fields.map(_.name) == Seq("num", "w"))
+    val m = java.util.regex.Pattern.compile(c.regex).matcher("3.14 abc")
+    assert(m.matches())
+    assert(m.group(c.fields(0).group) == "3.14")
+    assert(m.group(c.fields(1).group) == "abc")
+  }
+
+  test("grok: COMMONAPACHELOG nested semantics + conversions, no-match nulls") {
+    val c = Grok.compile("%{COMMONAPACHELOG} %{NONNEGINT:extra:int}")
+    val names = c.fields.map(_.name)
+    assert(names.contains("clientip") && names.contains("response") && names.contains("extra"))
+    val df = Seq(
+      """127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache.gif HTTP/1.0" 200 2326 7""",
+      "not a log line").toDF("line")
+    val out = df.select(c.columns(col("line")): _*).collect()
+    val row = out.find(_.getAs[String]("clientip") != null).get
+    assert(row.getAs[String]("clientip") == "127.0.0.1")
+    assert(row.getAs[String]("auth") == "frank")
+    assert(row.getAs[String]("verb") == "GET")
+    assert(row.getAs[Long]("extra") == 7L)
+    assert(out.exists(r => r.getAs[String]("clientip") == null)) // no-match → null
+  }
+
+  test("grok: user-defined pattern definitions") {
+    val defs = Grok.parseDefinitions("# comment\nHEXID 0x[0-9a-f]+\n")
+    val c = Grok.compile("id=%{HEXID:hid}", defs)
+    val out = Seq("id=0xdeadbeef").toDF("line").select(c.columns(col("line")): _*).head()
+    assert(out.getAs[String]("hid") == "0xdeadbeef")
+  }
+
+  // ----------------------------------------------------------------- syslog
+
+  test("syslog RFC5424: header, nil values, SD with escaped params") {
+    val line =
+      """<165>1 2023-10-11T22:14:15 host1 app - ID47 [ex@32473 k="v" esc="a\"b\]c"][x@1 n="1"] hello world"""
+    val df = Seq(line, "<13>1 - - - - - - short").toDF("line")
+    val out = df.select((col("line") +: Syslog5424.headerColumns(col("line"))): _*)
+      .orderBy("facility").collect()
+    val full = out(1)
+    assert(full.getAs[Long]("facility") == 20L && full.getAs[Long]("severity") == 5L)
+    assert(full.getAs[String]("hostname") == "host1")
+    assert(full.getAs[String]("proc_id") == null) // nil -
+    assert(full.getAs[String]("message") == "hello world")
+    val nil = out(0)
+    assert(nil.getAs[java.time.LocalDateTime]("ts") == null)
+    assert(nil.getAs[String]("message") == "short")
+
+    val sd = df.filter(col("line").contains("ex@")).select(Syslog5424.structuredData(col("line")).as("sd"))
+      .head().getAs[Map[String, Map[String, String]]]("sd")
+    assert(sd("ex@32473")("k") == "v")
+    assert(sd("ex@32473")("esc") == """a"b]c""") // unescaped
+    assert(sd("x@1")("n") == "1")
+  }
+
+  // --------------------------------------------------------------- CEF/LEEF
+
+  test("CEF: header fields and extension map") {
+    val line = "CEF:0|Vendor|Product|1.2|42|Port scan|7|src=10.0.0.1 dst=2.1.2.2 spt=1232"
+    val df = Seq(line).toDF("line")
+    val h = df.select(Cef.headerColumns(col("line")): _*).head()
+    assert(h.getAs[Long]("cef_version") == 0L)
+    assert(h.getAs[String]("device_vendor") == "Vendor")
+    assert(h.getAs[String]("name") == "Port scan")
+    assert(h.getAs[String]("severity") == "7")
+    val ext = df.select(Cef.extensions(col("line")).as("e")).head().getAs[Map[String, String]]("e")
+    assert(ext == Map("src" -> "10.0.0.1", "dst" -> "2.1.2.2", "spt" -> "1232"))
+  }
+
+  test("LEEF: 1.0 and 2.0 (hex delimiter) attribute parsing") {
+    assert(Leef.parseDelimiter("x09") == "\t")
+    assert(Leef.parseDelimiter("0x7c") == "|")
+    assert(Leef.parseDelimiter("^") == "^")
+    assert(Leef.parseDelimiter("") == "\t")
+    val v1 = "LEEF:1.0|Vendor|Product|1.0|evt|a=1\tb=two"
+    val v2 = "LEEF:2.0|Vendor|Product|1.0|evt|^|a=1^b=two"
+    val d1 = Seq(v1).toDF("line")
+      .select(Leef.attributes(col("line")).as("a")).head().getAs[Map[String, String]]("a")
+    assert(d1 == Map("a" -> "1", "b" -> "two"))
+    val d2 = Seq(v2).toDF("line")
+      .select(Leef.attributes(col("line"), "^").as("a")).head().getAs[Map[String, String]]("a")
+    assert(d2 == Map("a" -> "1", "b" -> "two"))
+  }
+
+  // ------------------------------------------------------------------- zeek
+
+  test("zeek TSV: typed parse with unset/empty/set handling") {
+    val lines = Seq(
+      "#separator \\x09",
+      "#set_separator\t,",
+      "#empty_field\t(empty)",
+      "#unset_field\t-",
+      "#path\tconn",
+      "#fields\tts\tuid\tid.orig_p\tduration\tlocal_orig\ttags",
+      "#types\ttime\tstring\tport\tinterval\tbool\tset[string]",
+      "1258531221.486539\tPii6cU\t68\t0.163820\tT\ta,b",
+      "1258531680.237254\tnkCxlv\t-\t-\tF\t(empty)",
+      "#close\t2014-05-23-18-02-04").toDF("line")
+    val out = Zeek.parse(lines).orderBy("uid").collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getAs[String]("uid") == "Pii6cU").get
+    assert(r1.getAs[Long]("id_orig_p") == 68L)
+    assert(math.abs(r1.getAs[Double]("duration") - 0.16382) < 1e-9)
+    assert(r1.getAs[Boolean]("local_orig"))
+    assert(r1.getSeq[String](r1.fieldIndex("tags")).toSeq == Seq("a", "b"))
+    assert(r1.getAs[java.time.LocalDateTime]("ts").getYear == 2009)
+    val r2 = out.find(_.getAs[String]("uid") == "nkCxlv").get
+    assert(r2.isNullAt(r2.fieldIndex("id_orig_p")))
+    assert(r2.isNullAt(r2.fieldIndex("duration")))
+    assert(r2.getSeq[String](r2.fieldIndex("tags")).isEmpty)
+  }
+
+  // ----------------------------------------------------------- JSON inference
+
+  test("json inference merges fields and widens; selector routes per-schema") {
+    val df = Seq(
+      """{"type":"a","x":1}""",
+      """{"type":"a","x":2,"y":"s"}""",
+      """{"type":"b","z":3.5}""").toDF("js")
+    // merge policy: one schema over everything
+    val merged = JsonInfer.parseInferred(df, "js")
+    val fields = merged.select("parsed.*").columns.toSet
+    assert(fields == Set("type", "x", "y", "z"))
+    // precise policy: per-selector schemas
+    val routes = JsonInfer.routeBySelector(df, "js", "type")
+    assert(routes.keySet == Set("a", "b"))
+    assert(routes("a").select("parsed.*").columns.toSet == Set("type", "x", "y"))
+    assert(routes("b").select("parsed.*").columns.toSet == Set("type", "z"))
+    assert(routes("a").count() == 2 && routes("b").count() == 1)
+  }
+}

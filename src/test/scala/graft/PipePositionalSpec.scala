@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pipe._
+
+/** Positional/stateful operator semantics: parallel enumerate, full slice,
+  * distance dedup, adaptive sample.
+  */
+class PipePositionalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nums = spark.range(1000).select(
+    col("id"), (col("id") * 7 % 13).as("k"))
+
+  test("enumerate: parallel range-partitioned index equals the total order") {
+    val out = nums.enumerate_(Seq(col("id").desc), "idx")
+      .select("id", "idx").as[(Long, Long)].collect().toMap
+    (0L until 1000L).foreach(id => assert(out(id) == 999 - id))
+    // plan must NOT contain a single-partition exchange (the round-1 trap)
+    val plan = nums.enumerate_(Seq(col("id")), "idx").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), "enumerate still funnels to one partition")
+  }
+
+  test("slice: negative indices count from the end; stride filters") {
+    val out = nums.slice_(10, -980, Seq(col("id")), "idx") // rows 10..19
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == (10L until 20L))
+    val strided = nums.slice_(0, 100, Seq(col("id")), "idx", stride = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(strided == Seq(0L, 25L, 50L, 75L))
+  }
+
+  test("deduplicate distance: key is remembered for exactly n events") {
+    // events: key A at positions 0, 5, 20; key B elsewhere; distance 10
+    val rows = (0 until 30).map(i =>
+      (i.toLong, if (i == 0 || i == 5 || i == 20) "A" else "B"))
+    val df = rows.toDF("pos", "key")
+    val kept = df.deduplicateDistance_(Seq("key"), Seq(col("pos")), distance = 10)
+      .select("pos").as[Long].collect().toSet
+    // A@0 emitted; A@5 suppressed (gap 5 <= 10); A@20 emitted (gap 15 > 10,
+    // from the LAST occurrence at 5 — occurrences refresh even when suppressed)
+    assert(kept.contains(0L) && !kept.contains(5L) && kept.contains(20L))
+    // B: first occurrence at 1 emitted, consecutive others suppressed
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L))
+  }
+
+  test("adaptive sample: first period passes, later periods target the rate") {
+    // 3 daily periods with 400 events each, target 100/period
+    val df = (0 until 1200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-0${1 + i / 400} 00:00:${i % 60}"))
+    }.toDF("id", "ts")
+    val out = df.sampleAdaptive_(col("ts"), periodSec = 86400, targetPerPeriod = 100,
+      keyCol = col("id"))
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day").count().as[(Int, Long)].collect().toMap
+    assert(out(1) == 400L) // first period: no history → everything passes
+    // subsequent periods sample ~1-in-4 (hash-dependent, not exact)
+    assert(out(2) < 250 && out(2) > 25, s"day2=${out(2)}")
+    assert(out(3) < 250 && out(3) > 25, s"day3=${out(3)}")
+    // deterministic across runs
+    val again = df.sampleAdaptive_(col("ts"), 86400, 100, col("id")).count()
+    assert(again == out.values.sum)
+  }
+}

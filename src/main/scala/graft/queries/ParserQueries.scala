@@ -140,6 +140,36 @@ object ParserQueries {
           col("parsed.n.u").as("u"))
     }),
 
+    "q_sigma" -> ((s, d) => {
+      val rule =
+        """title: purchase spike or logins
+          |detection:
+          |  sel_purchase:
+          |    event_type: purchase
+          |    value|gte: 50
+          |  sel_login:
+          |    event_type|startswith: log
+          |  condition: sel_purchase or sel_login
+          |""".stripMargin
+      val pred = graft.formats.Sigma.compile(rule, f => col(f))
+      t(s, d, "events").filter(pred).select("event_id", "event_type", "value")
+    }),
+
+    "q_yaml" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val pairs = t(s, d, "events").select(
+        col("event_id"),
+        concat(
+          lit("id: "), col("event_id").cast("string"),
+          lit("\ntype: "), col("event_type"),
+          lit("\nuser:\n  uid: "), col("user_id").cast("string"), lit("\n")).as("y"))
+        .as[(Long, String)]
+      graft.formats.Yaml.parseWithId(pairs)
+        .select(col("id").as("event_id"), col("parsed.id").as("yid"),
+          col("parsed.type").as("typ"), col("parsed.user.uid").as("uid"))
+    }),
+
     "q_json_route" -> ((s, d) => {
       // multi-schema stream: purchases carry `amount`, everything else `note`
       val raw = t(s, d, "events").select(
@@ -264,6 +294,13 @@ object ParserQueries {
       "q_json_infer" ->
         """SELECT event_id, event_id AS id, event_type AS t, user_id AS u
           |FROM events""".stripMargin,
+      "q_yaml" ->
+        """SELECT event_id, event_id AS yid, event_type AS typ, user_id AS uid
+          |FROM events""".stripMargin,
+      "q_sigma" ->
+        """SELECT event_id, event_type, value FROM events
+          |WHERE (lower(event_type) = 'purchase' AND value >= 50)
+          |   OR lower(event_type) LIKE 'log%'""".stripMargin,
       "q_json_route" ->
         """SELECT event_id, event_id AS id, CAST(floor(value * 100) AS BIGINT) AS amount
           |FROM events WHERE event_type = 'purchase'""".stripMargin

@@ -131,6 +131,65 @@ class FormatsSpec extends SparkSpec {
     assert(r2.getSeq[String](r2.fieldIndex("tags")).isEmpty)
   }
 
+  // ------------------------------------------------------------------- yaml
+
+  test("yaml: nested docs and multi-document streams parse to typed rows") {
+    assert(graft.formats.Yaml.yamlDocsToJson("a: 1\nb:\n  c: x\n") ==
+      Seq("""{"a":1,"b":{"c":"x"}}"""))
+    assert(graft.formats.Yaml.yamlDocsToJson("a: 1\n---\na: 2\n").size == 2)
+    val pairs = Seq((1L, "k: v\nn: 7\n"), (2L, "k: w\nn: 8\n---\nk: x\nn: 9\n"))
+      .toDS()
+    val out = graft.formats.Yaml.parseWithId(pairs)
+      .select(col("id"), col("parsed.k"), col("parsed.n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "v", 7L), (2L, "w", 8L), (2L, "x", 9L)))
+  }
+
+  // ------------------------------------------------------------------ sigma
+
+  test("sigma: modifiers, wildcards, quantifiers, and condition grammar") {
+    val df = Seq(
+      (1L, "cmd.exe", "C:\\Windows\\System32\\cmd.exe /c whoami", 9.0),
+      (2L, "powershell.exe", "powershell -enc SQBFAFgA", 3.0),
+      (3L, "bash", "/bin/bash -c ls", 1.0)).toDF("id", "image", "cmdline", "score")
+    def fc(f: String) = col(f)
+    val rule =
+      """title: suspicious exec
+        |detection:
+        |  sel_img:
+        |    image|endswith: .exe
+        |  sel_enc:
+        |    cmdline|contains: -enc
+        |  sel_score:
+        |    score|gte: 5
+        |  condition: sel_img and (sel_enc or sel_score)
+        |""".stripMargin
+    val ids = df.filter(graft.formats.Sigma.compile(rule, fc)).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L)) // 1: score>=5; 2: -enc; 3: not .exe
+    // wildcards + not + 1 of prefix*
+    val rule2 =
+      """detection:
+        |  sel_a:
+        |    image: 'cmd*'
+        |  sel_b:
+        |    image: 'power?hell.exe'
+        |  condition: 1 of sel_* and not sel_b
+        |""".stripMargin
+    val ids2 = df.filter(graft.formats.Sigma.compile(rule2, fc)).select("id").as[Long].collect().toSet
+    assert(ids2 == Set(1L))
+    // keyword list search over a raw column
+    val rule3 =
+      """detection:
+        |  keywords:
+        |    - whoami
+        |    - nltest
+        |  condition: keywords
+        |""".stripMargin
+    val ids3 = df.withColumnRenamed("cmdline", "raw")
+      .filter(graft.formats.Sigma.compile(rule3, fc)).select("id").as[Long].collect().toSet
+    assert(ids3 == Set(1L))
+  }
+
   // ----------------------------------------------------------- JSON inference
 
   test("json inference merges fields and widens; selector routes per-schema") {

@@ -28,6 +28,9 @@ object ScalingLab {
     // openCost=128m → every WAL segment file is its own scan split: even
     // task sizes, whole waves (48 files = 3 waves at 16 cores)
     Cfg("morraw-t1-oc", "morraw", tasksPerSlot = 1, openCost = "134217728"),
+    // batch-size sweep: per-trigger fixed cost vs amortization
+    Cfg("morraw-ft24", "morraw", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 24),
+    Cfg("morraw-ft96", "morraw", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 96),
     Cfg("mor-t1-oc", "mor", tasksPerSlot = 1, openCost = "134217728"),
     Cfg("mor-mp32", "mor", maxPart = "32m"),
     Cfg("morraw-b256", "morraw", buckets = 256),

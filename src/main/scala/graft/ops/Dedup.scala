@@ -113,6 +113,42 @@ object Dedup {
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     */
+  /** (id, sig, band, bucket) banded signatures — shared by the candidate
+    * join and the dropped-bucket report.
+    */
+  private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+      bands: Int, rows: Int, shingleN: Int): DataFrame = {
+    val k = bands * rows
+    // three projections: shingle once, md5 each shingle once, then the k
+    // cheap integer permutations over the materialized hash array
+    val withSig = df
+      .select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("id"), minhashSigFromHashes(col("hs"), k).as("sig"))
+    withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** The buckets `minhashLsh` would DROP under `maxBucket` — (band, bucket,
+    * cnt), so the cap is observable instead of silent: alert/log on
+    * `minhashLshDroppedBuckets(...).count() > 0`, or inspect the offending
+    * boilerplate clusters directly (the ids can be recovered by joining back
+    * on (band, bucket)).
+    */
+  def minhashLshDroppedBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bands: Int = 16,
+      rows: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    bandedSignatures(df, textCol, idCol, bands, rows, shingleN)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucket)
+
   def minhashLsh(
       df: DataFrame,
       textCol: String,
@@ -123,17 +159,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
-    // three projections: shingle once, md5 each shingle once, then the k
-    // cheap integer permutations over the materialized hash array
-    val withSig = df
-      .select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), shingleHashes(col("sh")).as("hs"))
-      .select(col("id"), minhashSigFromHashes(col("hs"), k).as("sig"))
-
-    val banded = withSig.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, textCol, idCol, bands, rows, shingleN)
 
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -222,10 +248,24 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val sets = df.select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
       .withColumn("setsize", size(col("sh")))
-    val inv = sets.select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
+    val inv0 = sets.select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
+    // shingle document-frequency cap: one boilerplate shingle shared by k
+    // docs creates a k² bucket in the self-join — at web scale that is THE
+    // skew risk. Capped shingles are dropped from the index (pairs whose
+    // only overlap is boilerplate stop matching; intersection counts become
+    // a lower bound for pairs that shared capped shingles). The hot set is
+    // tiny by construction → broadcast anti-join, no extra big shuffle.
+    val inv = maxDocFreq match {
+      case Some(m) =>
+        val hot = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("shingle")
+        inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => inv0
+    }
     val a = inv.select(col("shingle"), col("id").as("id_a"), col("setsize").as("size_a"))
     val b = inv.select(col("shingle"), col("id").as("id_b"), col("setsize").as("size_b"))
     a.join(b, Seq("shingle"))

@@ -109,7 +109,8 @@ object MLQueries {
         Text.fingerprintMd5(col("text")).as("fp_md5"))),
 
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id", shingleN = 3, threshold = 0.2)),
+      Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id", shingleN = 3, threshold = 0.2,
+        maxDocFreq = Some(1000))),
 
     "q_minhash_sig" -> ((s, d) =>
       t(s, d, "documents")
@@ -132,10 +133,12 @@ object MLQueries {
       Dedup.simhashDup(t(s, d, "documents"), "text", "doc_id", maxHamming = 16, segments = 4)),
 
     // threshold tuned to the driver data: embeddings are near-random
-    // (max pairwise cosine ≈ 0.51 at sf0.01), so 0.35 marks the "near" tail
+    // (max pairwise cosine ≈ 0.51 at sf0.01), so 0.35 marks the "near" tail.
+    // 24 planes / 4 bands = 6-bit buckets: candidate volume ~n²·bands/2^6
+    // (2-bit buckets made the bucket join quadratic-ish — 12 s at sf0.1)
     "q_embed_dup" -> ((s, d) =>
       Dedup.embeddingDup(t(s, d, "embeddings"), "embedding", "vec_id",
-        threshold = 0.35, planes = 8, bands = 4)),
+        threshold = 0.35, planes = 24, bands = 4)),
 
     // ------------------------------------------------------- similarity
     "q_embed_norm" -> ((s, d) =>
@@ -149,7 +152,7 @@ object MLQueries {
     "q_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
-        planes = 12, bands = 6)
+        planes = 24, bands = 4)
     }),
 
     // ----------------------------------------------------- text analysis
@@ -247,7 +250,9 @@ object MLQueries {
          |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
          |      i -> array_to_string(w[i:i+2], ' '))) AS sh
          |  FROM (SELECT doc_id, $NormWords AS w FROM documents)
-         |), inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM d)
+         |), inv0 AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM d),
+         |hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 1000),
+         |inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(count(*) AS DOUBLE) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) AS jaccard
          |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -356,9 +361,9 @@ object MLQueries {
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 16""".stripMargin,
     "q_embed_dup" ->
       s"""WITH v AS ($VecViews),
-         |sig AS (SELECT vec_id, e, (${hyperplaneSigSql(8, 42L)}) AS sig FROM v),
+         |sig AS (SELECT vec_id, e, (${hyperplaneSigSql(24, 42L)}) AS sig FROM v),
          |banded AS (
-         |  SELECT vec_id, e, sig, bd, ((sig >> CAST(bd * 2 AS INTEGER)) & 3) AS bucket
+         |  SELECT vec_id, e, sig, bd, ((sig >> CAST(bd * 6 AS INTEGER)) & 63) AS bucket
          |  FROM sig CROSS JOIN generate_series(0, 3) AS t(bd)
          |), cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS e_a, b.e AS e_b
@@ -368,10 +373,10 @@ object MLQueries {
          |FROM cand WHERE ${cosineSql("e_a", "e_b")} >= 0.35""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH v AS ($VecViews),
-         |sig AS (SELECT vec_id, e, (${hyperplaneSigSql(12, 42L)}) AS sig FROM v),
+         |sig AS (SELECT vec_id, e, (${hyperplaneSigSql(24, 42L)}) AS sig FROM v),
          |banded AS (
-         |  SELECT vec_id, e, sig, bd, ((sig >> CAST(bd * 2 AS INTEGER)) & 3) AS bucket
-         |  FROM sig CROSS JOIN generate_series(0, 5) AS t(bd)
+         |  SELECT vec_id, e, sig, bd, ((sig >> CAST(bd * 6 AS INTEGER)) & 63) AS bucket
+         |  FROM sig CROSS JOIN generate_series(0, 3) AS t(bd)
          |), cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id, q.e AS qe, c.e AS ce
          |  FROM banded q JOIN banded c ON q.bd = c.bd AND q.bucket = c.bucket

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Scale-guard behavior of the dedup family: shingle document-frequency cap
+  * and observable (non-silent) LSH bucket drops.
+  */
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 docs sharing one boilerplate sentence + unique content; 2 true dups
+  private lazy val docs = ((0 until 20).map { i =>
+    (i.toLong, s"all rights reserved footer text. unique body $i alpha beta gamma delta ${"x" * (i % 3)}")
+  } :+ (100L, "all rights reserved footer text. unique body 7 alpha beta gamma delta ")).toDF("doc_id", "text")
+
+  test("ngramJaccard maxDocFreq drops boilerplate-only pairs, keeps true dups") {
+    val uncapped = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // boilerplate shingles appear in every doc → every pair is a candidate
+    assert(uncapped.size > 50)
+    val capped = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.1,
+      maxDocFreq = Some(10))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // with the shared sentence capped away, only genuinely-similar pairs stay
+    assert(capped.contains((7L, 100L)), "true near-dup lost by the cap")
+    assert(capped.size < uncapped.size)
+  }
+
+  test("minhashLsh bucket cap is observable via minhashLshDroppedBuckets") {
+    // make every doc identical → one giant bucket per band
+    val same = (0 until 30).map(i => (i.toLong, "exactly the same text in every document body")).toDF("doc_id", "text")
+    val dropped = Dedup.minhashLshDroppedBuckets(same, "text", "doc_id",
+      bands = 4, rows = 2, maxBucket = 10)
+    assert(dropped.count() > 0, "oversize buckets must be reported")
+    assert(dropped.agg(max(col("cnt"))).head().getLong(0) == 30L)
+    // and the candidate join indeed excluded them
+    val pairs = Dedup.minhashLsh(same, "text", "doc_id", bands = 4, rows = 2,
+      threshold = 0.0, maxBucket = 10)
+    assert(pairs.count() == 0L)
+    // with a sane cap nothing is dropped and all pairs surface
+    assert(Dedup.minhashLshDroppedBuckets(same, "text", "doc_id",
+      bands = 4, rows = 2, maxBucket = 1000).count() == 0L)
+  }
+}

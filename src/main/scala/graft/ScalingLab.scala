@@ -18,7 +18,7 @@ object ScalingLab {
 
   case class Cfg(name: String, mode: String, buckets: Int = 64,
       maxPart: String = "128m", filesPerTrigger: Int = 48, tasksPerSlot: Int = 2,
-      openCost: String = "4194304")
+      openCost: String = "4194304", extraConf: Map[String, String] = Map.empty)
 
   val configs: Map[String, Cfg] = Seq(
     Cfg("mor", "mor"),
@@ -31,6 +31,11 @@ object ScalingLab {
     // batch-size sweep: per-trigger fixed cost vs amortization
     Cfg("morraw-ft24", "morraw", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 24),
     Cfg("morraw-ft96", "morraw", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 96),
+    // shuffle byte/CPU tradeoffs under single-box memory-bandwidth contention
+    Cfg("morraw-nocomp", "morraw", tasksPerSlot = 1, openCost = "134217728",
+      extraConf = Map("spark.shuffle.compress" -> "false")),
+    Cfg("morraw-zstd", "morraw", tasksPerSlot = 1, openCost = "134217728",
+      extraConf = Map("spark.io.compression.codec" -> "zstd")),
     Cfg("mor-t1-oc", "mor", tasksPerSlot = 1, openCost = "134217728"),
     Cfg("mor-mp32", "mor", maxPart = "32m"),
     Cfg("morraw-b256", "morraw", buckets = 256),
@@ -43,7 +48,9 @@ object ScalingLab {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
 
   private def session(cores: Int, cfg: Cfg): SparkSession = {
-    val s = SparkSession.builder()
+    val b0 = SparkSession.builder()
+    cfg.extraConf.foreach { case (k, v) => b0.config(k, v) }
+    val s = b0
       .master(s"local[$cores]")
       .appName(s"lab-$cores-${cfg.name}")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)

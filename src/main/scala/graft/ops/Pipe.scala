@@ -257,6 +257,40 @@ object Pipe {
     def assert_(pred: Column, metricName: String = "assert_dropped"): DataFrame =
       df.observe(metricName, sum(when(pred, 0L).otherwise(1L)).as("dropped")).filter(pred)
 
+    /** `fork { … }` — run two sub-pipelines over the SAME input (reference
+      * `fork.cpp`: copies the stream to a nested sink pipeline). The input is
+      * cached so the two branches share one scan; both results are returned —
+      * batch analogue of dual sinks (streaming uses two `foreachBatch`
+      * writers over one source).
+      */
+    def fork_(a: DataFrame => DataFrame, b: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      val shared = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (a(shared), b(shared))
+    }
+
+    /** `timeshift field by=<interval>` — shift event time (reference
+      * `timeshift.cpp`); pure column arithmetic, no shuffle.
+      */
+    def timeshift_(timeCol: String, by: Column): DataFrame =
+      df.withColumn(timeCol, col(timeCol) + by)
+
+    /** `set_attributes` — attach schema-level metadata to a field (reference
+      * `get_attributes.cpp`/`set_attributes.cpp`; Spark carries it in
+      * `StructField.metadata`, surviving parquet round-trips).
+      */
+    def setAttribute_(field: String, key: String, value: String): DataFrame = {
+      val existing = df.schema(field).metadata
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(existing).putString(key, value).build()
+      df.withColumn(field, col(field).as(field, md))
+    }
+
+    /** `get_attributes` — read a field's metadata attribute (None if absent). */
+    def getAttribute_(field: String, key: String): Option[String] = {
+      val md = df.schema(field).metadata
+      if (md.contains(key)) Some(md.getString(key)) else None
+    }
+
     // ------------------------------------------------- §2.2 enrich (contexts)
 
     /** `context::enrich key=f` — broadcast build-probe lookup join (reference

@@ -105,6 +105,12 @@ object CoreQueries {
         .deduplicateDistance_(Seq("user_id"), Seq(col("event_id")), distance = 100)
         .select_("event_id", "user_id")),
 
+    // first-class time shift (reference timeshift.cpp)
+    "q_timeshift" -> ((s, d) =>
+      t(s, d, "events")
+        .timeshift_("ts", expr("INTERVAL 36 HOURS"))
+        .select_("event_id", "ts")),
+
     // rate-adaptive sampling: each period's 1-in-k rate targets ~50 events
     // based on the previous period's count
     "q_sample_adaptive" -> ((s, d) =>
@@ -338,6 +344,8 @@ object CoreQueries {
         |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS seq FROM events),
         |g AS (SELECT *, lag(seq) OVER (PARTITION BY user_id ORDER BY seq) AS prev FROM e)
         |SELECT event_id, user_id FROM g WHERE prev IS NULL OR seq - prev > 100""".stripMargin,
+    "q_timeshift" ->
+      "SELECT event_id, ts + INTERVAL 36 HOUR AS ts FROM events",
     "q_sample_adaptive" ->
       """WITH b AS (SELECT event_id, user_id,
         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bb FROM events),

@@ -46,6 +46,24 @@ class PipePositionalSpec extends SparkSpec {
     assert(!kept.contains(2L))
   }
 
+  test("fork runs two branches over one cached input; attributes round-trip") {
+    val (evens, sum) = nums.fork_(
+      _.filter(col("id") % 2 === 0),
+      _.agg(org.apache.spark.sql.functions.sum(col("id"))))
+    assert(evens.count() == 500L)
+    assert(sum.head().getLong(0) == (0L until 1000L).sum)
+    val tagged = nums.setAttribute_("k", "unit", "bucket13")
+    assert(tagged.getAttribute_("k", "unit").contains("bucket13"))
+    assert(tagged.getAttribute_("k", "missing").isEmpty)
+    assert(nums.getAttribute_("k", "unit").isEmpty)
+  }
+
+  test("timeshift shifts event time by an interval") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).toDF("t")
+    val out = df.timeshift_("t", expr("INTERVAL 90 MINUTES")).head().getTimestamp(0)
+    assert(out == java.sql.Timestamp.valueOf("2024-01-01 01:30:00"))
+  }
+
   test("adaptive sample: first period passes, later periods target the rate") {
     // 3 daily periods with 400 events each, target 100/period
     val df = (0 until 1200).map { i =>

@@ -197,7 +197,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * `sortWithinPartitions(_urlhash, url)` gives deterministic file content for
     * replay comparison and clusters urls for scan locality.
     */
-  def writeDataFiles(rows: DataFrame, schemaId: Int, buckets: Int, nTasks: Int): Seq[DataFile] = {
+  def writeDataFiles(rows: DataFrame, schemaId: Int, buckets: Int, nTasks: Int,
+      maxRecordsPerFile: Long = 0L): Seq[DataFile] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId).toString
     graft.cdc.CdcApply.phase("spark-write") {
@@ -208,9 +209,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
       // round-robin slots are balanced.
       val n = math.max(1, nTasks)
       val bucketed = rows.withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
-      ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
+      val writer = ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
         .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
-        .write.partitionBy("_bucket").parquet(dir)
+        .write.partitionBy("_bucket")
+      // target file sizing: a 10^10-event table folded to one file per bucket
+      // would produce ~TB parquet files — split on a row target instead
+      // (readers/pruning already handle many files per bucket)
+      (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+       else writer).parquet(dir)
     }
     graft.cdc.CdcApply.phase("footer-stats") { collectDataFiles(dir, schemaId) }
   }
@@ -259,7 +265,8 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * Partial compaction (`maxFilesPerBucket > 1`) only bin-packs the worst
     * buckets and keeps the flag.
     */
-  def compact(maxFilesPerBucket: Int = 1, gcTombstonesBelowLsn: Option[Long] = None): Snapshot = {
+  def compact(maxFilesPerBucket: Int = 1, gcTombstonesBelowLsn: Option[Long] = None,
+      maxRecordsPerFile: Long = 4L * 1024 * 1024): Snapshot = {
     val snap = currentSnapshot.getOrElse(throw new IllegalStateException("no table"))
     val byBucket = snap.files.groupBy(_.bucket)
     val full = maxFilesPerBucket <= 1 && needsResolve(snap)
@@ -273,8 +280,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
       case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
       case None => in
     }
+    // default row target = the reference's own partition cap
+    // (defaults.hpp:220, 4 Mi events) — "one file per bucket" must not become
+    // a TB-scale file on a 10^10-event table
     val newFiles = writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
-      nTasks = math.max(1, target.size))
+      nTasks = math.max(1, target.size), maxRecordsPerFile = maxRecordsPerFile)
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
     val props =
       if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp

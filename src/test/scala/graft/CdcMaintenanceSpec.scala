@@ -77,6 +77,23 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(manifests <= 3, s"$manifests manifests retained")
   }
 
+  test("compaction splits output on the row target instead of one giant file") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "q", i.toLong,
+        createBuckets = 4)
+    }
+    val snap = table.compact(maxFilesPerBucket = 1, maxRecordsPerFile = 200L)
+    val perBucket = snap.files.groupBy(_.bucket)
+    assert(perBucket.values.exists(_.size > 1), "row target should split bucket files")
+    assert(snap.files.forall(_.rows <= 200L))
+    assert(pagesMap(table.pages(snap)) == golden)
+    // pruning stats still correct per split file: point lookups work
+    val (url, exp) = golden.head
+    val got = table.lookupUrl(snap, url).collect()
+    assert(got.length == 1 && got(0).getAs[String]("text") == exp._1)
+  }
+
   test("expireSnapshots sweeps crash orphans and unreferenced files") {
     val table = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

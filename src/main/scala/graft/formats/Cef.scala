@@ -55,6 +55,22 @@ object Cef {
       .withColumn("ext_key", col("__kv.key"))
       .withColumn("ext_value", col("__kv.value"))
       .drop("__kv")
+
+  /** Printer: header fields + extension map → one CEF line (`write_cef`).
+    * Pipes and backslashes in header fields are escaped per the spec.
+    */
+  def printLine(version: Column, vendor: Column, product: Column,
+      deviceVersion: Column, signatureId: Column, name: Column,
+      severity: Column, ext: Column): Column = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+    val extStr = array_join(
+      transform(map_entries(ext), e => concat(e.getField("key"), lit("="), e.getField("value"))),
+      " ")
+    concat_ws("|", concat(lit("CEF:"), version.cast("string")),
+      esc(vendor), esc(product), esc(deviceVersion), esc(signatureId), esc(name),
+      severity.cast("string"), extStr)
+  }
 }
 
 /** LEEF 1.0 / 2.0 parser. */

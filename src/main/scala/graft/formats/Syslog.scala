@@ -69,6 +69,30 @@ object Syslog5424 {
           transform(regexp_extract_all(e, lit(SdParamRegex), lit(2)), unescapeSd(_)))))
   }
 
+  /** Printer: header fields + SD map → one RFC 5424 line (`write_syslog`).
+    * Nulls print as `-`; SD param values escape `\` `"` `]`.
+    */
+  def printLine(facility: Column, severity: Column, ts: Column, hostname: Column,
+      appName: Column, procId: Column, msgId: Column, sd: Column,
+      message: Column): Column = {
+    def nil(c: Column): Column = coalesce(c.cast("string"), lit("-"))
+    val escV = (v: Column) => regexp_replace(v, """([\\"\]])""", """\\$1""")
+    val sdStr = when(sd.isNull || size(map_keys(sd)) === 0, lit("-")).otherwise(
+      array_join(transform(map_entries(sd), e =>
+        concat(lit("["), e.getField("key"),
+          when(size(map_keys(e.getField("value"))) > 0, concat(lit(" "),
+            array_join(transform(map_entries(e.getField("value")), p =>
+              concat(p.getField("key"), lit("=\""), escV(p.getField("value")), lit("\""))), " ")))
+            .otherwise(lit("")),
+          lit("]"))), ""))
+    concat(
+      lit("<"), (facility * 8 + severity).cast("string"), lit(">1 "),
+      nil(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")), lit(" "),
+      nil(hostname), lit(" "), nil(appName), lit(" "), nil(procId), lit(" "),
+      nil(msgId), lit(" "), sdStr,
+      when(message.isNotNull, concat(lit(" "), message)).otherwise(lit("")))
+  }
+
   /** SD exploded to one row per (sd_id, param, value) triple — the
     * flat/orderable shape used by the oracle compare.
     */

@@ -74,6 +74,25 @@ class FormatsSpec extends SparkSpec {
     assert(sd("x@1")("n") == "1")
   }
 
+  test("syslog/CEF printers round-trip through their parsers") {
+    val line =
+      """<165>1 2023-10-11T22:14:15 host1 app - ID47 [ex@32473 k="v" esc="a\"b\]c"] hello"""
+    val df = Seq(line).toDF("line")
+    val reprinted = df.select(Syslog5424.printLine(
+      lit(20L), lit(5L),
+      lit("2023-10-11T22:14:15").cast("timestamp_ntz"), lit("host1"), lit("app"),
+      lit(null).cast("string"), lit("ID47"),
+      Syslog5424.structuredData(col("line")), lit("hello")).as("out")).head().getString(0)
+    assert(reprinted == line, s"got: $reprinted")
+
+    val cef = "CEF:0|Ven\\|dor|Product|1.2|42|Port scan|7|src=10.0.0.1 spt=1232"
+    val printed = Seq(1).toDF("x").select(Cef.printLine(
+      lit(0L), lit("Ven|dor"), lit("Product"), lit("1.2"), lit("42"),
+      lit("Port scan"), lit(7L),
+      map(lit("src"), lit("10.0.0.1"), lit("spt"), lit("1232"))).as("out")).head().getString(0)
+    assert(printed == cef, s"got: $printed")
+  }
+
   // --------------------------------------------------------------- CEF/LEEF
 
   test("CEF: header fields and extension map") {

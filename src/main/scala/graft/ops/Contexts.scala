@@ -108,6 +108,19 @@ object Contexts {
       .otherwise(bitwise_not(call_function("shiftleft", lit(1L), (lit(32) - len).cast("int")) - 1L)
         .bitwiseAND(lit(0xFFFFFFFFL)))
 
+  /** Range-keyed enrichment — the `geoip` context shape (reference
+    * `libtenzir/builtins/contexts/geoip.cpp`: an mmdb is a sorted array of
+    * disjoint IP ranges with attached attributes). `ctx` holds
+    * `range_lo`/`range_hi` (inclusive) numeric bounds plus value columns;
+    * each event's `keyNum` probes via a broadcast range join — the context is
+    * small by contract, the event stream is never shuffled. Ranges are
+    * assumed disjoint (mmdb invariant); overlaps would duplicate events.
+    */
+  def enrichRange(events: DataFrame, keyNum: Column, ctx: DataFrame): DataFrame =
+    events.join(broadcast(ctx),
+      keyNum >= col("range_lo") && keyNum <= col("range_hi"), "left")
+      .drop("range_lo", "range_hi")
+
   /** Longest-prefix subnet enrichment: `ctx` holds `cidr` strings plus value
     * columns; each event's `ipCol` is matched against every subnet via a
     * broadcast join on the masked address, and the longest matching prefix

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Contexts
+import graft.ops.{Contexts, Privacy}
 
 /** Driver-checked query catalog, part 5: context enrichment — Bloom-filter
   * membership, TTL'd lookup tables, and subnet longest-prefix matching. The
@@ -17,6 +17,7 @@ object ContextQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   private val M = 16384 // bloom bits
+  private val PanKey = "graft-pan-key" // pseudonymization PRF key
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // membership context: build over customers, probe a hit/miss key mix
@@ -46,6 +47,32 @@ object ContextQueries {
         ctx, Seq("c_custkey"), col("o_orderdate"),
         createTimeoutSec = Some(90L * 86400), updateTimeoutSec = Some(120L * 86400))
         .select("o_orderkey", "c_custkey", "c_name")
+    }),
+
+    // range-keyed context (the geoip shape: disjoint numeric ranges + values)
+    "q_enrich_range" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val ctx = Seq(
+        (0L, 999999999L, "apnic"),
+        (1000000000L, 1999999999L, "ripe"),
+        (2000000000L, 2999999999L, "arin"),
+        (3000000000L, 4294967295L, "lacnic")).toDF("range_lo", "range_hi", "rir")
+      val ev = t(s, d, "events").select(
+        col("event_id"),
+        pmod(col("event_id") * 2654435761L, lit(4294967296L)).as("ipn"))
+      Contexts.enrichRange(ev, col("ipn"), ctx)
+    }),
+
+    // Crypto-PAn-structured prefix-preserving pseudonymization
+    "q_pseudonymize" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        col("event_id"),
+        pmod(col("event_id") * 2654435761L, lit(4294967296L)).as("ipn"))
+      ev.select(
+        col("event_id"),
+        Privacy.numToDotted(col("ipn")).as("ip"),
+        Privacy.numToDotted(Privacy.pseudonymizeIp(col("ipn"), PanKey)).as("pseudo_ip"))
     }),
 
     // subnet longest-prefix context
@@ -95,6 +122,22 @@ object ContextQueries {
         |        AND o_orderdate < updated_ts + to_seconds(120 * 86400)
         |       THEN c_name END AS c_name
         |FROM orders LEFT JOIN ctx ON o_custkey = ctx.c_custkey""".stripMargin,
+    "q_enrich_range" ->
+      """WITH ctx(range_lo, range_hi, rir) AS (VALUES
+        |  (0, 999999999, 'apnic'), (1000000000, 1999999999, 'ripe'),
+        |  (2000000000, 2999999999, 'arin'), (3000000000, 4294967295, 'lacnic')),
+        |ev AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ipn FROM events)
+        |SELECT ev.event_id, ev.ipn, ctx.rir
+        |FROM ev LEFT JOIN ctx ON ev.ipn >= ctx.range_lo AND ev.ipn <= ctx.range_hi""".stripMargin,
+    "q_pseudonymize" -> {
+      def dotted(e: String) =
+        s"concat(CAST((($e) >> 24) & 255 AS VARCHAR), '.', CAST((($e) >> 16) & 255 AS VARCHAR), " +
+          s"'.', CAST((($e) >> 8) & 255 AS VARCHAR), '.', CAST(($e) & 255 AS VARCHAR))"
+      s"""WITH ip AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ipn FROM events),
+         |p AS (SELECT event_id, ipn,
+         |  ${graft.ops.Privacy.pseudonymizeIpSql("ipn", PanKey)} AS pn FROM ip)
+         |SELECT event_id, ${dotted("ipn")} AS ip, ${dotted("pn")} AS pseudo_ip FROM p""".stripMargin
+    },
     "q_enrich_subnet" ->
       """WITH ctx(cidr, tag) AS (VALUES
         |  ('10.0.0.0/8', 'wide'), ('10.5.0.0/16', 'mid'), ('10.5.1.0/24', 'narrow')),

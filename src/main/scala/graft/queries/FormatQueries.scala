@@ -146,7 +146,14 @@ object FormatQueries {
     "q_repeat" -> ((s, d) => {
       val base = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
       Seq.fill(3)(base).reduce(_ union _)
-    })
+    }),
+
+    // ------------------------------------------- `shell` escape hatch (§2.8)
+    // pipe p_name through `tr a-z A-Z` — the external command is the operator
+    // under test; the oracle recomputes its effect with upper()
+    "q_shell" -> ((s, d) =>
+      graft.ops.Shell.shell_(t(s, d, "part").select(col("p_name")), "p_name",
+        Seq("tr", "a-z", "A-Z")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,6 +225,7 @@ object FormatQueries {
     "q_repeat" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region
-        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin
+        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
+    "q_shell" -> "SELECT upper(p_name) AS p_name FROM part"
   )
 }

@@ -77,4 +77,39 @@ object StreamOps {
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** `delay field [speed=x]` — re-emit events on the cadence of their own
+    * event-time column (reference
+    * `/root/reference/libtenzir/builtins/operators/delay.cpp`: sleeps each
+    * batch until `anchor + (ts - start) / speed`). Spark mapping: a
+    * foreachBatch pacer — before handing a micro-batch to `sink`, sleep until
+    * the wall-clock anchor plus the batch's max event-time offset (divided by
+    * `speed`) has passed. Pacing is driver-side and batch-granular: the
+    * micro-batch is the unit of emission in Structured Streaming, and a
+    * two-row aggregate per batch costs nothing while the batch itself never
+    * funnels through the driver.
+    */
+  def delayedSink(
+      tsCol: String,
+      speed: Double,
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    var anchorWallMs = -1L
+    var anchorEventMs = -1L
+    (batch: DataFrame, id: Long) => {
+      val mm = batch
+        .agg((min(col(tsCol)).cast("double") * 1000).cast("long"),
+          (max(col(tsCol)).cast("double") * 1000).cast("long"))
+        .head()
+      if (!mm.isNullAt(0)) {
+        if (anchorWallMs < 0) {
+          anchorWallMs = System.currentTimeMillis()
+          anchorEventMs = mm.getLong(0)
+        }
+        val targetWall = anchorWallMs + ((mm.getLong(1) - anchorEventMs) / speed).toLong
+        val sleepMs = targetWall - System.currentTimeMillis()
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+      sink(batch, id)
+    }
+  }
 }

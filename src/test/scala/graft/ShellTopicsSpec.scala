@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Shell
+import graft.streaming.{StreamOps, Topics}
+
+class ShellTopicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shell_ pipes lines through an external command, per partition") {
+    val df = Seq("alpha", "bravo", "charlie", "delta").toDF("line").repartition(3)
+    val up = Shell.shell_(df, "line", Seq("tr", "a-z", "A-Z"))
+    assert(up.as[String].collect().toSet ==
+      Set("ALPHA", "BRAVO", "CHARLIE", "DELTA"))
+  }
+
+  test("shell_ supports commands that drop or add lines") {
+    val df = Seq("alpha", "bravo", "charlie", "delta").toDF("line").repartition(2)
+    // grep filters: only lines containing "lt" survive (grep exits 1 on
+    // no-match partitions — that is not an error for the stream contract)
+    val filtered = Shell.shell_(df, "line", Seq("grep", "lt"))
+    assert(filtered.as[String].collect().toSeq == Seq("delta"))
+    // sed duplicates every line
+    val doubled = Shell.shell_(df, "line", Seq("sed", "p"))
+    assert(doubled.count() == 8)
+  }
+
+  test("publish/subscribe: batch fan-in and fan-out over a topic") {
+    val topic = tmpDir("topic")
+    try {
+      Topics.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), topic)
+      Topics.publish(Seq((3L, "c")).toDF("id", "v"), topic) // second producer
+      val got = Topics.subscribe(spark, topic).as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(topic))
+  }
+
+  test("subscribeStream tails a topic across later publishes") {
+    val topic = tmpDir("topicstream")
+    try {
+      val schema = Seq((0L, "")).toDF("id", "v").schema
+      Topics.publish(Seq((1L, "a")).toDF("id", "v"), topic)
+      val q = Topics.subscribeStream(spark, topic, schema)
+        .writeStream.format("memory").queryName("sub").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Topics.publish(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), topic)
+        q.processAllAvailable()
+        val got = spark.table("sub").as[(Long, String)].collect().toSet
+        assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(topic))
+  }
+
+  test("delayedSink paces batches by event-time cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L
+    val input = MemoryStream[(Timestamp, Long)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batch, wallMs)
+    val paced = StreamOps.delayedSink("ts", speed = 4.0,
+      (batch, id) => emitted.synchronized { emitted += ((id, System.currentTimeMillis())) })
+    val q = input.toDF().toDF("ts", "v").writeStream
+      .foreachBatch(paced).start()
+    try {
+      input.addData((new Timestamp(t0), 1L))
+      q.processAllAvailable()
+      // second batch is 2 event-seconds later; at speed=4 it may emit no
+      // earlier than ~500 ms after the anchor batch
+      input.addData((new Timestamp(t0 + 2000L), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = emitted.sortBy(_._1).map(_._2)
+    assert(byBatch.size == 2)
+    assert(byBatch(1) - byBatch(0) >= 400L,
+      s"second batch emitted only ${byBatch(1) - byBatch(0)} ms after first")
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Ip
 import graft.ops.{Contexts, Privacy}
 
 /** Driver-checked query catalog, part 5: context enrichment — Bloom-filter
@@ -62,6 +63,25 @@ object ContextQueries {
         col("event_id"),
         pmod(col("event_id") * 2654435761L, lit(4294967296L)).as("ipn"))
       Contexts.enrichRange(ev, col("ipn"), ctx)
+    }),
+
+    // ip/subnet scalar-function module (is_v4, numeric form, network mask,
+    // CIDR containment, RFC1918) over a valid/malformed IP mix
+    "q_ipfns" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        col("event_id"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit("999.1.1.1"))
+          .otherwise(concat(
+            lit("10."), pmod(col("user_id"), lit(200)).cast("string"),
+            lit("."), pmod(col("event_id"), lit(256)).cast("string"),
+            lit(".25"))).as("ip"))
+      ev.select(
+        col("event_id"), col("ip"),
+        Ip.isV4(col("ip")).as("is_v4"),
+        Ip.safeIpToLong(col("ip")).as("ipn"),
+        when(Ip.isV4(col("ip")), Ip.network(col("ip"), lit(12))).as("net12"),
+        Ip.cidrContains(lit("10.64.0.0/10"), col("ip")).as("in_10_64_10"),
+        Ip.isPrivate(col("ip")).as("is_private"))
     }),
 
     // Crypto-PAn-structured prefix-preserving pseudonymization
@@ -129,6 +149,29 @@ object ContextQueries {
         |ev AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ipn FROM events)
         |SELECT ev.event_id, ev.ipn, ctx.rir
         |FROM ev LEFT JOIN ctx ON ev.ipn >= ctx.range_lo AND ev.ipn <= ctx.range_hi""".stripMargin,
+    "q_ipfns" -> {
+      val v4re = """^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$"""
+      def dotted(e: String) =
+        s"concat(CAST((($e) >> 24) & 255 AS VARCHAR), '.', CAST((($e) >> 16) & 255 AS VARCHAR), " +
+          s"'.', CAST((($e) >> 8) & 255 AS VARCHAR), '.', CAST(($e) & 255 AS VARCHAR))"
+      s"""WITH ev AS (SELECT event_id,
+         |  CASE WHEN event_id % 7 = 0 THEN '999.1.1.1'
+         |       ELSE concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
+         |                   CAST(event_id % 256 AS VARCHAR), '.25') END AS ip
+         |  FROM events),
+         |n AS (SELECT event_id, ip, regexp_matches(ip, '$v4re') AS is_v4,
+         |  CASE WHEN regexp_matches(ip, '$v4re') THEN
+         |    CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+         |    + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+         |    + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+         |    + CAST(split_part(ip, '.', 4) AS BIGINT) END AS ipn FROM ev)
+         |SELECT event_id, ip, is_v4, ipn,
+         |  CASE WHEN is_v4 THEN ${dotted("ipn & 4293918720")} END AS net12,
+         |  (ipn & 4290772992) = 171966464 AS in_10_64_10,
+         |  ((ipn & 4278190080) = 167772160 OR (ipn & 4293918720) = 2886729728
+         |   OR (ipn & 4294901760) = 3232235520) AS is_private
+         |FROM n""".stripMargin
+    },
     "q_pseudonymize" -> {
       def dotted(e: String) =
         s"concat(CAST((($e) >> 24) & 255 AS VARCHAR), '.', CAST((($e) >> 16) & 255 AS VARCHAR), " +

@@ -7,10 +7,12 @@ import graft.functions.Ip
 import graft.ops.{Contexts, Privacy}
 
 /** Driver-checked query catalog, part 5: context enrichment — Bloom-filter
-  * membership, TTL'd lookup tables, and subnet longest-prefix matching. The
-  * Bloom filter is md5h60-built, so the DuckDB oracle constructs the
-  * IDENTICAL filter (including its false positives) from the same build
-  * side.
+  * membership, TTL'd lookup tables, subnet longest-prefix matching,
+  * geoip-style range contexts — plus the ip/subnet scalar-function module
+  * and Crypto-PAn-structured pseudonymization. The Bloom filter and the
+  * pseudonymizer are md5h60-based, so the DuckDB oracle reconstructs the
+  * IDENTICAL filter (false positives included) and the identical 32-bit
+  * prefix-preserving mapping.
   */
 object ContextQueries {
 

@@ -31,12 +31,14 @@ import graft.core.Schemas
   * `src/catalog.cpp:98-106`), pruning read path (`src/catalog.cpp:120-171`),
   * `rebuild` compaction (`libtenzir/builtins/commands/rebuild.cpp:45-77`).
   */
-class LakeTable(val spark: SparkSession, val root: String) {
+class LakeTable(val spark: SparkSession, val root: String,
+    val lineageRetention: Int = LakeTable.LineageRetention) {
 
   private val conf = spark.sessionState.newHadoopConf()
   private def fs: FileSystem = new Path(root).getFileSystem(conf)
   private val manifestDir = new Path(root, "manifests")
   private val dataDir = new Path(root, "data")
+  private val lineageDir = new Path(root, "lineage")
 
   def exists: Boolean = fs.exists(manifestDir) && latestVersion.isDefined
 
@@ -71,13 +73,40 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val resolved = snap.copy(
       version = v,
       parentVersion = latestVersion.getOrElse(-1L),
-      lineage = snap.lineage.takeRight(LakeTable.LineageRetention)
+      lineage = snap.lineage.takeRight(lineageRetention)
         .map(le => if (le.snapshotVersion < 0) le.copy(snapshotVersion = v) else le))
     val out = fs.create(versionPath(v), false) // overwrite=false: atomic claim
     try out.write(ManifestCodec.toJson(resolved).getBytes("UTF-8"))
     finally out.close()
+    // Durable full-history lineage: one immutable delta file per commit with
+    // the entries this commit added (those resolved to version v) — O(1) per
+    // commit regardless of table age, survives both the in-snapshot tail
+    // trim (lineageRetention) and expireSnapshots manifest deletion.
+    val fresh = resolved.lineage.filter(_.snapshotVersion == v)
+    if (fresh.nonEmpty) {
+      fs.mkdirs(lineageDir)
+      val lo = fs.create(new Path(lineageDir, f"v$v%012d.jsonl"), true)
+      try lo.write(fresh.map(ManifestCodec.lineageToJson)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally lo.close()
+    }
     resolved
   }
+
+  /** Full per-batch lineage history from the append-only commit log (oldest
+    * first) — unlike `currentSnapshot.lineage` this is not trimmed to the
+    * retention tail and is not lost when `expireSnapshots` deletes old
+    * manifest versions. Driver-side: one small file per commit.
+    */
+  def lineageLog: Seq[LineageEntry] =
+    if (!fs.exists(lineageDir)) Nil
+    else fs.listStatus(lineageDir).map(_.getPath).sortBy(_.getName).toSeq.flatMap { p =>
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      text.split('\n').filter(_.nonEmpty).map(ManifestCodec.lineageFromJson).toSeq
+    }
 
   def create(userSchema: StructType, buckets: Int): Snapshot = {
     require(!exists, s"table already exists at $root")
@@ -348,8 +377,11 @@ class LakeTable(val spark: SparkSession, val root: String) {
 }
 
 object LakeTable {
-  /** Max lineage entries carried in the *current* manifest; full history
-    * remains readable in older version files (time travel).
+  /** Max lineage entries carried in the *current* manifest (so a long-lived
+    * stream's per-commit manifest write stays O(files + retention), never
+    * O(all batches ever)); the untrimmed history lives in the append-only
+    * per-commit `lineage/` log ([[LakeTable.lineageLog]]), which survives
+    * `expireSnapshots`.
     */
   val LineageRetention = 1000
 

@@ -59,6 +59,10 @@ object ManifestCodec {
   private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
   def toJson(s: Snapshot): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(s)
+  /** One compact JSON line per lineage entry (the append-only commit log). */
+  def lineageToJson(e: LineageEntry): String = mapper.writeValueAsString(e)
+  def lineageFromJson(line: String): LineageEntry =
+    mapper.readValue(line, classOf[LineageEntry])
   def fromJson(j: String): Snapshot = {
     val s = mapper.readValue(j, classOf[Snapshot])
     // Type erasure: Jackson fills Map[String, Long] with boxed Integers for

@@ -94,6 +94,25 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getAs[String]("text") == exp._1)
   }
 
+  test("lineage log keeps full history past the snapshot tail and expiry") {
+    val table = new LakeTable(spark, tmpDir(), lineageRetention = 2)
+    val groups = segGroups(allEvents, 3) // 4 batches > retention 2
+    groups.zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "lin", i.toLong,
+        createBuckets = 8)
+    }
+    val snap = table.currentSnapshot.get
+    assert(groups.size > 2 && snap.lineage.size == 2, "snapshot carries only the tail")
+    // the append-only log has every batch with its real counts and lsn range
+    val log = table.lineageLog
+    assert(log.map(_.batchId) == groups.indices.map(_.toLong))
+    assert(log.map(_.events).sum == allEvents.size)
+    assert(log.forall(e => e.minLsn <= e.maxLsn && e.snapshotVersion >= 0))
+    // manifest expiry deletes old versions but never the lineage history
+    table.expireSnapshots(keepLast = 1)
+    assert(table.lineageLog == log)
+  }
+
   test("expireSnapshots sweeps crash orphans and unreferenced files") {
     val table = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

@@ -295,8 +295,29 @@ class LakeTable(val spark: SparkSession, val root: String,
     * buckets and keeps the flag.
     */
   def compact(maxFilesPerBucket: Int = 1, gcTombstonesBelowLsn: Option[Long] = None,
-      maxRecordsPerFile: Long = 4L * 1024 * 1024): Snapshot = {
+      maxRecordsPerFile: Long = 4L * 1024 * 1024, rebucket: Option[Int] = None): Snapshot = {
     val snap = currentSnapshot.getOrElse(throw new IllegalStateException("no table"))
+    rebucket.filter(_ != snap.buckets).foreach { nb =>
+      // Bucket-count evolution: a table created at 64 buckets must not still
+      // have 64 ~150GB buckets at 10^10 rows. Rebucketing is a full rewrite
+      // by construction (bucket = hash(url) % n changes for every row — the
+      // same is true of Iceberg partition-spec evolution), so it rides the
+      // full-compaction path: resolve once, write under the new count, and
+      // publish a snapshot whose readers/pruners use the new count. Old
+      // snapshots keep their own bucket count — time travel stays correct.
+      require(nb > 0, "bucket count must be positive")
+      val schema = currentFileSchema(snap)
+      val in = resolve(readFiles(snap, snap.files, schema))
+      val kept = gcTombstonesBelowLsn match {
+        case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
+        case None => in
+      }
+      val nTasks = math.max(1, math.min(nb, spark.sparkContext.defaultParallelism * 2))
+      val newFiles = writeDataFiles(kept, snap.currentSchemaId, nb,
+        nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile)
+      return commit(snap.copy(files = newFiles, buckets = nb,
+        props = snap.props - LakeTable.NeedsResolveProp))
+    }
     val byBucket = snap.files.groupBy(_.bucket)
     val full = maxFilesPerBucket <= 1 && needsResolve(snap)
     val victims = byBucket.filter(_._2.size > maxFilesPerBucket)

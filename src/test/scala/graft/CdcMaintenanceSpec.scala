@@ -94,6 +94,28 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getAs[String]("text") == exp._1)
   }
 
+  test("rebucket evolves the bucket count; reads, pruning, time travel intact") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "rb", i.toLong,
+        createBuckets = 8)
+    }
+    val before = table.currentSnapshot.get
+    assert(before.buckets == 8)
+    val snap = table.compact(rebucket = Some(32))
+    assert(snap.buckets == 32)
+    assert(snap.files.map(_.bucket).toSet.subsetOf((0 until 32).toSet))
+    assert(snap.files.map(_.bucket).toSet.size > 8, "rows spread over the new buckets")
+    assert(!table.needsResolve(snap))
+    assert(pagesMap(table.pages()) == golden)
+    // manifest pruning under the NEW count: point lookup touches few files
+    val (url, exp) = golden.head
+    val got = table.lookupUrl(snap, url).collect()
+    assert(got.length == 1 && got(0).getAs[String]("text") == exp._1)
+    // time travel: the pre-rebucket snapshot still reads with its own count
+    assert(pagesMap(table.pages(table.snapshotAt(before.version))) == golden)
+  }
+
   test("lineage log keeps full history past the snapshot tail and expiry") {
     val table = new LakeTable(spark, tmpDir(), lineageRetention = 2)
     val groups = segGroups(allEvents, 3) // 4 batches > retention 2

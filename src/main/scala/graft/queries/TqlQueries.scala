@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.tql.Tql
+
+/** Driver-checked query catalog, part 6: pipelines expressed as TQL2-subset
+  * *strings* and compiled by [[graft.tql.Tql]] to the same Catalyst plans the
+  * Scala surface produces (reference grammar:
+  * `/root/reference/web/docs/tql2/language/statements.md`). Each query has a
+  * DuckDB oracle, so the string→plan compiler itself is under the hard
+  * correctness gate, not just ScalaTest.
+  */
+object TqlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // where + assignment + summarize + auto/named aggregation names
+    "q_tql_summarize" -> ((s, d) =>
+      Tql("""
+        where l_quantity > 10
+        summarize l_returnflag, l_linestatus, n=count(), qty=sum(l_quantity), hi=max(l_extendedprice)
+      """)(t(s, d, "lineitem"))),
+
+    // sort (mixed asc/desc) feeding head, with a total tiebreak order
+    "q_tql_tophead" -> ((s, d) =>
+      Tql("""
+        where o_totalprice > 100000.0
+        sort -o_totalprice, o_orderkey
+        head 50
+        select o_orderkey, o_totalprice
+      """)(t(s, d, "orders"))),
+
+    // enumerate over an explicit sort + modulo filter + int() cast
+    "q_tql_enumerate" -> ((s, d) =>
+      Tql("""
+        sort o_orderkey | enumerate idx | idx = int(idx)
+        where idx % 100 == 0 | select idx, o_orderkey
+      """)(t(s, d, "orders"))),
+
+    // scalar functions, UFCS sugar, arithmetic on key columns
+    "q_tql_scalar" -> ((s, d) =>
+      Tql("""
+        where c_acctbal >= 0.0 and c_name.contains("1")
+        name = to_upper(c_name)
+        key2 = c_custkey * 2 + 1
+        select c_custkey, name, key2
+      """)(t(s, d, "customer"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tql_summarize" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty,
+         max(l_extendedprice) AS hi
+         FROM lineitem WHERE l_quantity > 10 GROUP BY 1, 2""",
+    "q_tql_tophead" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q_tql_enumerate" ->
+      """SELECT idx, o_orderkey FROM (
+           SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS idx, o_orderkey FROM orders
+         ) WHERE idx % 100 = 0""",
+    "q_tql_scalar" ->
+      """SELECT c_custkey, upper(c_name) AS name, c_custkey * 2 + 1 AS key2
+         FROM customer WHERE c_acctbal >= 0.0 AND contains(c_name, '1')""")
+}

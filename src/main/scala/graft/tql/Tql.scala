@@ -1,0 +1,449 @@
+package graft.tql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pipe._
+
+/** A TQL2-subset pipeline compiler: the reference's string query surface
+  * (`/root/reference/web/docs/tql2/language/statements.md`; operator grammar
+  * per-op under `web/docs/tql2/operators/`) compiled to DataFrame
+  * transforms — `Tql("where x > 5 | select user_id, n = x + 1")` returns a
+  * `DataFrame => DataFrame`.
+  *
+  * Everything compiles to built-in Catalyst expressions (the same `Pipe`
+  * operators the Scala surface uses); nothing is interpreted per row, so a
+  * TQL-compiled pipeline has the identical physical plan to its hand-written
+  * DataFrame twin. This is the `sigma`-plugin pattern
+  * (`plugins/sigma/src/parse.cpp:492-540`) applied to the whole operator
+  * language rather than one rule format.
+  *
+  * Supported statements (newline or `|` separated, TQL2 grammar):
+  * `where`, `select`, `drop`, `rename`, bare assignment (`set`), `sort`
+  * (with `-expr` descending), `head n`, `tail n`, `taste n`, `unique`,
+  * `deduplicate keys… [limit=n]`, `summarize (group|name=agg())…`,
+  * `unroll f`, `enumerate [f]`, `slice b:e[:stride]`, `top f [n]`,
+  * `rare f [n]`, `pass`, `discard`.
+  *
+  * Expressions: literals (`1`, `1.5`, `"s"`, `true`, `null`), field paths
+  * (`a.b`), arithmetic, comparisons, `and`/`or`/`not`, `in [v, …]`, list
+  * literals, function calls (whitelist below), and UFCS method sugar
+  * (`x.starts_with("a")` ≡ `starts_with(x, "a")`).
+  *
+  * Positional operators (`tail`/`enumerate`/`slice`/deterministic
+  * `deduplicate`) take their order from the most recent `sort` in the
+  * pipeline — the compiler tracks it; using them unsorted is an error
+  * (Spark streams have no implicit event order, unlike the reference's
+  * single-node pipeline; demanding a sort makes the semantics exact).
+  */
+object Tql {
+
+  def apply(pipeline: String): DataFrame => DataFrame = compile(pipeline)
+
+  def compile(pipeline: String): DataFrame => DataFrame = {
+    val stmts = new Parser(Lexer.tokenize(pipeline)).parsePipeline()
+    df => stmts.foldLeft(new State(df, Nil))((st, stmt) => stmt(st)).df
+  }
+
+  // ------------------------------------------------------------------ lexer
+
+  sealed trait Tok
+  case class Ident(s: String) extends Tok
+  case class Num(s: String) extends Tok
+  case class Str(s: String) extends Tok
+  case class Punct(s: String) extends Tok
+  case object Sep extends Tok // '|' or newline: statement separator
+
+  private object Lexer {
+    private val puncts = Seq("==", "!=", "<=", ">=", "&&", "||",
+      "<", ">", "+", "-", "*", "/", "%", "(", ")", "[", "]", "{", "}",
+      ",", "=", ":", ".")
+
+    def tokenize(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      var depth = 0 // newlines inside (…)/[…] are not separators
+      while (i < s.length) {
+        val c = s(i)
+        if (c == '\n') { if (depth == 0) out += Sep; i += 1 }
+        else if (c.isWhitespace) i += 1
+        else if (c == '|') { out += Sep; i += 1 }
+        else if (c == '#') { while (i < s.length && s(i) != '\n') i += 1 } // comment
+        else if (c == '"') {
+          val sb = new StringBuilder; i += 1
+          while (i < s.length && s(i) != '"') {
+            if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
+            else { sb += s(i); i += 1 }
+          }
+          require(i < s.length, "unterminated string literal")
+          i += 1
+          out += Str(sb.toString)
+        }
+        else if (c.isDigit) {
+          val start = i
+          while (i < s.length && (s(i).isDigit || s(i) == '.') &&
+            // "1:2" and "1..2" stay separate tokens; only one dot, digit-led
+            !(s(i) == '.' && (i + 1 >= s.length || !s(i + 1).isDigit))) i += 1
+          out += Num(s.substring(start, i))
+        }
+        else if (c.isLetter || c == '_') {
+          val start = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          out += Ident(s.substring(start, i))
+        }
+        else {
+          puncts.find(p => s.startsWith(p, i)) match {
+            case Some(p) =>
+              if (p == "(" || p == "[") depth += 1
+              if (p == ")" || p == "]") depth = math.max(0, depth - 1)
+              out += Punct(p); i += p.length
+            case None => sys.error(s"tql: unexpected character '$c' at $i")
+          }
+        }
+      }
+      // collapse runs of separators and trim the ends
+      out.result().foldLeft(Vector.empty[Tok]) {
+        case (acc, Sep) if acc.isEmpty || acc.last == Sep => acc
+        case (acc, t) => acc :+ t
+      }.reverse.dropWhile(_ == Sep).reverse
+    }
+  }
+
+  // ------------------------------------------------------------ parser state
+
+  /** `order`: (expr, descending) keys of the most recent `sort`, consumed by
+    * positional ops. Kept unwrapped — a `SortOrder` can't be re-wrapped (e.g.
+    * reversed for `tail`) without a codegen-fatal nested SortOrder.
+    */
+  private class State(val df: DataFrame, val orderKeys: Seq[(Column, Boolean)]) {
+    def order: Seq[Column] =
+      orderKeys.map { case (e, desc) => if (desc) e.desc_nulls_last else e.asc_nulls_last }
+    def reversed: Seq[Column] =
+      orderKeys.map { case (e, desc) => if (desc) e.asc_nulls_first else e.desc_nulls_first }
+  }
+  private type Stmt = State => State
+
+  private class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = toks.lift(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def accept(p: String): Boolean = peek match {
+      case Some(Punct(`p`)) => pos += 1; true
+      case _ => false
+    }
+    private def expect(p: String): Unit =
+      require(accept(p), s"tql: expected '$p' at token ${peek.getOrElse("<end>")}")
+    private def atStatementEnd: Boolean = peek.forall(_ == Sep)
+
+    def parsePipeline(): Seq[Stmt] = {
+      val stmts = Seq.newBuilder[Stmt]
+      while (peek.isDefined) {
+        stmts += parseStatement()
+        while (peek.contains(Sep)) next()
+      }
+      stmts.result()
+    }
+
+    private def parseStatement(): Stmt = next() match {
+      case Ident("where") => val e = parseExpr(); st => new State(st.df.where_(e), st.orderKeys)
+      case Ident("pass") => st => st
+      case Ident("discard") => st => new State(st.df.limit(0), st.orderKeys)
+      case Ident("unique") => st => new State(st.df.distinct(), st.orderKeys)
+      case Ident("drop") =>
+        val fs = parseFieldList(); st => new State(st.df.drop_(fs: _*), st.orderKeys)
+      case Ident("select") =>
+        val items = parseCommaList(parseSelectItem)
+        st => new State(st.df.select(items: _*), st.orderKeys)
+      case Ident("rename") =>
+        val pairs = parseCommaList { () =>
+          val to = parsePath().mkString(".")
+          expect("="); val from = parsePath().mkString("."); (to, from)
+        }
+        st => new State(st.df.rename_(pairs: _*), st.orderKeys)
+      case Ident("set") => parseAssignments()
+      case Ident("sort") =>
+        val keys = parseCommaList { () =>
+          if (accept("-")) (parseExpr(unary = true), true)
+          else (parseExpr(unary = true), false)
+        }
+        st => {
+          val next = new State(st.df, keys)
+          new State(next.df.sort_(next.order: _*), keys)
+        }
+      case Ident("head") =>
+        val n = parseInt(); st => new State(
+          if (st.order.nonEmpty) st.df.head_(n, st.order) else st.df.limit(n), st.orderKeys)
+      case Ident("tail") =>
+        val n = parseInt()
+        st => {
+          require(st.order.nonEmpty, "tql: tail requires a preceding sort")
+          new State(st.df.tail_(n, st.order, st.reversed), st.orderKeys)
+        }
+      case Ident("taste") =>
+        val n = parseInt(); st => new State(st.df.limit(n), st.orderKeys)
+      case Ident("enumerate") =>
+        val field = peek match {
+          case Some(Ident(f)) if !atStatementEnd => next(); f
+          case _ => "index"
+        }
+        st => {
+          require(st.order.nonEmpty, "tql: enumerate requires a preceding sort")
+          new State(st.df.enumerate_(st.order, field), st.orderKeys)
+        }
+      case Ident("slice") =>
+        val begin = parseSignedInt(); expect(":"); val end = parseSignedInt()
+        val stride = if (accept(":")) parseInt() else 1
+        st => {
+          require(st.order.nonEmpty, "tql: slice requires a preceding sort")
+          new State(st.df.slice_(begin, end, st.order, stride = stride), st.orderKeys)
+        }
+      case Ident("deduplicate") =>
+        val keys = parseFieldList()
+        val limit = if (accept(",")) { // trailing limit=n option
+          val Ident("limit") = next(): @unchecked; expect("="); parseInt()
+        } else 1
+        st => new State(st.df.deduplicate_(
+          keys, if (st.order.nonEmpty) st.order else keys.map(col), limit), st.orderKeys)
+      case Ident("top") =>
+        val f = parsePath().mkString(".")
+        val n = peek match { case Some(Num(_)) => parseInt(); case _ => 10 }
+        st => new State(st.df.top_(f, n), st.orderKeys)
+      case Ident("rare") =>
+        val f = parsePath().mkString(".")
+        val n = peek match { case Some(Num(_)) => parseInt(); case _ => 10 }
+        st => new State(st.df.rare_(f, n), st.orderKeys)
+      case Ident("unroll") =>
+        val f = parsePath().mkString("."); st => new State(st.df.unroll_(f), st.orderKeys)
+      case Ident("summarize") =>
+        val (groups, aggs) = parseSummarizeItems()
+        st => new State(st.df.summarize_(groups, aggs: _*), Nil)
+      case Ident(_) if peek.contains(Punct("=")) || peek.contains(Punct(".")) =>
+        // bare assignment statement: `x = expr` / `a.b = expr` (the `set` op)
+        pos -= 1; parseAssignments()
+      case t => sys.error(s"tql: unknown operator at $t")
+    }
+
+    private def parseAssignments(): Stmt = {
+      val pairs = parseCommaList { () =>
+        val name = parsePath().mkString("."); expect("="); (name, parseExpr())
+      }
+      st => new State(pairs.foldLeft(st.df) { case (d, (n, e)) => d.set_(n, e) }, st.orderKeys)
+    }
+
+    private def parseSelectItem(): Column = {
+      val path = parsePath()
+      if (accept("=")) parseExpr().as(path.mkString("."))
+      else pathColumn(path).as(path.last)
+    }
+
+    /** summarize items: `field` / `name=field` (group) vs `f(…)` /
+      * `name=f(…)` (aggregation) — distinguished by the call parens, as in
+      * the reference grammar (summarize.md).
+      */
+    private def parseSummarizeItems(): (Seq[Column], Seq[Column]) = {
+      val groups = Seq.newBuilder[Column]
+      val aggs = Seq.newBuilder[Column]
+      parseCommaList { () =>
+        val path = parsePath()
+        if (accept("=")) {
+          val alias = path.mkString(".")
+          isAggCall = false // classified by the OUTERMOST call parsed below
+          val e = parseExpr()
+          if (isAggCall) aggs += e.as(alias) else groups += e.as(alias)
+        } else if (peek.contains(Punct("("))) {
+          pos -= 1 // re-parse as a call expression
+          val e = parseExpr()
+          aggs += e.as(path.last)
+        } else groups += pathColumn(path).as(path.last)
+        ()
+      }
+      (groups.result(), aggs.result())
+    }
+    private var isAggCall = false // set by parseCall on aggregation functions
+
+    private def parseFieldList(): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      out += parsePath().mkString(".")
+      while (peek.contains(Punct(",")) &&
+        !toks.lift(pos + 1).exists { case Ident("limit") => true; case _ => false }) {
+        next(); out += parsePath().mkString(".")
+      }
+      out.result()
+    }
+
+    private def parseCommaList[A](item: () => A): Seq[A] = {
+      val out = Seq.newBuilder[A]
+      out += item()
+      while (accept(",")) out += item()
+      out.result()
+    }
+
+    private def parsePath(): List[String] = {
+      val Ident(first) = next(): @unchecked
+      val parts = List.newBuilder[String]
+      parts += first
+      while (peek.contains(Punct(".")) &&
+        toks.lift(pos + 1).exists(_.isInstanceOf[Ident]) &&
+        !toks.lift(pos + 2).contains(Punct("("))) { // method sugar handled in expr
+        next(); val Ident(p) = next(): @unchecked; parts += p
+      }
+      parts.result()
+    }
+
+    private def parseInt(): Int = { val Num(n) = next(): @unchecked; n.toInt }
+    private def parseSignedInt(): Long = {
+      val neg = accept("-"); val Num(n) = next(): @unchecked
+      if (neg) -n.toLong else n.toLong
+    }
+
+    // -------------------------------------------------------- expressions
+
+    private def parseExpr(unary: Boolean = false): Column =
+      if (unary) parseUnary() else parseOr()
+
+    private def parseOr(): Column = {
+      var l = parseAnd()
+      while (peek.contains(Ident("or")) || peek.contains(Punct("||"))) {
+        next(); l = l || parseAnd()
+      }
+      l
+    }
+    private def parseAnd(): Column = {
+      var l = parseNot()
+      while (peek.contains(Ident("and")) || peek.contains(Punct("&&"))) {
+        next(); l = l && parseNot()
+      }
+      l
+    }
+    private def parseNot(): Column =
+      if (peek.contains(Ident("not"))) { next(); !parseNot() } else parseCmp()
+
+    private def parseCmp(): Column = {
+      val l = parseAdd()
+      peek match {
+        case Some(Punct("==")) => next(); l === parseAdd()
+        case Some(Punct("!=")) => next(); l =!= parseAdd()
+        case Some(Punct("<=")) => next(); l <= parseAdd()
+        case Some(Punct(">=")) => next(); l >= parseAdd()
+        case Some(Punct("<")) => next(); l < parseAdd()
+        case Some(Punct(">")) => next(); l > parseAdd()
+        case Some(Ident("in")) => next(); l.isin(parseListLiteral(): _*)
+        case _ => l
+      }
+    }
+    private def parseAdd(): Column = {
+      var l = parseMul()
+      var go = true
+      while (go) peek match {
+        case Some(Punct("+")) => next(); l = l + parseMul()
+        case Some(Punct("-")) => next(); l = l - parseMul()
+        case _ => go = false
+      }
+      l
+    }
+    private def parseMul(): Column = {
+      var l = parseUnary()
+      var go = true
+      while (go) peek match {
+        case Some(Punct("*")) => next(); l = l * parseUnary()
+        case Some(Punct("/")) => next(); l = l / parseUnary()
+        case Some(Punct("%")) => next(); l = pmod(l, parseUnary())
+        case _ => go = false
+      }
+      l
+    }
+    private def parseUnary(): Column =
+      if (accept("-")) -parseUnary() else parsePostfix()
+
+    /** postfix: `.field` access and UFCS method sugar `expr.f(args)`. */
+    private def parsePostfix(): Column = {
+      var e = parsePrimary()
+      while (peek.contains(Punct("."))) {
+        next()
+        val Ident(name) = next(): @unchecked
+        if (accept("(")) {
+          val args = if (accept(")")) Nil else {
+            val as = parseCommaList(() => parseExpr()); expect(")"); as
+          }
+          e = applyFn(name, e +: args)
+        } else e = e.getField(name)
+      }
+      e
+    }
+
+    private def parsePrimary(): Column = next() match {
+      case Num(n) => if (n.contains('.')) lit(n.toDouble) else lit(n.toLong)
+      case Str(s) => lit(s)
+      case Ident("true") => lit(true)
+      case Ident("false") => lit(false)
+      case Ident("null") => lit(null)
+      case Punct("(") => val e = parseOr(); expect(")"); e
+      case Punct("[") => pos -= 1; array(parseListLiteral(): _*)
+      case Ident(name) if peek.contains(Punct("(")) =>
+        next()
+        val args = if (accept(")")) Nil else {
+          val as = parseCommaList(() => parseExpr()); expect(")"); as
+        }
+        applyFn(name, args)
+      case Ident(name) => pos -= 1; pathColumn(parsePath())
+      case t => sys.error(s"tql: unexpected token $t in expression")
+    }
+
+    private def parseListLiteral(): Seq[Column] = {
+      expect("[")
+      if (accept("]")) Nil
+      else { val items = parseCommaList(() => parseExpr()); expect("]"); items }
+    }
+
+    private def pathColumn(path: List[String]): Column =
+      path.tail.foldLeft(col(path.head))(_.getField(_))
+
+    private def applyFn(name: String, args: Seq[Column]): Column = {
+      isAggCall = aggFns.contains(name)
+      val fn = scalarFns.get(name).orElse(aggFns.get(name))
+        .getOrElse(sys.error(s"tql: unknown function '$name'"))
+      fn(args)
+    }
+  }
+
+  // ------------------------------------------------- function whitelists
+
+  private type Fn = Seq[Column] => Column
+  private def fn1(f: Column => Column): Fn = { case Seq(a) => f(a) }
+  private def fn2(f: (Column, Column) => Column): Fn = { case Seq(a, b) => f(a, b) }
+
+  /** Scalar functions (the §2.4 modules' TQL names → Catalyst builtins). */
+  private val scalarFns: Map[String, Fn] = Map(
+    "to_lower" -> fn1(lower), "to_upper" -> fn1(upper),
+    "length" -> fn1(length), "trim" -> fn1(trim),
+    "starts_with" -> fn2((a, b) => a.startsWith(b)),
+    "ends_with" -> fn2((a, b) => a.endsWith(b)),
+    "contains" -> fn2((a, b) => a.contains(b)),
+    "substring" -> { case Seq(a, b, c) => a.substr(b, c) },
+    "replace" -> { case Seq(a, b, c) => regexp_replace(a, b, c) },
+    "split" -> fn2((a, b) => split(a, b)),
+    "abs" -> fn1(abs), "round" -> fn1(round(_, 0)), "floor" -> fn1(floor),
+    "ceil" -> fn1(ceil), "sqrt" -> fn1(sqrt),
+    "coalesce" -> (args => coalesce(args: _*)),
+    "nullif" -> fn2((a, b) => when(a === b, lit(null)).otherwise(a)),
+    "year" -> fn1(year), "month" -> fn1(month), "day" -> fn1(dayofmonth),
+    "hour" -> fn1(hour), "minute" -> fn1(minute), "second" -> fn1(second),
+    "md5" -> fn1(md5), "string" -> fn1(_.cast("string")),
+    "int" -> fn1(_.cast("long")), "float" -> fn1(_.cast("double")))
+
+  /** Aggregation functions (§2.3 names; auto-alias = TQL behavior). */
+  private val aggFns: Map[String, Fn] = Map(
+    "count" -> (args => if (args.isEmpty) count(lit(1)) else count(args.head)),
+    "count_distinct" -> fn1(a => count_distinct(a)),
+    "sum" -> fn1(sum), "min" -> fn1(min), "max" -> fn1(max),
+    "mean" -> fn1(avg), "avg" -> fn1(avg),
+    "median" -> fn1(a => percentile_approx(a, lit(0.5), lit(10000))),
+    "quantile" -> fn2((a, q) => percentile_approx(a, q, lit(10000))),
+    "stddev" -> fn1(stddev_samp), "variance" -> fn1(var_samp),
+    "collect" -> fn1(collect_list),
+    "distinct" -> fn1(a => array_sort(collect_set(a))),
+    "any" -> fn1(a => max(a.cast("boolean"))),
+    "all" -> fn1(a => min(a.cast("boolean"))),
+    "first" -> fn1(first), "last" -> fn1(last),
+    "mode" -> fn1(a => mode(a)))
+}

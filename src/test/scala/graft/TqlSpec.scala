@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tql.Tql
+
+class TqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "alpha", "GET", 200L, 1.5),
+    (2L, "beta", "POST", 404L, 2.5),
+    (3L, "alpha", "GET", 200L, 3.0),
+    (4L, "gamma", "PUT", 500L, 0.5),
+    (5L, "alpha", "POST", 200L, 4.0),
+    (6L, "beta", "GET", 301L, 1.0)
+  ).toDF("id", "user", "method", "status", "value")
+
+  test("where / select / assignment compile to the hand-written twin") {
+    val got = Tql("""
+      where status == 200 and value > 1.0
+      double = value * 2
+      select id, user, double
+    """)(df)
+    val want = df.filter(col("status") === 200 && col("value") > 1.0)
+      .withColumn("double", col("value") * 2)
+      .select("id", "user", "double")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(got.columns.toSeq == Seq("id", "user", "double"))
+  }
+
+  test("pipe separators, drop, rename, unique, in-list") {
+    val got = Tql("""where method in ["GET", "PUT"] | drop value | rename verb=method | unique""")(df)
+    assert(got.columns.toSeq == Seq("id", "user", "verb", "status"))
+    assert(got.count() == 4)
+    assert(got.filter(col("verb") === "PUT").count() == 1)
+  }
+
+  test("summarize with groups, named aggregations, and auto-names") {
+    val got = Tql("summarize user, n=count(), total=sum(value), hi=max(status)")(df)
+      .orderBy("user").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      Seq(("alpha", 3L, 8.5, 200L), ("beta", 2L, 3.5, 404L), ("gamma", 1L, 0.5, 500L)))
+    // unnamed aggregation takes the function name
+    assert(Tql("summarize count()")(df).columns.toSeq == Seq("count"))
+  }
+
+  test("sort feeds the positional operators: head, tail, enumerate, slice") {
+    val head = Tql("sort -value | head 2 | select id")(df).as[Long].collect().toSeq
+    assert(head == Seq(5L, 3L))
+    val tail = Tql("sort value | tail 2 | select id")(df).as[Long].collect().toSeq
+    assert(tail == Seq(3L, 5L)) // last two in ascending-value order
+    val enum = Tql("sort id | enumerate | where index < 2 | select index, id")(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(enum == Seq((0L, 1L), (1L, 2L)))
+    val sliced = Tql("sort id | slice 1:5:2 | select id")(df).as[Long].collect().toSeq
+    assert(sliced == Seq(2L, 4L))
+    // positional ops without a sort are a compile-contract error
+    intercept[IllegalArgumentException](Tql("tail 2")(df).collect())
+  }
+
+  test("top / rare / deduplicate / unroll / UFCS method sugar") {
+    val top = Tql("top method")(df).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == ("GET", 3L))
+    val rare = Tql("rare method 1")(df).collect().toSeq
+    assert(rare.map(_.getString(0)) == Seq("PUT"))
+    val dedup = Tql("sort id | deduplicate user | select user")(df)
+      .as[String].collect().sorted.toSeq
+    assert(dedup == Seq("alpha", "beta", "gamma"))
+    val ufcs = Tql("""where user.starts_with("al") | parts = user.split("l") | unroll parts""")(df)
+    assert(ufcs.count() == 6) // 3 alpha rows x ["a", "pha"]
+    assert(ufcs.columns.contains("parts"))
+  }
+
+  test("compiled plan is identical to the hand-written DataFrame plan") {
+    val tql = Tql("where status == 200 | summarize user, n=count()")(df)
+    val hand = df.filter(col("status") === lit(200L))
+      .groupBy(col("user").as("user")).agg(count(lit(1)).as("n"))
+    assert(tql.queryExecution.optimizedPlan.canonicalized ==
+      hand.queryExecution.optimizedPlan.canonicalized)
+  }
+}

@@ -40,6 +40,13 @@ case class LineageEntry(
   * `watermarks` maps streaming queryId → highest committed batchId: batches
   * commit in order within a query, so a high-watermark (not a set) suffices for
   * exactly-once replay skipping at 10^10-event scale.
+  *
+  * `files` is the fully-resolved file list and lives only in memory: on disk
+  * the snapshot stores `manifests` — an ordered list of immutable manifest
+  * *delta* files (Iceberg's manifest-list indirection) — and `files` is
+  * reconstructed by folding them at read. A commit therefore writes
+  * O(batch files), not O(table files); every K commits the chain is
+  * consolidated into one full manifest so reads stay O(K) small JSON files.
   */
 case class Snapshot(
     version: Long,
@@ -50,15 +57,25 @@ case class Snapshot(
     files: Seq[DataFile],
     watermarks: Map[String, Long],
     lineage: Seq[LineageEntry],
-    props: Map[String, String]) {
+    props: Map[String, String],
+    manifests: Seq[String] = Nil) {
   def schemaJson(id: Int): String = schemas(id.toString)
   def currentSchemaJson: String = schemaJson(currentSchemaId)
 }
+
+/** One immutable manifest file: the file-list delta a single commit introduced
+  * (`added` entries with stats; `removedPaths` of files it dropped, e.g. by
+  * compaction). A consolidated manifest is the same shape with the full list
+  * as `added`.
+  */
+case class ManifestDelta(added: Seq[DataFile], removedPaths: Seq[String])
 
 object ManifestCodec {
   private val mapper = JsonMapper.builder().addModule(DefaultScalaModule).build()
   def toJson(s: Snapshot): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(s)
+  def deltaToJson(d: ManifestDelta): String = mapper.writeValueAsString(d)
+  def deltaFromJson(j: String): ManifestDelta = mapper.readValue(j, classOf[ManifestDelta])
   /** One compact JSON line per lineage entry (the append-only commit log). */
   def lineageToJson(e: LineageEntry): String = mapper.writeValueAsString(e)
   def lineageFromJson(line: String): LineageEntry =

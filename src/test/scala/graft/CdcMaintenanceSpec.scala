@@ -72,8 +72,9 @@ class CdcMaintenanceSpec extends SparkSpec {
     val worst = snap.files.groupBy(_.bucket).values.map(_.size).max
     assert(worst <= 4, s"worst bucket has $worst files") // ≤ threshold + current batch
     assert(pagesMap(table.pages()) == golden)
-    // expiry kept only 2 manifests
-    val manifests = new java.io.File(s"$work/lake/manifests").list().count(_.endsWith(".json"))
+    // expiry kept only 2 snapshot versions (delta manifest files aside)
+    val manifests = new java.io.File(s"$work/lake/manifests").list()
+      .count(n => n.startsWith("v") && n.endsWith(".json"))
     assert(manifests <= 3, s"$manifests manifests retained")
   }
 
@@ -133,6 +134,60 @@ class CdcMaintenanceSpec extends SparkSpec {
     // manifest expiry deletes old versions but never the lineage history
     table.expireSnapshots(keepLast = 1)
     assert(table.lineageLog == log)
+  }
+
+  test("manifest-list indirection: O(batch) deltas, consolidation, resolution, GC") {
+    import graft.lake.{DataFile, ManifestCodec}
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 4) // 3 batches
+    groups.zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "mf", i.toLong,
+        createBuckets = 8)
+    }
+    val snap = table.currentSnapshot.get
+    // the snapshot JSON on disk carries NO file entries — only the chain
+    val root = table.root
+    val rawJson = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      f"$root/manifests/v${snap.version}%012d.json"))
+    val base = ManifestCodec.fromJson(rawJson)
+    assert(base.files.isEmpty && base.manifests.nonEmpty, "snapshot must store the manifest chain")
+    // each commit's delta holds only that batch's files
+    val delta2 = ManifestCodec.deltaFromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifests/${base.manifests.last}")))
+    assert(delta2.added.nonEmpty && delta2.added.size < snap.files.size)
+    assert(delta2.removedPaths.isEmpty)
+    // a fresh instance resolves the identical file list and golden state
+    val fresh = new LakeTable(spark, root)
+    assert(fresh.currentSnapshot.get.files.map(_.path).sorted == snap.files.map(_.path).sorted)
+    assert(pagesMap(fresh.pages()) == golden)
+    // compaction records removals in its delta
+    val compacted = table.compact(maxFilesPerBucket = 1)
+    val lastDelta = ManifestCodec.deltaFromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/manifests/${compacted.manifests.last}")))
+    assert(lastDelta.removedPaths.nonEmpty, "compaction must record removed files")
+    assert(pagesMap(table.pages()) == golden)
+
+    // consolidation bounds the chain: drive many metadata-only commits
+    val meta = new LakeTable(spark, tmpDir())
+    var s = meta.create(graft.core.Schemas.page, buckets = 4)
+    var maxChain = 0
+    (0 until 40).foreach { i =>
+      val f = DataFile(s"/fake/f$i.parquet", i % 4, 0, 10, 100, i, i, i, i)
+      s = meta.commit(s.copy(files = s.files :+ f))
+      maxChain = math.max(maxChain, s.manifests.size)
+    }
+    assert(maxChain <= LakeTable.ManifestConsolidateEvery)
+    assert(s.manifests.size < 40, "chain must have been consolidated")
+    // resolution after consolidation yields every file, once
+    val resolved = meta.snapshotAt(s.version)
+    assert(resolved.files.map(_.path).sorted == (0 until 40).map(i => s"/fake/f$i.parquet").sorted)
+    // expiry GCs delta files referenced by no retained snapshot
+    meta.expireSnapshots(keepLast = 1)
+    val remaining = new java.io.File(s"${meta.root}/manifests").list()
+      .filter(_.startsWith("m-")).toSet
+    assert(remaining == s.manifests.toSet,
+      s"unreferenced deltas remain: ${remaining -- s.manifests.toSet}")
+    assert(meta.currentSnapshot.get.files.size == 40)
   }
 
   test("expireSnapshots sweeps crash orphans and unreferenced files") {

@@ -40,6 +40,16 @@ object TqlQueries {
         where idx % 100 == 0 | select idx, o_orderkey
       """)(t(s, d, "orders"))),
 
+    // group { } subpipeline: per-key top-2 with a total tiebreak order
+    "q_tql_group" -> ((s, d) =>
+      Tql("""
+        group l_returnflag {
+          sort -l_quantity, l_orderkey, l_linenumber
+          head 2
+        }
+        select l_returnflag, l_orderkey, l_linenumber, l_quantity
+      """)(t(s, d, "lineitem"))),
+
     // scalar functions, UFCS sugar, arithmetic on key columns
     "q_tql_scalar" -> ((s, d) =>
       Tql("""
@@ -61,6 +71,13 @@ object TqlQueries {
       """SELECT idx, o_orderkey FROM (
            SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS idx, o_orderkey FROM orders
          ) WHERE idx % 100 = 0""",
+    "q_tql_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem
+         ) WHERE rn <= 2""",
     "q_tql_scalar" ->
       """SELECT c_custkey, upper(c_name) AS name, c_custkey * 2 + 1 AS key2
          FROM customer WHERE c_acctbal >= 0.0 AND contains(c_name, '1')""")

@@ -23,7 +23,11 @@ import graft.ops.Pipe._
   * (with `-expr` descending), `head n`, `tail n`, `taste n`, `unique`,
   * `deduplicate keys… [limit=n]`, `summarize (group|name=agg())…`,
   * `unroll f`, `enumerate [f]`, `slice b:e[:stride]`, `top f [n]`,
-  * `rare f [n]`, `pass`, `discard`.
+  * `rare f [n]`, `pass`, `discard`, and `group keys… { subpipeline }`
+  * (per-key subpipeline semantics, reference `group.cpp:20-70` — positional
+  * ops inside the braces compile to `Window.partitionBy(keys)` forms and
+  * `summarize` gains the group keys, so one distributed plan serves every
+  * key instead of a plan per key).
   *
   * Expressions: literals (`1`, `1.5`, `"s"`, `true`, `null`), field paths
   * (`a.b`), arithmetic, comparisons, `and`/`or`/`not`, `in [v, …]`, list
@@ -114,12 +118,30 @@ object Tql {
   /** `order`: (expr, descending) keys of the most recent `sort`, consumed by
     * positional ops. Kept unwrapped — a `SortOrder` can't be re-wrapped (e.g.
     * reversed for `tail`) without a codegen-fatal nested SortOrder.
+    *
+    * `groupKeys`: non-empty inside a `group keys { … }` subpipeline — the
+    * positional/aggregate statements then compile to their
+    * `Window.partitionBy(keys)` / extra-grouping forms (per-key subpipeline
+    * semantics, reference `group.cpp:20-70`, without spawning per-key plans).
     */
-  private class State(val df: DataFrame, val orderKeys: Seq[(Column, Boolean)]) {
+  private class State(val df: DataFrame, val orderKeys: Seq[(Column, Boolean)],
+      val groupKeys: Seq[String] = Nil) {
     def order: Seq[Column] =
       orderKeys.map { case (e, desc) => if (desc) e.desc_nulls_last else e.asc_nulls_last }
     def reversed: Seq[Column] =
       orderKeys.map { case (e, desc) => if (desc) e.asc_nulls_first else e.desc_nulls_first }
+    def grouped: Boolean = groupKeys.nonEmpty
+    def window: org.apache.spark.sql.expressions.WindowSpec = {
+      require(orderKeys.nonEmpty, "tql: positional ops inside group require a preceding sort")
+      org.apache.spark.sql.expressions.Window.partitionBy(groupKeys.map(col): _*)
+        .orderBy(order: _*)
+    }
+    def windowReversed: org.apache.spark.sql.expressions.WindowSpec = {
+      require(orderKeys.nonEmpty, "tql: positional ops inside group require a preceding sort")
+      org.apache.spark.sql.expressions.Window.partitionBy(groupKeys.map(col): _*)
+        .orderBy(reversed: _*)
+    }
+    def next(df: DataFrame): State = new State(df, orderKeys, groupKeys)
   }
   private type Stmt = State => State
 
@@ -145,21 +167,21 @@ object Tql {
     }
 
     private def parseStatement(): Stmt = next() match {
-      case Ident("where") => val e = parseExpr(); st => new State(st.df.where_(e), st.orderKeys)
+      case Ident("where") => val e = parseExpr(); st => st.next(st.df.where_(e))
       case Ident("pass") => st => st
-      case Ident("discard") => st => new State(st.df.limit(0), st.orderKeys)
-      case Ident("unique") => st => new State(st.df.distinct(), st.orderKeys)
+      case Ident("discard") => st => st.next(st.df.limit(0))
+      case Ident("unique") => st => st.next(st.df.distinct())
       case Ident("drop") =>
-        val fs = parseFieldList(); st => new State(st.df.drop_(fs: _*), st.orderKeys)
+        val fs = parseFieldList(); st => st.next(st.df.drop_(fs: _*))
       case Ident("select") =>
         val items = parseCommaList(parseSelectItem)
-        st => new State(st.df.select(items: _*), st.orderKeys)
+        st => st.next(st.df.select(items: _*))
       case Ident("rename") =>
         val pairs = parseCommaList { () =>
           val to = parsePath().mkString(".")
           expect("="); val from = parsePath().mkString("."); (to, from)
         }
-        st => new State(st.df.rename_(pairs: _*), st.orderKeys)
+        st => st.next(st.df.rename_(pairs: _*))
       case Ident("set") => parseAssignments()
       case Ident("sort") =>
         val keys = parseCommaList { () =>
@@ -167,60 +189,125 @@ object Tql {
           else (parseExpr(unary = true), false)
         }
         st => {
-          val next = new State(st.df, keys)
-          new State(next.df.sort_(next.order: _*), keys)
+          val next = new State(st.df, keys, st.groupKeys)
+          // inside a group the sort only sets the per-key order context —
+          // positional ops consume it through partitioned windows; a global
+          // sort would be wasted work with no observable per-key meaning
+          if (st.grouped) next else new State(next.df.sort_(next.order: _*), keys)
         }
       case Ident("head") =>
-        val n = parseInt(); st => new State(
-          if (st.order.nonEmpty) st.df.head_(n, st.order) else st.df.limit(n), st.orderKeys)
+        val n = parseInt()
+        st =>
+          if (st.grouped) rnAtMost(st, st.window, n)
+          else st.next(if (st.order.nonEmpty) st.df.head_(n, st.order) else st.df.limit(n))
       case Ident("tail") =>
         val n = parseInt()
-        st => {
-          require(st.order.nonEmpty, "tql: tail requires a preceding sort")
-          new State(st.df.tail_(n, st.order, st.reversed), st.orderKeys)
-        }
+        st =>
+          if (st.grouped) rnAtMost(st, st.windowReversed, n)
+          else {
+            require(st.order.nonEmpty, "tql: tail requires a preceding sort")
+            st.next(st.df.tail_(n, st.order, st.reversed))
+          }
       case Ident("taste") =>
-        val n = parseInt(); st => new State(st.df.limit(n), st.orderKeys)
+        val n = parseInt()
+        st => if (st.grouped) rnAtMost(st, st.window, n) else st.next(st.df.limit(n))
       case Ident("enumerate") =>
         val field = peek match {
           case Some(Ident(f)) if !atStatementEnd => next(); f
           case _ => "index"
         }
-        st => {
-          require(st.order.nonEmpty, "tql: enumerate requires a preceding sort")
-          new State(st.df.enumerate_(st.order, field), st.orderKeys)
-        }
+        st =>
+          if (st.grouped)
+            st.next(st.df.withColumn(field, row_number().over(st.window).cast("long") - 1))
+          else {
+            require(st.order.nonEmpty, "tql: enumerate requires a preceding sort")
+            st.next(st.df.enumerate_(st.order, field))
+          }
       case Ident("slice") =>
         val begin = parseSignedInt(); expect(":"); val end = parseSignedInt()
         val stride = if (accept(":")) parseInt() else 1
-        st => {
-          require(st.order.nonEmpty, "tql: slice requires a preceding sort")
-          new State(st.df.slice_(begin, end, st.order, stride = stride), st.orderKeys)
-        }
+        st =>
+          if (st.grouped) groupSlice(st, begin, end, stride)
+          else {
+            require(st.order.nonEmpty, "tql: slice requires a preceding sort")
+            st.next(st.df.slice_(begin, end, st.order, stride = stride))
+          }
       case Ident("deduplicate") =>
         val keys = parseFieldList()
         val limit = if (accept(",")) { // trailing limit=n option
           val Ident("limit") = next(): @unchecked; expect("="); parseInt()
         } else 1
-        st => new State(st.df.deduplicate_(
-          keys, if (st.order.nonEmpty) st.order else keys.map(col), limit), st.orderKeys)
+        st => st.next(st.df.deduplicate_(
+          st.groupKeys ++ keys,
+          if (st.order.nonEmpty) st.order else keys.map(col), limit))
       case Ident("top") =>
         val f = parsePath().mkString(".")
         val n = peek match { case Some(Num(_)) => parseInt(); case _ => 10 }
-        st => new State(st.df.top_(f, n), st.orderKeys)
+        st => { requireUngrouped(st, "top"); st.next(st.df.top_(f, n)) }
       case Ident("rare") =>
         val f = parsePath().mkString(".")
         val n = peek match { case Some(Num(_)) => parseInt(); case _ => 10 }
-        st => new State(st.df.rare_(f, n), st.orderKeys)
+        st => { requireUngrouped(st, "rare"); st.next(st.df.rare_(f, n)) }
       case Ident("unroll") =>
-        val f = parsePath().mkString("."); st => new State(st.df.unroll_(f), st.orderKeys)
+        val f = parsePath().mkString("."); st => st.next(st.df.unroll_(f))
       case Ident("summarize") =>
         val (groups, aggs) = parseSummarizeItems()
-        st => new State(st.df.summarize_(groups, aggs: _*), Nil)
+        st => new State(
+          st.df.summarize_(st.groupKeys.map(k => col(k).as(k)) ++ groups, aggs: _*),
+          Nil, st.groupKeys)
+      case Ident("group") =>
+        val keys = parseFieldList()
+        expect("{")
+        val sub = parseSubpipeline()
+        st => {
+          require(!st.grouped, "tql: nested group is not supported")
+          val inner = sub.foldLeft(new State(st.df, Nil, keys))((s, stmt) => stmt(s))
+          new State(inner.df, Nil)
+        }
       case Ident(_) if peek.contains(Punct("=")) || peek.contains(Punct(".")) =>
         // bare assignment statement: `x = expr` / `a.b = expr` (the `set` op)
         pos -= 1; parseAssignments()
       case t => sys.error(s"tql: unknown operator at $t")
+    }
+
+    /** Statements until the matching `}` (a `group { … }` subpipeline). */
+    private def parseSubpipeline(): Seq[Stmt] = {
+      val stmts = Seq.newBuilder[Stmt]
+      while (peek.contains(Sep)) next()
+      while (!peek.contains(Punct("}"))) {
+        require(peek.isDefined, "tql: unterminated group { … }")
+        stmts += parseStatement()
+        while (peek.contains(Sep)) next()
+      }
+      expect("}")
+      stmts.result()
+    }
+
+    private def requireUngrouped(st: State, op: String): Unit =
+      require(!st.grouped, s"tql: $op inside group is not supported (use summarize + sort)")
+
+    /** Keep the first `n` rows per group in window order. */
+    private def rnAtMost(st: State, w: org.apache.spark.sql.expressions.WindowSpec,
+        n: Int): State = {
+      val rn = "__tql_rn"
+      st.next(st.df.withColumn(rn, row_number().over(w))
+        .filter(col(rn) <= n).drop(rn))
+    }
+
+    /** Python-slice per group: negative begin/end count from the group's end
+      * (needs the per-group count window); stride filters on (idx - lo).
+      */
+    private def groupSlice(st: State, begin: Long, end: Long, stride: Int): State = {
+      val idx = "__tql_idx"; val cnt = "__tql_cnt"
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(st.groupKeys.map(col): _*)
+      var df = st.df
+        .withColumn(idx, row_number().over(st.window).cast("long") - 1)
+        .withColumn(cnt, count(lit(1)).over(wp))
+      val lo = if (begin < 0) greatest(col(cnt) + begin, lit(0L)) else lit(begin)
+      val hi = if (end < 0) col(cnt) + end else lit(end)
+      df = df.filter(col(idx) >= lo && col(idx) < hi &&
+        pmod(col(idx) - lo, lit(stride.toLong)) === 0)
+      st.next(df.drop(idx, cnt))
     }
 
     private def parseAssignments(): Stmt = {

@@ -72,6 +72,31 @@ class TqlSpec extends SparkSpec {
     assert(ufcs.columns.contains("parts"))
   }
 
+  test("group { } runs the subpipeline per key: head, tail, enumerate, slice, summarize") {
+    // per-user top-1 by value
+    val top1 = Tql("group user { sort -value | head 1 } | select user, id")(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(top1 == Seq(("alpha", 5L), ("beta", 2L), ("gamma", 4L)))
+    // per-user last row in id order
+    val last = Tql("group user { sort id | tail 1 } | select user, id")(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(last == Seq(("alpha", 5L), ("beta", 6L), ("gamma", 4L)))
+    // per-user 0-based index
+    val enum = Tql("group user { sort id | enumerate rank } | where rank == 1 | select user, id")(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(enum == Seq(("alpha", 3L), ("beta", 6L))) // gamma has only one row
+    // negative slice per group: last two rows of each user
+    val sl = Tql("group user { sort id | slice -2:99 } | select user, id")(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(sl == Seq(("alpha", 3L), ("alpha", 5L), ("beta", 2L), ("beta", 6L), ("gamma", 4L)))
+    // summarize inside group gains the group keys
+    val agg = Tql("group user { summarize method, n=count() }")(df)
+    assert(agg.columns.toSeq == Seq("user", "method", "n"))
+    assert(agg.count() == 5)
+    // positional ops inside a group still demand a sort
+    intercept[IllegalArgumentException](Tql("group user { head 1 }")(df).collect())
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ContextQueries, CoreQueries, FormatQueries, MLQueries, ParserQueries, TqlQueries}
+import graft.queries.{ContextQueries, CoreQueries, FormatQueries, MLQueries, MiscQueries, ParserQueries, TqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ MLQueries.queries ++ FormatQueries.queries ++
-      ParserQueries.queries ++ ContextQueries.queries ++ TqlQueries.queries
+      ParserQueries.queries ++ ContextQueries.queries ++ TqlQueries.queries ++
+      MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ MLQueries.oracleSql ++ FormatQueries.oracleSql ++
-      ParserQueries.oracleSql ++ ContextQueries.oracleSql ++ TqlQueries.oracleSql
+      ParserQueries.oracleSql ++ ContextQueries.oracleSql ++ TqlQueries.oracleSql ++
+      MiscQueries.oracleSql
 }

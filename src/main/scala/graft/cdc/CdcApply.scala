@@ -354,13 +354,22 @@ object CdcApply {
     * Lineage bookkeeping reports RAW event counts (upserts/deletes as
     * delivered); exactly-once watermark + schema evolution identical to
     * [[applyBatchAppend]].
+    *
+    * With `spanning = true` (mode `"l0"`) even the bucket shuffle goes away:
+    * the batch is appended as L0 ''spanning'' files
+    * ([[graft.lake.LakeTable.writeDataFilesSpanning]]) — scan → project →
+    * write, ZERO exchanges, each scan task streaming straight into one parquet
+    * file. Bucket placement is deferred wholly to compaction (the L0→L1 flush
+    * of an LSM tree); until then point lookups pay a read of the un-flushed L0
+    * files, bounded by the auto-compaction threshold.
     */
   def applyBatchAppendRaw(
       table: LakeTable,
       batch: DataFrame,
       queryId: String,
       batchId: Long,
-      createBuckets: Int = 64): ApplyStats = {
+      createBuckets: Int = 64,
+      spanning: Boolean = false): ApplyStats = {
 
     val snap0: Snapshot = phase("snapshot") { table.currentSnapshot.getOrElse {
       table.create(userSchemaOf(batch.schema), createBuckets)
@@ -396,8 +405,11 @@ object CdcApply {
       sum(when(col("_deleted"), 1L).otherwise(0L)).as("deletes"),
       min(col("_lsn")).as("minLsn"), max(col("_lsn")).as("maxLsn"))
 
-    val newFiles = phase("write-job") { table.writeDataFiles(observed, schemaId, snap0.buckets,
-      nTasks = writeTasks(table, snap0.buckets)) }
+    val newFiles = phase("write-job") {
+      if (spanning) table.writeDataFilesSpanning(observed, schemaId)
+      else table.writeDataFiles(observed, schemaId, snap0.buckets,
+        nTasks = writeTasks(table, snap0.buckets))
+    }
     val m = phase("obs-get") { obs.get }
     val events = m("events").asInstanceOf[Long]
     if (events == 0L) {

@@ -34,8 +34,10 @@ object CdcStream {
     *                           LWW winners; [[CdcApply.applyBatchAppend]]), or
     *                           `"morraw"` (LSM-style raw append, dedup wholly
     *                           deferred to read/compaction;
-    *                           [[CdcApply.applyBatchAppendRaw]] — the
-    *                           write-optimized headline path)
+    *                           [[CdcApply.applyBatchAppendRaw]]), or `"l0"`
+    *                           (raw append as spanning L0 files — no bucket
+    *                           shuffle at all, bucket placement deferred to
+    *                           compaction; the write-optimized headline path)
     * @param autoCompactFilesPerBucket when > 0, after a batch commit any
     *        bucket holding more than this many delta files triggers a partial
     *        compaction (bounded read amplification for long MOR streams;
@@ -61,6 +63,8 @@ object CdcStream {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
       case "mor" => (b, id) => CdcApply.applyBatchAppend(table, b, queryId, id, createBuckets)
       case "morraw" => (b, id) => CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets)
+      case "l0" => (b, id) =>
+        CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets, spanning = true)
       case other => throw new IllegalArgumentException(s"unknown CDC mode '$other'")
     }
     spark.readStream

@@ -250,7 +250,8 @@ class LakeTable(val spark: SparkSession, val root: String,
       urlHash: Option[Long] = None,
       lsnAtLeast: Option[Long] = None): Seq[DataFile] =
     snap.files.filter { f =>
-      buckets.forall(_.contains(f.bucket)) &&
+      // bucket -1 = L0 spanning file: member of every bucket by construction
+      buckets.forall(bs => f.bucket < 0 || bs.contains(f.bucket)) &&
       urlHash.forall(h => h >= f.minUrlHash && h <= f.maxUrlHash) &&
       lsnAtLeast.forall(l => f.maxLsn >= l)
     }
@@ -300,6 +301,22 @@ class LakeTable(val spark: SparkSession, val root: String,
     graft.cdc.CdcApply.phase("footer-stats") { collectDataFiles(dir, schemaId) }
   }
 
+  /** Write `rows` as L0 ''spanning'' files: NO repartition, NO sort, NO
+    * bucket dirs — each upstream task streams its partition straight into one
+    * parquet file. The apply hot path becomes scan → project → write with
+    * zero exchanges (the RocksDB/LSM L0 design: sorted-run placement is
+    * deferred wholly to compaction, which flushes L0 into hash buckets).
+    * The files carry `bucket = -1` in the manifest — they span the key space,
+    * so [[planFiles]] treats them as members of every bucket; their footer
+    * urlhash/lsn ranges still prune point lookups when they can.
+    */
+  def writeDataFilesSpanning(rows: DataFrame, schemaId: Int): Seq[DataFile] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dir = new Path(dataDir, commitId).toString
+    graft.cdc.CdcApply.phase("spark-write") { rows.write.parquet(dir) }
+    graft.cdc.CdcApply.phase("footer-stats") { collectDataFiles(dir, schemaId) }
+  }
+
   /** List written files and read their Parquet footers for stats — O(#files)
     * driver-side metadata reads, the same trick Iceberg uses; never rescans
     * data to build the manifest. Footer reads fan out on a bounded thread pool:
@@ -308,8 +325,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     */
   private def collectDataFiles(dir: String, schemaId: Int): Seq[DataFile] = {
     val d = new Path(dir)
-    val buckets = fs.listStatus(d).filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
-    val work: Seq[(Int, org.apache.hadoop.fs.FileStatus)] = buckets.toSeq.flatMap { bs =>
+    val entries = fs.listStatus(d)
+    val buckets = entries.filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+    // flat layout (no _bucket= dirs) = L0 spanning files → bucket -1
+    val l0: Seq[(Int, org.apache.hadoop.fs.FileStatus)] = entries.toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (-1, f))
+    val work: Seq[(Int, org.apache.hadoop.fs.FileStatus)] = l0 ++ buckets.toSeq.flatMap { bs =>
       val bucket = bs.getPath.getName.stripPrefix("_bucket=").toInt
       fs.listStatus(bs.getPath).filter(f => f.getPath.getName.endsWith(".parquet"))
         .map(f => (bucket, f))
@@ -374,17 +396,31 @@ class LakeTable(val spark: SparkSession, val root: String,
     if (victims.isEmpty && gcTombstonesBelowLsn.isEmpty && !full) return snap
     val target = if (victims.nonEmpty && !full) victims else byBucket
     val schema = currentFileSchema(snap)
-    // resolve folds merge-on-read deltas down to one version per url
+    // resolve folds merge-on-read deltas down to one version per url.
+    // Folding a file SUBSET is always safe (max_by is associative: the global
+    // read-side resolve still picks the true winner across subsets) — but
+    // DROPPING rows is not: a tombstone may kill a version living in a file
+    // outside the subset. With L0 spanning files a url's versions can straddle
+    // the -1 group and its bucket, so tombstone GC only runs when the input
+    // covers every group (full compaction) or no L0 files exist (then a
+    // bucket's files hold ALL versions of its urls, the pre-L0 invariant).
+    val gcSafe = gcTombstonesBelowLsn.filter(_ =>
+      !byBucket.contains(-1) || target.size == byBucket.size)
     val in = resolve(readFiles(snap, target.values.flatten.toSeq, schema))
-    val kept = gcTombstonesBelowLsn match {
+    val kept = gcSafe match {
       case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
       case None => in
     }
     // default row target = the reference's own partition cap
     // (defaults.hpp:220, 4 Mi events) — "one file per bucket" must not become
-    // a TB-scale file on a 10^10-event table
+    // a TB-scale file on a 10^10-event table.
+    // An L0 flush (-1 in the target) spans all buckets → slot-scaled writers;
+    // plain bucket bin-packing keeps one task per victim bucket.
+    val nTasks =
+      if (target.contains(-1)) math.min(snap.buckets, spark.sparkContext.defaultParallelism * 2)
+      else target.size
     val newFiles = writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
-      nTasks = math.max(1, target.size), maxRecordsPerFile = maxRecordsPerFile)
+      nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile)
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
     val props =
       if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp

@@ -274,6 +274,31 @@ object Pipe {
     def timeshift_(timeCol: String, by: Column): DataFrame =
       df.withColumn(timeCol, col(timeCol) + by)
 
+    /** `chart_line/_area/_bar/_pie x=…, y={…}` (reference `chart2.cpp`):
+      * aggregate `ys` per `x` (optionally time-bucketed to `resolution` and
+      * sub-grouped), sort by the x-axis, cap at `limit` points, and attach the
+      * chart spec as schema metadata — the reference likewise renders nothing
+      * itself, it ships aggregated rows plus `chart:*` attributes for the UI
+      * (`chart2.cpp` chart_type/x/y handling). The aggregation is an ordinary
+      * hash aggregate: map-side partials, one exchange, fully codegen'd.
+      */
+    def chart_(ty: String, x: String, ys: Seq[(String, Column)],
+        group: Seq[String] = Nil, resolution: Option[String] = None,
+        limit: Int = 100000): DataFrame = {
+      require(Set("line", "area", "bar", "pie").contains(ty), s"unknown chart type $ty")
+      val xCol = resolution match {
+        case Some(r) => date_trunc(r, col(x)).cast("timestamp_ntz").as(x)
+        case None => col(x).as(x)
+      }
+      val keys = xCol +: group.map(col)
+      val aggs = ys.map { case (name, c) => c.as(name) }
+      val agg = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        .orderBy((col(x) +: group.map(col)): _*)
+        .limit(limit)
+      val withTy = agg.setAttribute_(x, "chart:type", ty).setAttribute_(x, "chart:axis", "x")
+      ys.map(_._1).foldLeft(withTy)((d, y) => d.setAttribute_(y, "chart:axis", "y"))
+    }
+
     /** `set_attributes` — attach schema-level metadata to a field (reference
       * `get_attributes.cpp`/`set_attributes.cpp`; Spark carries it in
       * `StructField.metadata`, surviving parquet round-trips).

@@ -95,6 +95,76 @@ class CdcMorSpec extends SparkSpec {
     assert(pagesMap(table.pages(table.snapshotAt(before.version))) == golden)
   }
 
+  test("L0 spanning append converges, serves lookups pre-flush, and flushes to buckets") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "l", i.toLong,
+        createBuckets = 16, spanning = true)
+    }
+    val snap = table.currentSnapshot.get
+    // every data file is an un-bucketed L0 spanning file
+    assert(snap.files.nonEmpty && snap.files.forall(_.bucket == -1))
+    assert(pagesMap(table.pages()) == golden)
+    // point lookup resolves across L0 files (planFiles treats -1 as every bucket)
+    val someLive = golden.keys.head
+    assert(table.lookupUrl(snap, someLive).count() == 1)
+    // compaction = L0→bucket flush: spanning files disappear, state preserved
+    val maxLsn = allEvents.map(_.lsn).max
+    val flushed = table.compact(maxFilesPerBucket = 1, gcTombstonesBelowLsn = Some(maxLsn + 1))
+    assert(flushed.files.forall(_.bucket >= 0))
+    assert(pagesMap(table.pages(flushed)) == golden)
+    assert(table.scanRaw(flushed).filter(org.apache.spark.sql.functions.col("_deleted")).count() == 0)
+  }
+
+  test("L0 partial flush never GCs a tombstone whose victim lives in a bucketed file") {
+    val table = new LakeTable(spark, tmpDir())
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, part: Int, url: String, text: String): GenEvent =
+      GenEvent(op, lsn, part, url, ts,
+        if (op == "D") null else text.getBytes("UTF-8"),
+        if (op == "D") null else text, if (op == "D") null else "en", 0L)
+    // batch 0: bucketed delta file holds the live row (morraw path)
+    CdcApply.applyBatchAppendRaw(table,
+      spark.createDataset(Seq(ev("I", 1, 0, "https://a/x", "v1"))).toDF(), "g", 0L,
+      createBuckets = 4)
+    // batches 1-3: L0 spanning files; batch 1 holds the tombstone
+    Seq(
+      Seq(ev("D", 10, 1, "https://a/x", null)),
+      Seq(ev("I", 11, 1, "https://a/y", "w1")),
+      Seq(ev("U", 12, 1, "https://a/y", "w2"))).zipWithIndex.foreach { case (b, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(b).toDF(), "g", i + 1L,
+        createBuckets = 4, spanning = true)
+    }
+    // partial compaction targeting only the L0 group (3 files > 2), GC armed:
+    // the tombstone's victim sits in a bucketed file OUTSIDE the input, so GC
+    // must be suppressed — otherwise v1 would resurrect.
+    val snap = table.compact(maxFilesPerBucket = 2, gcTombstonesBelowLsn = Some(100L))
+    assert(snap.files.forall(_.bucket >= 0), "L0 group should have been flushed")
+    val rows = table.pages(snap).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(rows == Map("https://a/y" -> "w2"), "tombstone must survive a partial L0 flush")
+    // full compaction covers every group → GC is safe: tombstone gone, x stays dead
+    val full = table.compact(maxFilesPerBucket = 1, gcTombstonesBelowLsn = Some(100L))
+    assert(table.scanRaw(full).filter(org.apache.spark.sql.functions.col("_deleted")).count() == 0)
+    val after = table.pages(full).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(after == Map("https://a/y" -> "w2"))
+  }
+
+  test("streaming L0 tail with auto-compaction drains to the golden state") {
+    val work = tmpDir()
+    val walDir = s"$work/wal"
+    ChangeGen.writeWal(spark, cfg, walDir)
+    val table = new LakeTable(spark, s"$work/lake")
+    CdcStream.start(spark, walDir, table, s"$work/ckpt", queryId = "s0",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "l0",
+      autoCompactFilesPerBucket = 3).awaitTermination()
+    assert(pagesMap(table.pages()) == golden)
+    // auto-compaction kept the L0 group bounded
+    val l0 = table.currentSnapshot.get.files.count(_.bucket == -1)
+    assert(l0 <= 3, s"expected <=3 un-flushed L0 files, saw $l0")
+  }
+
   test("streaming MOR tail drains to the golden state and resumes exactly-once") {
     val work = tmpDir()
     val walDir = s"$work/wal"

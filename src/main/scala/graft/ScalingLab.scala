@@ -54,6 +54,12 @@ object ScalingLab {
 
   private val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/dev/shm/graft")
 
+  /** The two parallelism levels (N, 4N); override e.g. SPARK_GRAFT_LAB_CORES=2,8. */
+  private val (nLo, nHi): (Int, Int) = sys.env.get("SPARK_GRAFT_LAB_CORES") match {
+    case Some(s) => val a = s.split(","); (a(0).trim.toInt, a(1).trim.toInt)
+    case None => (4, 16)
+  }
+
   private def rmrf(p: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
 
@@ -114,17 +120,17 @@ object ScalingLab {
 
     for (name <- names) {
       val cfg = configs(name)
-      oneRun(4, warm, cfg); oneRun(16, warm, cfg) // JIT warmup
+      oneRun(nLo, warm, cfg); oneRun(nHi, warm, cfg) // JIT warmup
       val runs = (1 to pairs).map { i =>
-        val r4 = oneRun(4, wal, cfg)
-        val r16 = oneRun(16, wal, cfg)
-        println(f"[lab] $name pair $i: n4=${r4._1 / r4._2}%.0f ev/s (${r4._2}%.1f s)  " +
-          f"n16=${r16._1 / r16._2}%.0f ev/s (${r16._2}%.1f s)")
+        val r4 = oneRun(nLo, wal, cfg)
+        val r16 = oneRun(nHi, wal, cfg)
+        println(f"[lab] $name pair $i: n$nLo=${r4._1 / r4._2}%.0f ev/s (${r4._2}%.1f s)  " +
+          f"n$nHi=${r16._1 / r16._2}%.0f ev/s (${r16._2}%.1f s)")
         (r4, r16)
       }
       val best4 = runs.map(r => r._1._1 / r._1._2).max
       val best16 = runs.map(r => r._2._1 / r._2._2).max
-      println(f"[lab] == $name: best n4=$best4%.0f n16=$best16%.0f " +
+      println(f"[lab] == $name: best n$nLo=$best4%.0f n$nHi=$best16%.0f " +
         f"eff=${best16 / (4 * best4)}%.3f ==")
     }
   }

@@ -57,7 +57,18 @@ object TqlQueries {
         name = to_upper(c_name)
         key2 = c_custkey * 2 + 1
         select c_custkey, name, key2
-      """)(t(s, d, "customer"))))
+      """)(t(s, d, "customer"))),
+
+    // a COMPLETE pipeline: from-source + enrich against a registered context
+    // + chart aggregation — the full string surface end to end
+    "q_tql_pipeline" -> ((s, d) => {
+      Tql.registerContext("regions", t(s, d, "region"))
+      Tql.run(s, s"""
+        from "$d/nation.parquet"
+        enrich "regions", r_regionkey=n_regionkey
+        chart_bar x=r_name, nations=count(), keysum=sum(n_nationkey)
+      """)
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q_tql_summarize" ->
@@ -80,5 +91,9 @@ object TqlQueries {
          ) WHERE rn <= 2""",
     "q_tql_scalar" ->
       """SELECT c_custkey, upper(c_name) AS name, c_custkey * 2 + 1 AS key2
-         FROM customer WHERE c_acctbal >= 0.0 AND contains(c_name, '1')""")
+         FROM customer WHERE c_acctbal >= 0.0 AND contains(c_name, '1')""",
+    "q_tql_pipeline" ->
+      """SELECT r_name, count(*) AS nations, sum(n_nationkey) AS keysum
+         FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
+         GROUP BY 1 ORDER BY 1 LIMIT 100000""")
 }

@@ -23,7 +23,11 @@ import graft.ops.Pipe._
   * (with `-expr` descending), `head n`, `tail n`, `taste n`, `unique`,
   * `deduplicate keys… [limit=n]`, `summarize (group|name=agg())…`,
   * `unroll f`, `enumerate [f]`, `slice b:e[:stride]`, `top f [n]`,
-  * `rare f [n]`, `pass`, `discard`, and `group keys… { subpipeline }`
+  * `rare f [n]`, `pass`, `discard`, `from "<path>"` / `to "<path>"`
+  * (extension-dispatched IO; see [[Tql.run]]), `enrich "<context>",
+  * ctxKey=probeField…` (named-context broadcast probe, register frames via
+  * [[Tql.registerContext]]), `chart_line/_area/_bar/_pie x=f[,
+  * resolution="day"], name=agg()…`, and `group keys… { subpipeline }`
   * (per-key subpipeline semantics, reference `group.cpp:20-70` — positional
   * ops inside the braces compile to `Window.partitionBy(keys)` forms and
   * `summarize` gains the group keys, so one distributed plan serves every
@@ -48,6 +52,43 @@ object Tql {
     val stmts = new Parser(Lexer.tokenize(pipeline)).parsePipeline()
     df => stmts.foldLeft(new State(df, Nil))((st, stmt) => stmt(st)).df
   }
+
+  /** Run a COMPLETE pipeline string — may start with `from "<path>"` and end
+    * with `to "<path>"` (the reference's source/sink operators, extension-
+    * dispatched like `from_to_2.cpp`'s scheme/extension routing). Returns the
+    * final DataFrame (already written if the pipeline ends in `to`).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, pipeline: String): DataFrame =
+    compile(pipeline)(spark.emptyDataFrame)
+
+  /** Named context registry for `enrich` (the reference's `context::create` /
+    * `context::enrich` pair — `lookup_table.cpp`; here any DataFrame can be a
+    * context). Registered frames are broadcast at probe time.
+    */
+  private val contextsReg = new scala.collection.concurrent.TrieMap[String, DataFrame]
+  def registerContext(name: String, df: DataFrame): Unit = contextsReg(name) = df
+  def dropContext(name: String): Unit = contextsReg.remove(name)
+  private[tql] def context(name: String): DataFrame =
+    contextsReg.getOrElse(name, sys.error(s"tql: unknown context '$name'"))
+
+  /** Extension-dispatched read for `from` (parquet/json/csv/lines). */
+  private[tql] def readPath(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    path.replaceAll("/+$", "").split('.').last.toLowerCase match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" | "ndjson" | "jsonl" => spark.read.json(path)
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "txt" | "log" | "lines" => spark.read.text(path).withColumnRenamed("value", "line")
+      case other => sys.error(s"tql: no reader for extension '.$other' (from $path)")
+    }
+
+  /** Extension-dispatched write for `to`. */
+  private[tql] def writePath(df: DataFrame, path: String): Unit =
+    path.replaceAll("/+$", "").split('.').last.toLowerCase match {
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "json" | "ndjson" | "jsonl" => df.write.mode("overwrite").json(path)
+      case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+      case other => sys.error(s"tql: no writer for extension '.$other' (to $path)")
+    }
 
   // ------------------------------------------------------------------ lexer
 
@@ -250,6 +291,42 @@ object Tql {
         st => { requireUngrouped(st, "rare"); st.next(st.df.rare_(f, n)) }
       case Ident("unroll") =>
         val f = parsePath().mkString("."); st => st.next(st.df.unroll_(f))
+      case Ident("from") =>
+        val path = parseStringLit("from")
+        st => st.next(readPath(st.df.sparkSession, path))
+      case Ident("to") =>
+        val path = parseStringLit("to")
+        st => { writePath(st.df, path); st }
+      case Ident("enrich") =>
+        // enrich "<context>", key=<field>[, key2=…] — broadcast build-probe
+        val name = parseStringLit("enrich")
+        expect(",")
+        val keys = parseCommaList { () =>
+          val k = parsePath().mkString("."); expect("="); val v = parsePath().mkString("."); (k, v)
+        }
+        st => {
+          // probe columns may differ from context key names: alias, join, restore
+          val ctx = keys.foldLeft(context(name))((d, kv) => d.withColumnRenamed(kv._1, kv._2))
+          st.next(st.df.enrich_(ctx, keys.map(_._2)))
+        }
+      case Ident(ct) if ct.startsWith("chart_") =>
+        val ty = ct.stripPrefix("chart_")
+        // chart_line x=<field>[, resolution="day"], <name>=<agg()>…
+        var x = ""; var resolution: Option[String] = None
+        val ys = Seq.newBuilder[(String, Column)]
+        parseCommaList { () =>
+          val path = parsePath()
+          path.mkString(".") match {
+            case "x" => expect("="); x = parsePath().mkString(".")
+            case "resolution" => expect("="); resolution = Some(parseStringLit("resolution"))
+            case alias => expect("="); ys += (alias -> parseExpr())
+          }
+          ()
+        }
+        require(x.nonEmpty, "tql: chart requires x=<field>")
+        val ysr = ys.result()
+        require(ysr.nonEmpty, "tql: chart requires at least one y aggregation")
+        st => { requireUngrouped(st, "chart"); st.next(st.df.chart_(ty, x, ysr, resolution = resolution)) }
       case Ident("summarize") =>
         val (groups, aggs) = parseSummarizeItems()
         st => new State(
@@ -285,6 +362,11 @@ object Tql {
 
     private def requireUngrouped(st: State, op: String): Unit =
       require(!st.grouped, s"tql: $op inside group is not supported (use summarize + sort)")
+
+    private def parseStringLit(op: String): String = next() match {
+      case Str(s) => s
+      case t => sys.error(s"tql: $op expects a string literal, got $t")
+    }
 
     /** Keep the first `n` rows per group in window order. */
     private def rnAtMost(st: State, w: org.apache.spark.sql.expressions.WindowSpec,

@@ -151,6 +151,31 @@ class CdcMorSpec extends SparkSpec {
     assert(after == Map("https://a/y" -> "w2"))
   }
 
+  test("L0 apply moves zero shuffle bytes (scan -> project -> write, no exchange)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val stages = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        shuffleWrite.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        stages.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val table = new LakeTable(spark, tmpDir())
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(allEvents).toDF(), "z", 0L,
+        createBuckets = 16, spanning = true)
+      // listener delivery is async; wait for the stage events to drain
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stages.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(stages.get() > 0, "no stage events observed")
+      Thread.sleep(200) // let any straggler stage event land
+      assert(shuffleWrite.get() == 0L,
+        s"L0 apply wrote ${shuffleWrite.get()} shuffle bytes; expected none")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming L0 tail with auto-compaction drains to the golden state") {
     val work = tmpDir()
     val walDir = s"$work/wal"

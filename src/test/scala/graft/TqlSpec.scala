@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.ops.Pipe._
 import graft.tql.Tql
 
 class TqlSpec extends SparkSpec {
@@ -95,6 +96,38 @@ class TqlSpec extends SparkSpec {
     assert(agg.count() == 5)
     // positional ops inside a group still demand a sort
     intercept[IllegalArgumentException](Tql("group user { head 1 }")(df).collect())
+  }
+
+  test("from/to IO, enrich against a registered context, chart statement") {
+    import graft.tql.Tql
+    val dir = tmpDir("tqlio")
+    df.write.parquet(s"$dir/in.parquet")
+
+    // complete pipeline: source → transform → sink, then read the sink back
+    Tql.run(spark, s"""
+      from "$dir/in.parquet"
+      where status == 200
+      to "$dir/out.json"
+    """)
+    val back = spark.read.json(s"$dir/out.json")
+    assert(back.count() == df.filter(col("status") === 200).count())
+
+    // enrich: ctxKey=probeField broadcast probe
+    Tql.registerContext("users", Seq(("alpha", "admin"), ("beta", "dev"))
+      .toDF("name", "role"))
+    val enriched = Tql(s"""enrich "users", name=user""")(df)
+    assert(enriched.columns.contains("role"))
+    assert(enriched.filter(col("user") === "alpha").select("role")
+      .distinct().as[String].collect().toSeq == Seq("admin"))
+    assert(enriched.filter(col("user") === "gamma").select("role").head().isNullAt(0))
+    Tql.dropContext("users")
+    intercept[RuntimeException](Tql(s"""enrich "users", name=user""")(df).collect())
+
+    // chart statement compiles to the chart_ operator with metadata
+    val c = Tql("chart_pie x=user, n=count()")(df)
+    assert(c.columns.toSeq == Seq("user", "n"))
+    assert(c.getAttribute_("user", "chart:type").contains("pie"))
+    assert(c.count() == 3)
   }
 
   test("compiled plan is identical to the hand-written DataFrame plan") {

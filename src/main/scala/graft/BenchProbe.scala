@@ -102,6 +102,17 @@ object BenchProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[probe] cores=$cores parts=$parts mode=$mode events=$events secs=$secs%.1f " +
       f"tp=${events / secs}%.0f ev/s")
+    // SPARK_GRAFT_COMPACT=true: time the post-replay compaction flush (the
+    // deferred L0→bucket shuffle), so the amortized ingest+flush cost of the
+    // LSM design is measured, not hand-waved.
+    if (sys.env.get("SPARK_GRAFT_COMPACT").contains("true")) {
+      val tC = System.nanoTime()
+      val snap = table.compact(maxFilesPerBucket = 1)
+      val cSecs = (System.nanoTime() - tC) / 1e9
+      val rows = snap.files.map(_.rows).sum
+      println(f"[probe] compact flush: $cSecs%.1f s, ${snap.files.size} files, $rows rows; " +
+        f"amortized ingest+flush tp=${events / (secs + cSecs)}%.0f ev/s")
+    }
     } finally {
       // leaked probe lakes on tmpfs were the round-2 "mystery" collapse:
       // ~4 GB per run accumulates until the VM hits memory-pressure reclaim

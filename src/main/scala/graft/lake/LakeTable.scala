@@ -211,6 +211,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     * compaction.
     */
   def resolve(raw: DataFrame): DataFrame = {
+    // One exchange, map-side-combined wide aggregate. A "slim" alternative
+    // (max(struct(_lsn,_wal_part)) + url-keyed self-join + dropDuplicates)
+    // was measured 5x SLOWER under matched conditions (326 s vs 64 s for an
+    // 8.3M-row fold at 16 cores): the join sort-merge-sorts the full html
+    // rows and the final dedup holds full rows per key anyway, so it pays
+    // the wide-state cost twice plus a sort. The wide max_by holds one row
+    // per key and ships partial winners through a single exchange.
     val cols = raw.columns
     raw.groupBy(col("url"))
       .agg(max_by(struct(cols.map(col).toIndexedSeq: _*),

@@ -233,6 +233,27 @@ object MLQueries {
         }
         table.pages().select(col("url"), col("text"), col("lang"))
       } finally env.unpersist()
+    }),
+
+    // the L0 write path under the same hard oracle: spanning appends, a
+    // mid-stream compaction flush (L0 → buckets), more appends, then the
+    // resolve-on-read page table — final state must be mode-independent
+    "q_cdc_l0_table" -> ((s, d) => {
+      val env = envelope(t(s, d, "events")).cache()
+      try {
+        val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
+        val step = math.max(1L, maxLsn / 4 + 1)
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-l0"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+        val table = new LakeTable(s, s"$work/lake")
+        (0L to maxLsn / step).foreach { b =>
+          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          CdcApply.applyBatchAppendRaw(table, batch, "q_cdc_l0", b, createBuckets = 16,
+            spanning = true)
+          if (b == 1L) table.compact(maxFilesPerBucket = 4) // mid-stream L0 flush
+        }
+        table.pages().select(col("url"), col("text"), col("lang"))
+      } finally env.unpersist()
     })
   )
 
@@ -423,6 +444,11 @@ object MLQueries {
         |FROM events GROUP BY 1
         |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
     "q_cdc_lww_table" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
+        |  max_by(event_type, event_id) AS lang
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
+    "q_cdc_l0_table" ->
       """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
         |  max_by(event_type, event_id) AS lang
         |FROM events GROUP BY 1

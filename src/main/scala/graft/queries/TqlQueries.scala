@@ -59,6 +59,23 @@ object TqlQueries {
         select c_custkey, name, key2
       """)(t(s, d, "customer"))),
 
+    // parse_* statements + namespaced functions under the hard oracle: both
+    // engines synthesize the identical syslog line, the TQL string surface
+    // parses it back and maps an OCSF uid
+    "q_tql_parse" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val line = concat(
+        lit("<"), pmod(col("event_id"), lit(192L)).cast("string"), lit(">1 - host"),
+        pmod(col("user_id"), lit(50L)).cast("string"),
+        lit(" app - - - seen "), col("event_type"))
+      val in = t(s, d, "events").select(col("event_id"), line.as("line"))
+      Tql("""
+        parse_syslog line
+        cls = ocsf::class_name(4001 + event_id % 14)
+        select event_id, facility, severity, hostname, app_name, message, cls
+      """)(in)
+    }),
+
     // a COMPLETE pipeline: from-source + enrich against a registered context
     // + chart aggregation — the full string surface end to end
     "q_tql_pipeline" -> ((s, d) => {
@@ -95,5 +112,18 @@ object TqlQueries {
     "q_tql_pipeline" ->
       """SELECT r_name, count(*) AS nations, sum(n_nationkey) AS keysum
          FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
-         GROUP BY 1 ORDER BY 1 LIMIT 100000""")
+         GROUP BY 1 ORDER BY 1 LIMIT 100000""",
+    "q_tql_parse" -> {
+      val caseArms = graft.functions.Ocsf.classes
+        .filter(c => c._2 >= 4001L && c._2 <= 4014L).toSeq.sortBy(_._2)
+        .map { case (n, id) => s"WHEN $id THEN '$n'" }.mkString(" ")
+      s"""SELECT event_id,
+         |  (event_id % 192) // 8 AS facility,
+         |  (event_id % 192) % 8 AS severity,
+         |  concat('host', CAST(user_id % 50 AS VARCHAR)) AS hostname,
+         |  'app' AS app_name,
+         |  concat('seen ', event_type) AS message,
+         |  CASE 4001 + event_id % 14 $caseArms END AS cls
+         |FROM events""".stripMargin
+    })
 }

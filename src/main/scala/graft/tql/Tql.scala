@@ -27,7 +27,9 @@ import graft.ops.Pipe._
   * (extension-dispatched IO; see [[Tql.run]]), `enrich "<context>",
   * ctxKey=probeField…` (named-context broadcast probe, register frames via
   * [[Tql.registerContext]]), `chart_line/_area/_bar/_pie x=f[,
-  * resolution="day"], name=agg()…`, and `group keys… { subpipeline }`
+  * resolution="day"], name=agg()…`, `parse_json/_grok/_syslog/_cef/_leef/_kv
+  * field[, args]` (format parsers appended as typed columns), and
+  * `group keys… { subpipeline }`
   * (per-key subpipeline semantics, reference `group.cpp:20-70` — positional
   * ops inside the braces compile to `Window.partitionBy(keys)` forms and
   * `summarize` gains the group keys, so one distributed plan serves every
@@ -100,7 +102,7 @@ object Tql {
   case object Sep extends Tok // '|' or newline: statement separator
 
   private object Lexer {
-    private val puncts = Seq("==", "!=", "<=", ">=", "&&", "||",
+    private val puncts = Seq("::", "==", "!=", "<=", ">=", "&&", "||",
       "<", ">", "+", "-", "*", "/", "%", "(", ")", "[", "]", "{", "}",
       ",", "=", ":", ".")
 
@@ -291,6 +293,36 @@ object Tql {
         st => { requireUngrouped(st, "rare"); st.next(st.df.rare_(f, n)) }
       case Ident("unroll") =>
         val f = parsePath().mkString("."); st => st.next(st.df.unroll_(f))
+      case Ident("parse_json") =>
+        // inferred-schema JSON parse of a string field (multi_series_builder's
+        // merge policy; json.cpp) — adds a `parsed` struct column
+        val f = parsePath().mkString(".")
+        st => st.next(graft.formats.JsonInfer.parseInferred(st.df, f))
+      case Ident("parse_grok") =>
+        val f = parsePath().mkString("."); expect(",")
+        val compiled = graft.formats.Grok.compile(parseStringLit("parse_grok"))
+        st => st.next(st.df.select(
+          (st.df.columns.map(col) ++ compiled.columns(col(f))).toIndexedSeq: _*))
+      case Ident("parse_syslog") =>
+        val f = parsePath().mkString(".")
+        st => st.next(st.df.select(
+          (st.df.columns.map(col) ++ graft.formats.Syslog5424.headerColumns(col(f))).toIndexedSeq: _*))
+      case Ident("parse_cef") =>
+        val f = parsePath().mkString(".")
+        st => st.next(st.df.select(
+          (st.df.columns.map(col) ++ graft.formats.Cef.headerColumns(col(f))).toIndexedSeq: _*))
+      case Ident("parse_leef") =>
+        val f = parsePath().mkString(".")
+        st => st.next(st.df.select(
+          (st.df.columns.map(col) ++ graft.formats.Leef.headerColumns(col(f))).toIndexedSeq: _*))
+      case Ident("parse_kv") =>
+        val f = parsePath().mkString(".")
+        val (fs, kvs) =
+          if (accept(",")) {
+            val a = parseStringLit("parse_kv"); expect(",")
+            (a, parseStringLit("parse_kv"))
+          } else (" ", "=")
+        st => st.next(st.df.withColumn("kv", str_to_map(col(f), lit(fs), lit(kvs))))
       case Ident("from") =>
         val path = parseStringLit("from")
         st => st.next(readPath(st.df.sparkSession, path))
@@ -548,6 +580,18 @@ object Tql {
       case Ident("null") => lit(null)
       case Punct("(") => val e = parseOr(); expect(")"); e
       case Punct("[") => pos -= 1; array(parseListLiteral(): _*)
+      case Ident(ns) if peek.contains(Punct("::")) =>
+        // namespaced function call: ocsf::class_name(...), etc.
+        next()
+        val fname = next() match {
+          case Ident(f) => f
+          case t => sys.error(s"tql: expected function name after '$ns::', got $t")
+        }
+        expect("(")
+        val args = if (accept(")")) Nil else {
+          val as = parseCommaList(() => parseExpr()); expect(")"); as
+        }
+        applyFn(s"$ns::$fname", args)
       case Ident(name) if peek.contains(Punct("(")) =>
         next()
         val args = if (accept(")")) Nil else {
@@ -598,7 +642,25 @@ object Tql {
     "year" -> fn1(year), "month" -> fn1(month), "day" -> fn1(dayofmonth),
     "hour" -> fn1(hour), "minute" -> fn1(minute), "second" -> fn1(second),
     "md5" -> fn1(md5), "string" -> fn1(_.cast("string")),
-    "int" -> fn1(_.cast("long")), "float" -> fn1(_.cast("double")))
+    "int" -> fn1(_.cast("long")), "float" -> fn1(_.cast("double")),
+    // §2.4 domain modules surfaced in the string language
+    "community_id" -> { case Seq(sa, da, sp, dp, pr) =>
+      graft.functions.Ip.communityId(sa, da, sp, dp, pr) },
+    "is_v4" -> fn1(graft.functions.Ip.isV4),
+    "network" -> fn2(graft.functions.Ip.network),
+    "cidr_contains" -> fn2(graft.functions.Ip.cidrContains),
+    "is_private" -> fn1(graft.functions.Ip.isPrivate),
+    "ocsf::category_uid" -> fn1(graft.functions.Ocsf.categoryUid),
+    "ocsf::category_name" -> fn1(graft.functions.Ocsf.categoryName),
+    "ocsf::class_uid" -> fn1(graft.functions.Ocsf.classUid),
+    "ocsf::class_name" -> fn1(graft.functions.Ocsf.className),
+    "language_id" -> fn1(c => graft.functions.Text.langId(c)),
+    "token_count" -> fn1(graft.functions.Text.tokenCount),
+    "quality_score" -> fn1(graft.functions.Text.qualityScore),
+    "file_name" -> fn1(graft.sources.Files.fileName),
+    "parent_dir" -> fn1(graft.sources.Files.parentDir),
+    "encode_base64" -> fn1(base64), "decode_base64" -> fn1(unbase64),
+    "encode_hex" -> fn1(c => lower(hex(c))))
 
   /** Aggregation functions (§2.3 names; auto-alias = TQL behavior). */
   private val aggFns: Map[String, Fn] = Map(

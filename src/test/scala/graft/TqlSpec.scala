@@ -130,6 +130,45 @@ class TqlSpec extends SparkSpec {
     assert(c.count() == 3)
   }
 
+  test("parse_* statements and namespaced/domain functions") {
+    // CEF header parse from the string surface
+    val cef = Seq((1L, "CEF:0|graft|engine|1.0|sig-7|probe|3|src=10.1.0.1"))
+      .toDF("id", "line")
+    val parsed = Tql("parse_cef line | select id, device_vendor, signature_id, severity")(cef)
+      .head()
+    assert(parsed.getString(1) == "graft" && parsed.getString(2) == "sig-7" &&
+      parsed.getString(3) == "3")
+
+    // syslog RFC5424 header
+    val sys = Seq((1L, "<165>1 - host7 app - - - boom")).toDF("id", "line")
+    val s5424 = Tql("parse_syslog line | select facility, severity, hostname, app_name, message")(sys).head()
+    assert(s5424.getLong(0) == 20L && s5424.getLong(1) == 5L)
+    assert(s5424.getString(2) == "host7" && s5424.getString(3) == "app" &&
+      s5424.getString(4) == "boom")
+
+    // kv parse into a map
+    val kv = Tql("""parse_kv line""")(Seq((1L, "a=1 b=x")).toDF("id", "line"))
+    assert(kv.select(element_at(col("kv"), "b")).as[String].head() == "x")
+
+    // grok with an inline pattern
+    val g = Tql("""parse_grok line, "%{INT:code} %{WORD:what}" | select code, what""")(
+      Seq((1L, "42 hello")).toDF("id", "line")).head()
+    assert(g.getString(0) == "42" && g.getString(1) == "hello")
+
+    // namespaced + domain functions
+    val r = Tql("""
+      cu = ocsf::class_uid("DNS Activity")
+      cn = ocsf::category_name(4)
+      cid = community_id("10.0.0.1", "192.168.1.2", 1234, 80, 6)
+      v4 = is_v4("10.0.0.1")
+      toks = token_count(line)
+      select cu, cn, cid, v4, toks
+    """)(Seq((1L, "two words")).toDF("id", "line")).head()
+    assert(r.getLong(0) == 4003L)
+    assert(r.getString(1) == "Network Activity")
+    assert(r.getString(2).startsWith("1:") && r.getBoolean(3) && r.getLong(4) == 2L)
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

@@ -157,4 +157,30 @@ class PcapMiscSpec extends SparkSpec {
     assert(new String(GFiles.fileContentsOf(spark, s"$dir/a.txt")) == "hello")
     assert(GFiles.parentDir(lit(s"$dir/sub/b.txt")).toString.nonEmpty)
   }
+
+  test("host introspection sources: processes, sockets, nics") {
+    import graft.sources.Host
+    val procs = Host.processes(spark)
+    assert(procs.columns.toSeq ==
+      Seq("pid", "name", "state", "ppid", "threads", "rss_bytes"))
+    val self = ProcessHandle.current().pid()
+    assert(procs.filter(col("pid") === self).count() == 1, "own JVM pid listed")
+    assert(procs.filter(col("pid") === 1).count() == 1)
+
+    // bind a listener, then find it in the sockets table (the JVM binds
+    // dual-stack, so the row may live in the tcp6 table as ::ffff:7f00:0001)
+    val srv = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    try {
+      val port = srv.getLocalPort
+      val hit = Host.sockets(spark)
+        .filter(col("protocol").startsWith("tcp") && col("local_port") === port &&
+          col("state") === "LISTEN")
+      assert(hit.count() >= 1, s"listening socket on $port visible")
+    } finally srv.close()
+    assert(Host.parseHexAddr("0100007F:1F90") == ("127.0.0.1", 8080))
+
+    val nics = Host.nics(spark)
+    assert(nics.filter(col("name") === "lo").count() == 1, "loopback nic listed")
+  }
 }

@@ -39,6 +39,25 @@ object Yaml {
     JsonInfer.parseInferred(js, "js", parsedCol)
   }
 
+  /** One JSON string → one YAML document (the `write_yaml` printer half;
+    * reference `yaml.cpp` printer). Inverse of [[yamlDocsToJson]].
+    */
+  def jsonToYaml(js: String): String = {
+    val node = YamlMappers.json.readTree(js)
+    YamlMappers.yaml.writeValueAsString(node)
+  }
+
+  /** `write_yaml`: each row → one YAML document string (column `yaml`),
+    * serialized through `to_json(struct(*))` then remapped by jackson — the
+    * same narrow per-row boundary as the parser, in reverse.
+    */
+  def print(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("js"))
+      .as[String].map(jsonToYaml).toDF("yaml")
+  }
+
   private object YamlMappers {
     lazy val yaml = new com.fasterxml.jackson.dataformat.yaml.YAMLMapper()
     lazy val json = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()

@@ -83,4 +83,43 @@ object Zeek {
     }
     lines.filter(!col(lineCol).startsWith("#")).select(cols: _*)
   }
+
+  /** Printed form of one typed column (inverse of [[typedColumn]]). */
+  private def printedColumn(c: Column, zeekType: String, h: Header): Column = {
+    val printed = zeekType match {
+      case "time" =>
+        format_string("%.6f", unix_micros(c.cast("timestamp")).cast("double") / 1e6)
+      case "bool" => when(c, "T").otherwise("F")
+      case t if t.startsWith("set[") || t.startsWith("vector[") || t.startsWith("table[") =>
+        when(size(c) === 0, h.emptyField).otherwise(array_join(c, h.setSeparator))
+      case _ => c.cast("string")
+    }
+    coalesce(printed, lit(h.unsetField))
+  }
+
+  /** `write_zeek_tsv` (reference `zeek_tsv.cpp` printer): a typed DataFrame →
+    * one `line` column of directive header rows + TSV data rows, round-trips
+    * through [[parse]]. Column order follows `fields`; `types` are the zeek
+    * type names to print under.
+    */
+  def print(df: DataFrame, path: String, fields: Seq[String], types: Seq[String],
+      separator: String = "\t"): DataFrame = {
+    val h = Header(separator, ",", "(empty)", "-", path, fields, types)
+    val sep = separator
+    val header = Seq(
+      "#separator " + (if (sep == "\t") "\\x09" else sep),
+      s"#set_separator$sep${h.setSeparator}",
+      s"#empty_field$sep${h.emptyField}",
+      s"#unset_field$sep${h.unsetField}",
+      s"#path$sep$path",
+      (s"#fields" +: fields).mkString(sep),
+      (s"#types" +: types).mkString(sep))
+    import df.sparkSession.implicits._
+    val headerDf = header.toDF("line")
+    val rows = df.select(concat_ws(sep,
+      fields.zip(types).map { case (f, t) =>
+        printedColumn(col(f.replace('.', '_')), t, h)
+      }: _*).as("line"))
+    headerDf.unionByName(rows)
+  }
 }

@@ -227,4 +227,35 @@ class FormatsSpec extends SparkSpec {
     assert(routes("b").select("parsed.*").columns.toSet == Set("type", "z"))
     assert(routes("a").count() == 2 && routes("b").count() == 1)
   }
+
+  test("zeek TSV printer round-trips through the parser") {
+    import graft.formats.Zeek
+    val df = Seq(
+      (1700000001L, "C1", Some(42L), true, Seq("a", "b")),
+      (1700000002L, "C2", None, false, Seq.empty[String])
+    ).toDF("ts0", "uid", "orig_bytes", "local_orig", "tags")
+      .select(
+        timestamp_micros(col("ts0") * 1000000L).cast("timestamp_ntz").as("ts"),
+        col("uid"), col("orig_bytes"), col("local_orig"), col("tags"))
+    val fields = Seq("ts", "uid", "orig_bytes", "local_orig", "tags")
+    val types = Seq("time", "string", "count", "bool", "set[string]")
+    val printed = Zeek.print(df, "conn", fields, types)
+    assert(printed.filter(col("line").startsWith("#")).count() == 7)
+    val back = Zeek.parse(printed).orderBy("uid").collect()
+    assert(back(0).getAs[java.time.LocalDateTime]("ts").toEpochSecond(java.time.ZoneOffset.UTC) == 1700000001L)
+    assert(back(0).getAs[Long]("orig_bytes") == 42L)
+    assert(back(1).isNullAt(back(1).fieldIndex("orig_bytes")), "unset round-trips to null")
+    assert(back(0).getAs[Boolean]("local_orig") && !back(1).getAs[Boolean]("local_orig"))
+    assert(back(0).getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("a", "b"))
+    assert(back(1).getAs[scala.collection.Seq[String]]("tags").isEmpty, "(empty) round-trips to []")
+  }
+
+  test("yaml printer emits one document per row, parseable back") {
+    import graft.formats.Yaml
+    val df = Seq((1L, "alpha", 2.5), (2L, "beta", 0.5)).toDF("id", "name", "score")
+    val docs = Yaml.print(df).as[String].collect().sorted
+    assert(docs.length == 2 && docs.forall(_.contains("name:")))
+    val back = docs.flatMap(Yaml.yamlDocsToJson).sorted
+    assert(back(0) == """{"id":1,"name":"alpha","score":2.5}""")
+  }
 }

@@ -87,11 +87,6 @@ object Bench {
     trials.sorted.apply(1) // median
   }
 
-  /** One full WAL replay into a fresh lake; returns (events applied, secs).
-    * ~48 segment files ≈ 4M events per micro-batch: big enough that executor
-    * work dominates per-batch fixed costs, small enough that the LWW shuffle
-    * doesn't spill at N=4 (10M-row batches measurably crater the 4-core run).
-    */
   /** (events, secs) for the whole replay plus per-batch (events, secs); batch
     * walls are measured between commit callbacks, so inter-batch driver time
     * is charged to the batch it precedes.

@@ -293,6 +293,15 @@ object Tql {
         st => { requireUngrouped(st, "rare"); st.next(st.df.rare_(f, n)) }
       case Ident("unroll") =>
         val f = parsePath().mkString("."); st => st.next(st.df.unroll_(f))
+      case Ident("reverse") =>
+        // flip the tracked order (reference reverse.cpp); downstream
+        // positional ops consume the flipped keys
+        st => {
+          require(st.orderKeys.nonEmpty, "tql: reverse requires a preceding sort")
+          val flipped = st.orderKeys.map { case (e, d) => (e, !d) }
+          val next = new State(st.df, flipped, st.groupKeys)
+          if (st.grouped) next else new State(next.df.sort_(next.order: _*), flipped)
+        }
       case Ident("parse_json") =>
         // inferred-schema JSON parse of a string field (multi_series_builder's
         // merge policy; json.cpp) — adds a `parsed` struct column

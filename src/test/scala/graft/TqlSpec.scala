@@ -169,6 +169,18 @@ class TqlSpec extends SparkSpec {
     assert(r.getString(2).startsWith("1:") && r.getBoolean(3) && r.getLong(4) == 2L)
   }
 
+  test("reverse flips the tracked order for downstream positional ops") {
+    // head after reverse == tail of the original order
+    val got = Tql("sort id | reverse | head 2 | select id")(df)
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(5L, 6L))
+    // enumerate after reverse numbers from the other end
+    val e = Tql("sort id | reverse | enumerate idx | where idx == 0 | select id")(df)
+      .as[Long].head()
+    assert(e == 6L)
+    intercept[IllegalArgumentException](Tql("reverse")(df).collect())
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

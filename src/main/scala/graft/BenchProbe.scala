@@ -90,8 +90,15 @@ object BenchProbe {
     val t0 = last
     var events = 0L
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
+    // SPARK_GRAFT_AUTOCOMPACT=k: fold L0/delta files whenever a bucket exceeds
+    // k files, exactly as a production long-running stream would — used by the
+    // endurance protocol to show per-batch throughput stays flat while the
+    // table grows and compaction interleaves with ingest.
+    val autoCompact = sys.env.getOrElse("SPARK_GRAFT_AUTOCOMPACT", "0").toInt
+    val expireKeep = sys.env.getOrElse("SPARK_GRAFT_EXPIRE", "0").toInt
     CdcStream.start(spark, walDir, table, s"$work/ckpt",
       maxFilesPerTrigger = filesPerTrigger, createBuckets = buckets, mode = mode,
+      autoCompactFilesPerBucket = autoCompact, expireKeepLast = expireKeep,
       onBatch = st => {
         val now = System.nanoTime(); val gc = gcMillis()
         println(f"[probe] batch ${st.batchId}%3d events=${st.events}%8d " +

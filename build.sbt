@@ -36,4 +36,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // — the 8g default OOM-collapsed the round-1 driver-run bench (BENCH_r01
   // rc=1) while a hand-run 24g JVM passed. Override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pin the heap (-Xms=-Xmx) + THP(madvise): with only -Xmx, G1 repeatedly
+  // commits/uncommits heap regions and every re-growth is a kernel
+  // page-fault storm on this VM (measured: us~5% sy~25%, stime>>utime on
+  // every thread, batch times 10-30x — endurance replay ingest batches
+  // 10-66s vs 3.5-5.7s fixed, L0 flush 346s vs 38s). Xms pins the floor so
+  // each page faults exactly once (lazily, in the untimed gen/warmup
+  // phases); THP makes those one-time faults 2MB-granular (12k, not 6M).
+  // AlwaysPreTouch was tried and dropped: it front-loads the same faults
+  // into a ~10-min serial startup when host memory is fragmented.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseTransparentHugePages",
 )

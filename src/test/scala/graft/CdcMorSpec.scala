@@ -138,8 +138,13 @@ class CdcMorSpec extends SparkSpec {
     // partial compaction targeting only the L0 group (3 files > 2), GC armed:
     // the tombstone's victim sits in a bucketed file OUTSIDE the input, so GC
     // must be suppressed — otherwise v1 would resurrect.
+    val bucketedBefore = table.currentSnapshot.get.files.filter(_.bucket >= 0).map(_.path).toSet
     val snap = table.compact(maxFilesPerBucket = 2, gcTombstonesBelowLsn = Some(100L))
     assert(snap.files.forall(_.bucket >= 0), "L0 group should have been flushed")
+    // incrementality (the O(new-data) flush property): pre-existing bucketed
+    // files are NOT rewritten by an L0-only flush — only the L0 group was read
+    assert(bucketedBefore.subsetOf(snap.files.map(_.path).toSet),
+      "partial L0 flush must leave pre-existing bucketed files untouched")
     val rows = table.pages(snap).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
     assert(rows == Map("https://a/y" -> "w2"), "tombstone must survive a partial L0 flush")

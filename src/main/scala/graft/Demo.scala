@@ -35,7 +35,7 @@ object Demo {
     } else println(s"[demo] reusing existing WAL at $wal")
 
     val table = new LakeTable(spark, lake)
-    // SPARK_GRAFT_MODE=mor exercises the merge-on-read apply path
+    // SPARK_GRAFT_MODE selects the apply mode: cow (default), mor, morraw, l0
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
     var applied = 0L; var skipped = 0L
     val q = CdcStream.start(spark, wal, table, ckpt, maxFilesPerTrigger = 8,

@@ -243,6 +243,52 @@ object Pipe {
         .drop("__b", "__k")
     }
 
+    /** `sample period, mode=…, min_events=…, max_rate=…, max_samples=…` —
+      * the reference's EXACT rate derivation (`sample.cpp`, `sample.md`):
+      * the 1-in-k rate for each period is `fn(previous period's count)` with
+      * `fn` ∈ ln/log2/log10/sqrt; below `minEvents` the rate snaps back to
+      * 1:1 (first period included — no previous count), `maxRate` caps k,
+      * and `maxSamples` bounds emitted events per period. Deterministic: the
+      * keep-decision hashes `keyCol` (md5h60) and the per-period cap keeps
+      * the hash-smallest survivors, so replays emit identical rows and a
+      * DuckDB oracle verifies exactly (the reference keeps first-arrivals,
+      * an order a distributed replay cannot reproduce).
+      *
+      * Same plan shape as [[sampleAdaptive_]] (tiny bucket aggregate +
+      * driver-scale lag + broadcast join back); `maxSamples` adds one
+      * window partitioned BY PERIOD (parallel across periods).
+      */
+    def sampleRate_(timeCol: Column, periodSec: Long, keyCol: Column,
+        mode: String = "ln", minEvents: Long = 30L,
+        maxRate: Option[Long] = None, maxSamples: Option[Long] = None): DataFrame = {
+      val fn: Column => Column = mode match {
+        case "ln" => log(_)
+        case "log2" => log2(_)
+        case "log10" => log10(_)
+        case "sqrt" => sqrt(_)
+        case other => throw new IllegalArgumentException(s"sample mode: $other")
+      }
+      val bucket = floor(unix_timestamp(timeCol) / periodSec).cast("long")
+      val perBucket = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col("__b")) // #periods rows — driver-scale
+      val prev = lag(col("__n"), 1).over(w)
+      val raw = greatest(lit(1L), floor(fn(prev.cast("double"))).cast("long"))
+      val capped = maxRate.fold(raw)(m => least(raw, lit(m)))
+      val rates = perBucket.withColumn("__k",
+          when(prev.isNull || prev < minEvents, lit(1L)).otherwise(capped))
+        .select(col("__b"), col("__k"))
+      val h = graft.functions.Text.md5h60(keyCol.cast("string"))
+      val kept = df.withColumn("__b", bucket)
+        .join(broadcast(rates), Seq("__b"), "left")
+        .filter(pmod(h, coalesce(col("__k"), lit(1L))) === 0)
+      maxSamples.fold(kept.drop("__b", "__k")) { m =>
+        kept.withColumn("__rn",
+            row_number().over(Window.partitionBy(col("__b")).orderBy(h, keyCol)))
+          .filter(col("__rn") <= m)
+          .drop("__b", "__k", "__rn")
+      }
+    }
+
     /** `if pred { then } else { else }` at operator level — route through two
       * subplans and merge (reference `if.cpp`). Subplans must produce
       * union-compatible schemas.

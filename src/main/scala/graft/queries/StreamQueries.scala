@@ -51,6 +51,14 @@ object StreamQueries {
       a.unionByName(b)
     }),
 
+    // Reference-exact `sample`: k = ln(prev period count), min_events
+    // snap-back, max_rate cap, max_samples per-period bound (sample.cpp).
+    "q_sample_rate" -> ((s, d) =>
+      t(s, d, "events")
+        .sampleRate_(col("ts"), periodSec = 86400, keyCol = col("event_id"),
+          mode = "ln", minEvents = 30L, maxRate = Some(6L), maxSamples = Some(40L))
+        .select(col("event_id"), col("user_id"))),
+
     // Tumbling 6h event-time windows (watermark node eliminated in batch).
     "q_window_tumbling" -> ((s, d) =>
       StreamOps.windowedSummarize(
@@ -101,6 +109,22 @@ object StreamQueries {
         |SELECT 'hot_by_user' AS branch, CAST(user_id % 10 AS VARCHAR) AS k,
         |  count(*) AS n
         |FROM events WHERE value > 500.0 GROUP BY 2""".stripMargin,
+
+    "q_sample_rate" ->
+      """WITH b AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bb,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |c AS (SELECT bb, count(*) AS n FROM b GROUP BY bb),
+        |r AS (SELECT bb,
+        |    CASE WHEN lag(n) OVER (ORDER BY bb) IS NULL
+        |           OR lag(n) OVER (ORDER BY bb) < 30 THEN 1
+        |         ELSE least(greatest(1,
+        |           CAST(floor(ln(lag(n) OVER (ORDER BY bb))) AS BIGINT)), 6)
+        |    END AS k
+        |  FROM c)
+        |SELECT event_id, user_id FROM b JOIN r USING (bb) WHERE h % k = 0
+        |QUALIFY row_number() OVER (PARTITION BY bb ORDER BY h, event_id) <= 40""".stripMargin,
 
     "q_window_tumbling" ->
       s"""SELECT ${bucketSql(21600)} AS w_start,

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
+
 import graft.cdc.{CdcApply, CdcStream}
 import graft.gen.{ChangeGen, GenConfig, GenEvent}
 import graft.lake.LakeTable
@@ -154,6 +156,43 @@ class CdcMorSpec extends SparkSpec {
     val after = table.pages(full).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
     assert(after == Map("https://a/y" -> "w2"))
+  }
+
+  test("schema evolution on the L0 path: added column + widened type survive the flush") {
+    val table = new LakeTable(spark, tmpDir())
+    val ts = new Timestamp(1704067200000L)
+    val b0: DataFrame = Seq(
+      ("I", 1L, 0, "https://s/1", ts, "t1", "en", 7)
+    ).toDF("op", "lsn", "wal_part", "url", "warc_ts", "text", "lang", "score")
+    // v2 adds fetch_status and widens score int→long
+    val b1: DataFrame = Seq(
+      ("I", 2L, 0, "https://s/2", ts, "t2", "en", 123456789012L, 200),
+      ("U", 3L, 0, "https://s/1", ts, "t1b", "en", 5L, 304)
+    ).toDF("op", "lsn", "wal_part", "url", "warc_ts", "text", "lang", "score", "fetch_status")
+    CdcApply.applyBatchAppendRaw(table, b0, "q", 0L, createBuckets = 4, spanning = true)
+    CdcApply.applyBatchAppendRaw(table, b1, "q", 1L, createBuckets = 4, spanning = true)
+    val snap = table.currentSnapshot.get
+    val schema = table.currentFileSchema(snap)
+    assert(schema("score").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema.fieldNames.contains("fetch_status"))
+    def state(s: graft.lake.Snapshot): Map[String, (String, Long, Option[Int])] =
+      table.pages(s).collect()
+        .map(r => r.getAs[String]("url") ->
+          (r.getAs[String]("text"), r.getAs[Long]("score"),
+            Option(r.getAs[Integer]("fetch_status")).map(_.toInt)))
+        .toMap
+    val expected = Map(
+      "https://s/1" -> ("t1b", 5L, Some(304)),
+      "https://s/2" -> ("t2", 123456789012L, Some(200)))
+    // pre-flush: the L0 resolve reads heterogeneous file schemas (old files
+    // lack fetch_status, carry int score) under the evolved table schema
+    assert(state(snap) == expected)
+    // the L0→bucket flush folds mixed-schema L0 files; state is preserved
+    val flushed = table.compact(maxFilesPerBucket = 1, gcTombstonesBelowLsn = Some(100L))
+    assert(flushed.files.forall(_.bucket >= 0))
+    assert(state(flushed) == expected)
+    assert(table.currentFileSchema(flushed)("score").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("L0 apply moves zero shuffle bytes (scan -> project -> write, no exchange)") {

@@ -81,4 +81,32 @@ class PipePositionalSpec extends SparkSpec {
     val again = df.sampleAdaptive_(col("ts"), 86400, 100, col("id")).count()
     assert(again == out.values.sum)
   }
+
+  test("rate sample: mode fn, min_events snap-back, max_rate cap, max_samples bound") {
+    // day1: 400 events; day2: 20 (< min_events); day3: 400
+    val df = ((0 until 400).map(i => (i.toLong, 1)) ++
+        (0 until 20).map(i => (400L + i, 2)) ++
+        (0 until 400).map(i => (420L + i, 3)))
+      .map { case (id, day) =>
+        (id, java.sql.Timestamp.valueOf(s"2024-01-0$day 00:00:${id % 60}"))
+      }.toDF("id", "ts")
+    val byDay = df.sampleRate_(col("ts"), periodSec = 86400, keyCol = col("id"),
+        mode = "ln", minEvents = 30L)
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day").count().as[(Int, Long)].collect().toMap
+    assert(byDay(1) == 400L) // first period: no history → 1:1
+    // day2 rate = floor(ln(400)) = 5 → ~1-in-5 of 20 events
+    assert(byDay(2) > 0 && byDay(2) < 15, s"day2=${byDay(2)}")
+    assert(byDay(3) == 400L) // prev count 20 < min_events → 1:1 again
+    // max_rate caps k; max_samples truncates each period deterministically
+    val capped = df.sampleRate_(col("ts"), 86400, col("id"),
+      mode = "sqrt", minEvents = 10L, maxRate = Some(2L), maxSamples = Some(7L))
+    val cd = capped.withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day").count().as[(Int, Long)].collect().toMap
+    assert(cd.values.forall(_ <= 7L))
+    assert(capped.count() == capped.distinct().count())
+    // deterministic across runs
+    assert(capped.count() ==
+      df.sampleRate_(col("ts"), 86400, col("id"), "sqrt", 10L, Some(2L), Some(7L)).count())
+  }
 }

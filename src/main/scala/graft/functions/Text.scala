@@ -33,6 +33,34 @@ object Text {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Deterministic html→text extraction over raw page bytes — the derivation
+    * behind the north rule's "byte-identical extracted text per url" replay
+    * invariant (the WAL carries `html: binary`; `text` must be a pure
+    * function of it so any replay reconverges bit-for-bit). Contract:
+    * drop script/style subtrees, strip all tags, decode the common HTML
+    * entities (`&amp;` last — no double-decode), collapse whitespace, trim.
+    * Pure codegen'd Column pipeline (Java regex here, RE2 in the DuckDB
+    * oracle twin — patterns stay in the shared subset: no backreferences).
+    */
+  def extractText(html: Column): Column = {
+    val s0 = decode(html, "UTF-8")
+    val noScript = regexp_replace(s0, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&nbsp;", " "),
+              "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Exact-dup fingerprint: md5 hex of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normalize(text))
 

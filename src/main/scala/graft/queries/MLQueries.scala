@@ -174,6 +174,20 @@ object MLQueries {
     "q_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
 
+    // html→text extraction: both engines synthesize the same html page
+    // (entities, script/style noise) from the row, then DuckDB re-derives
+    // the extraction from first principles — exact oracle over the pipeline
+    // behind the byte-identical-text replay invariant (see GenSpec).
+    "q_extract_text" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.extractText(encode(concat(
+          lit("<html><head><title>T &amp; ß</title><style>p{color:red}</style></head><body onload=\"x()\"><h1>"),
+          col("source"),
+          lit("</h1>\n<p>first &lt;cut&gt;&nbsp;mark</p>\n<script type=\"text/js\">var x = \"<p>\";</script><p>"),
+          col("text"),
+          lit("</p></body></html>")), "UTF-8")).as("extracted"))),
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_meta" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -312,6 +326,25 @@ object MLQueries {
         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS subword_tokens
         |FROM documents""".stripMargin,
+    "q_extract_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>T &amp; ß</title><style>p{color:red}</style></head><body onload="x()"><h1>'
+        |  || source || '</h1>' || chr(10) || '<p>first &lt;cut&gt;&nbsp;mark</p>' || chr(10)
+        |  || '<script type="text/js">var x = "<p>";</script><p>'
+        |  || text || '</p></body></html>' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM h""".stripMargin,
     "q_langid" -> {
       def score(words: Seq[String]) =
         s"len(list_filter($NormWords, w -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], w)))"

@@ -45,4 +45,16 @@ class GenSpec extends SparkSpec {
     val top = domains.map(_._2).max.toDouble / evs.length
     assert(top > 0.15, s"hottest domain share $top — expected Zipf skew")
   }
+
+  test("text is a pure function of the raw html bytes: extractText(html) == text, byte-identical") {
+    import org.apache.spark.sql.functions.col
+    // the replay invariant's derivation direction: the WAL's `text` column is
+    // re-derivable from `html` alone, so ANY replay that preserves html bytes
+    // reconverges to byte-identical extracted text per url
+    val mismatches = ChangeGen.events(spark, cfg).toDF()
+      .filter(col("op") =!= "D")
+      .filter(graft.functions.Text.extractText(col("html")) =!= col("text"))
+      .count()
+    assert(mismatches == 0L)
+  }
 }

@@ -97,6 +97,15 @@ class LakeTable(val spark: SparkSession, val root: String,
   def commit(snap: Snapshot): Snapshot = {
     fs.mkdirs(manifestDir)
     val parentV = latestVersion
+    // Optimistic concurrency (the Iceberg commit model): the caller passes
+    // the snapshot it BASED its changes on; if the table advanced since, the
+    // commit would silently drop the other writer's files when diffing the
+    // file lists — refuse instead, so the caller re-reads and reapplies.
+    // (The single-writer stream never trips this; it protects multi-writer
+    // misuse and concurrent maintenance.)
+    if (snap.version != parentV.getOrElse(-1L))
+      throw new java.util.ConcurrentModificationException(
+        s"stale base snapshot v${snap.version}: table is at v${parentV.getOrElse(-1L)} — re-read and retry")
     val v = parentV.getOrElse(-1L) + 1
     val parent = parentV.map(pv =>
       cachedSnap.filter(_.version == pv).getOrElse(snapshotAt(pv)))
@@ -124,7 +133,14 @@ class LakeTable(val spark: SparkSession, val root: String,
       manifests = manifests,
       lineage = snap.lineage.takeRight(lineageRetention)
         .map(le => if (le.snapshotVersion < 0) le.copy(snapshotVersion = v) else le))
-    val out = fs.create(versionPath(v), false) // overwrite=false: atomic claim
+    // overwrite=false: atomic claim — the backstop for two writers that both
+    // passed the stale-base check from the SAME base (one wins the create)
+    val out =
+      try fs.create(versionPath(v), false)
+      catch { case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"lost commit race for v$v: ${e.getMessage}")
+      }
     try out.write(ManifestCodec.toJson(resolved.copy(files = Nil)).getBytes("UTF-8"))
     finally out.close()
     cachedSnap = Some(resolved)
@@ -161,7 +177,7 @@ class LakeTable(val spark: SparkSession, val root: String,
   def create(userSchema: StructType, buckets: Int): Snapshot = {
     require(!exists, s"table already exists at $root")
     commit(Snapshot(
-      version = 0L, parentVersion = -1L,
+      version = -1L, parentVersion = -1L, // base: "no table yet" → commits as v0
       currentSchemaId = 0,
       schemas = Map("0" -> LakeTable.fileSchema(userSchema).json),
       buckets = buckets,

@@ -220,4 +220,31 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(onDisk == referenced, s"unreferenced files remain: ${onDisk -- referenced}")
     assert(pagesMap(table.pages()) == golden)
   }
+
+  test("optimistic concurrency: a stale-base commit is refused, a re-read retry lands") {
+    val root = tmpDir()
+    val a = new LakeTable(spark, root)
+    segGroups(allEvents, 8).take(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(a, spark.createDataset(g).toDF(), "w", i.toLong,
+        createBuckets = 8)
+    }
+    // writer B reads its base, then A advances the table underneath it
+    val b = new LakeTable(spark, root)
+    val staleBase = b.currentSnapshot.get
+    val advanced = a.commit(a.currentSnapshot.get.copy(
+      props = a.currentSnapshot.get.props + ("touched_by" -> "a")))
+    // B's commit from the stale base would silently drop A's changes — refused
+    intercept[java.util.ConcurrentModificationException] {
+      b.commit(staleBase.copy(props = staleBase.props + ("touched_by" -> "b")))
+    }
+    // the Iceberg retry loop: re-read, reapply the change, commit — lands,
+    // with BOTH writers' effects preserved
+    val fresh = b.currentSnapshot.get
+    assert(fresh.version == advanced.version)
+    val landed = b.commit(fresh.copy(props = fresh.props + ("touched_by_b" -> "b")))
+    assert(landed.props.get("touched_by").contains("a"))
+    assert(landed.props.get("touched_by_b").contains("b"))
+    assert(pagesMap(a.pages(a.snapshotAt(landed.version))) ==
+      pagesMap(b.pages(landed)))
+  }
 }

@@ -112,4 +112,38 @@ object StreamOps {
       sink(batch, id)
     }
   }
+
+  /** `throttle max_bw [window]` (reference
+    * `/root/reference/libtenzir/builtins/operators/throttle.cpp`: caps the
+    * stream's data rate, stalling upstream when the budget for the current
+    * window is spent). Spark mapping: a foreachBatch pacer — before handing
+    * micro-batch i+1 to `sink`, sleep until the CUMULATIVE units shipped
+    * stay ≤ `maxPerSec × elapsed`. Pacing is driver-side and batch-granular
+    * (the micro-batch is Structured Streaming's emission unit); in-batch
+    * rate is bounded by also sizing triggers (`maxFilesPerTrigger`).
+    * `unitsOf` defaults to row count (events/sec); pass a byte measure
+    * (e.g. `sum(octet_length(to_json(struct(*))))`) for the reference's
+    * bytes/sec semantics — one tiny agg job per batch, negligible on a
+    * deliberately rate-capped stream.
+    */
+  def throttledSink(
+      maxPerSec: Double,
+      sink: (DataFrame, Long) => Unit,
+      unitsOf: DataFrame => Long = _.count()): (DataFrame, Long) => Unit = {
+    require(maxPerSec > 0, "throttle rate must be positive")
+    var startWallMs = -1L
+    var shipped = 0L
+    (batch: DataFrame, id: Long) => {
+      if (startWallMs < 0) startWallMs = System.currentTimeMillis()
+      else {
+        // budget check BEFORE shipping this batch: everything shipped so far
+        // must fit the rate; sleep off any overdraft
+        val targetWall = startWallMs + (shipped / maxPerSec * 1000).toLong
+        val sleepMs = targetWall - System.currentTimeMillis()
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+      shipped += unitsOf(batch)
+      sink(batch, id)
+    }
+  }
 }

@@ -78,4 +78,27 @@ class ShellTopicsSpec extends SparkSpec {
     assert(byBatch(1) - byBatch(0) >= 400L,
       s"second batch emitted only ${byBatch(1) - byBatch(0)} ms after first")
   }
+
+  test("throttledSink caps the cumulative event rate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batch, wallMs)
+    val capped = StreamOps.throttledSink(200.0,
+      (batch, id) => emitted.synchronized { emitted += ((id, System.currentTimeMillis())) })
+    val q = input.toDF().writeStream.foreachBatch(capped).start()
+    try {
+      input.addData(1L to 100L: _*) // batch 0: ships immediately, spends 0.5s budget
+      q.processAllAvailable()
+      input.addData(101L to 200L: _*) // batch 1: must wait until ≥0.5s elapsed
+      q.processAllAvailable()
+      input.addData(201L to 300L: _*) // batch 2: must wait until ≥1.0s elapsed
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = emitted.sortBy(_._1).map(_._2)
+    assert(byBatch.size == 3)
+    assert(byBatch(1) - byBatch(0) >= 400L,
+      s"batch 1 shipped ${byBatch(1) - byBatch(0)} ms after batch 0 — rate cap not applied")
+    assert(byBatch(2) - byBatch(0) >= 900L,
+      s"batch 2 shipped ${byBatch(2) - byBatch(0)} ms after batch 0 — cumulative cap not applied")
+  }
 }

@@ -23,7 +23,9 @@ import graft.ops.Pipe._
   * (with `-expr` descending), `head n`, `tail n`, `taste n`, `unique`,
   * `deduplicate keys… [limit=n]`, `summarize (group|name=agg())…`,
   * `unroll f`, `enumerate [f]`, `slice b:e[:stride]`, `top f [n]`,
-  * `rare f [n]`, `pass`, `discard`, `from "<path>"` / `to "<path>"`
+  * `rare f [n]`, `pass`, `discard`, `assert expr` (drop-on-failure with an
+  * observed dropped-count metric), `move to=from, …`,
+  * `from "<path>"` / `to "<path>"`
   * (extension-dispatched IO; see [[Tql.run]]), `enrich "<context>",
   * ctxKey=probeField…` (named-context broadcast probe, register frames via
   * [[Tql.registerContext]]), `chart_line/_area/_bar/_pie x=f[,
@@ -211,6 +213,13 @@ object Tql {
 
     private def parseStatement(): Stmt = next() match {
       case Ident("where") => val e = parseExpr(); st => st.next(st.df.where_(e))
+      case Ident("assert") => val e = parseExpr(); st => st.next(st.df.assert_(e))
+      case Ident("move") =>
+        val pairs = parseCommaList { () =>
+          val to = parsePath().mkString(".")
+          expect("="); val from = parsePath().mkString("."); (to, from)
+        }
+        st => st.next(pairs.foldLeft(st.df) { case (d, (to, from)) => d.move_(to, from) })
       case Ident("pass") => st => st
       case Ident("discard") => st => st.next(st.df.limit(0))
       case Ident("unique") => st => st.next(st.df.distinct())

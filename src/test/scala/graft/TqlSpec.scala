@@ -30,6 +30,14 @@ class TqlSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id", "user", "double"))
   }
 
+  test("assert drops failing rows; move renames in place") {
+    val got = Tql("""assert status == 200 | move code=status, who=user | select id, who, code""")(df)
+    val want = df.filter(col("status") === 200)
+      .withColumnRenamed("status", "code").withColumnRenamed("user", "who")
+      .select("id", "who", "code")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("pipe separators, drop, rename, unique, in-list") {
     val got = Tql("""where method in ["GET", "PUT"] | drop value | rename verb=method | unique""")(df)
     assert(got.columns.toSeq == Seq("id", "user", "verb", "status"))

@@ -146,4 +146,31 @@ object StreamOps {
       sink(batch, id)
     }
   }
+
+  /** `buffer n policy=drop` (reference
+    * `/root/reference/libtenzir/builtins/operators/buffer.cpp`: a bounded
+    * element buffer between producer and consumer; `drop` discards what the
+    * consumer can't keep up with, `block` stalls the producer). Spark
+    * mapping: `block` IS Structured Streaming's native backpressure
+    * (trigger sizing — the source never outruns the sink); `drop` becomes a
+    * per-micro-batch bound: keep a deterministic `maxRows` subset (hash
+    * order on `keyCols`, so replays drop the SAME rows) and report the
+    * overflow to `onDrop` — the observable-drop contract (no silent caps).
+    */
+  def boundedSink(
+      maxRows: Int,
+      keyCols: Seq[String],
+      sink: (DataFrame, Long) => Unit,
+      onDrop: (Long, Long) => Unit = (_, _) => ()): (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) => {
+      val h = graft.functions.Text.md5h60(
+        concat_ws(" ", keyCols.map(col): _*))
+      // sorted limit = TakeOrderedAndProject: per-partition top-n, then one
+      // n-row merge on the driver side of the exchange — fully parallel,
+      // never a single-partition window
+      val kept = batch.orderBy(h).limit(maxRows)
+      val total = batch.count()
+      if (total > maxRows) onDrop(id, total - maxRows)
+      sink(kept, id)
+    }
 }

@@ -101,4 +101,18 @@ class ShellTopicsSpec extends SparkSpec {
     assert(byBatch(2) - byBatch(0) >= 900L,
       s"batch 2 shipped ${byBatch(2) - byBatch(0)} ms after batch 0 — cumulative cap not applied")
   }
+
+  test("boundedSink (buffer policy=drop) keeps a deterministic subset and reports drops") {
+    val big = spark.range(100).toDF("value")
+    val small = spark.range(3).toDF("value")
+    val shipped = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val bounded = StreamOps.boundedSink(5, Seq("value"),
+      (b, _) => shipped += b.collect().map(_.getLong(0)).toSet,
+      (id, n) => drops += ((id, n)))
+    bounded(big, 0L); bounded(small, 1L); bounded(big, 2L)
+    assert(shipped(0).size == 5 && shipped(1).size == 3 && shipped(2).size == 5)
+    assert(drops.toSeq == Seq((0L, 95L), (2L, 95L))) // under-bound batch: no drop event
+    assert(shipped(0) == shipped(2), "same input must drop the same rows (replay-deterministic)")
+  }
 }

@@ -72,4 +72,46 @@ object Introspect {
       ("graft", "2.0", spark.version, scala.util.Properties.versionNumberString)))
       .toDF("engine", "engine_version", "spark_version", "scala_version")
   }
+
+  /** One row per available operator/function/format (the reference's
+    * `plugins` source / `show plugins` — a static registry there too:
+    * `plugins.cpp` walks the linked plugin list). Queryable like any data:
+    * `plugins(spark).where($"kind" === "format")`.
+    */
+  def plugins(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val reg: Seq[(String, String, String)] =
+      Seq("where", "select", "drop", "set", "rename", "move", "flatten",
+        "unflatten", "unroll", "enumerate", "deduplicate", "deduplicate_distance",
+        "unique", "sort", "reverse", "slice", "head", "tail", "taste", "top",
+        "rare", "summarize", "if_else", "fork", "sample", "sample_adaptive",
+        "sample_rate", "repeat", "assert", "enrich", "chart", "timeshift")
+        .map((_, "operator", "graft.ops.Pipe")) ++
+      Seq("windowed_summarize", "sliding_summarize", "session_summarize",
+        "dedup_within_watermark", "delay", "throttle", "buffer_drop")
+        .map((_, "operator", "graft.streaming.StreamOps")) ++
+      Seq("exact_dedup", "minhash_lsh", "simhash", "ngram_jaccard",
+        "embedding_dup").map((_, "operator", "graft.ops.Dedup")) ++
+      Seq("ann_bruteforce", "ann_lsh").map((_, "operator", "graft.ops.Similarity")) ++
+      Seq("pseudonymize").map((_, "operator", "graft.ops.Privacy")) ++
+      Seq("shell").map((_, "operator", "graft.ops.Shell")) ++
+      Seq("grok", "syslog_rfc3164", "syslog_rfc5424", "cef", "leef",
+        "zeek_tsv", "yaml", "json_infer", "json_route", "sigma", "pcap",
+        "decapsulate", "csv", "kv", "lines", "json")
+        .map((_, "format", "graft.formats")) ++
+      Seq("lookup_table", "lookup_table_ttl", "subnet_prefix", "bloom_filter",
+        "range_geoip").map((_, "context", "graft.ops.Contexts")) ++
+      Seq("stdin", "stdout", "tcp", "udp", "http", "files", "file_contents",
+        "processes", "sockets", "nics").map((_, "connector", "graft.sources")) ++
+      Seq("serve", "cache", "publish", "subscribe")
+        .map((_, "connector", "graft.ops")) ++
+      Seq("text", "ip", "ocsf", "hash", "time", "string", "numeric", "bit",
+        "list").map((_, "function_module", "graft.functions")) ++
+      Seq(("tql", "language", "graft.tql.Tql"),
+        ("import", "storage", "graft.lake.LakeTable"),
+        ("export", "storage", "graft.lake.LakeTable"),
+        ("compact", "storage", "graft.lake.LakeTable"),
+        ("cdc_apply", "storage", "graft.cdc.CdcApply"))
+    spark.createDataset(reg).toDF("name", "kind", "module")
+  }
 }

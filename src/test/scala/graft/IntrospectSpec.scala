@@ -65,4 +65,15 @@ class IntrospectSpec extends SparkSpec {
     // "a" idled past its read TTL during the b reads, so both are gone
     assert(cache.ids.isEmpty)
   }
+
+  test("plugins registry is queryable and covers every kind") {
+    val p = Introspect.plugins(spark)
+    assert(p.columns.toSeq == Seq("name", "kind", "module"))
+    val kinds = p.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("operator", "format", "context", "connector", "function_module",
+      "storage", "language").subsetOf(kinds))
+    assert(p.filter(org.apache.spark.sql.functions.col("kind") === "format").count() >= 10)
+    // names are unique within a kind
+    assert(p.count() == p.dropDuplicates("name", "kind").count())
+  }
 }

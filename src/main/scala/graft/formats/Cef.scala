@@ -91,7 +91,10 @@ object Leef {
     part(line, 5).as("leef_event_id"))
 
   /** The attribute blob: field 6 for LEEF 1.0, field 7 for LEEF 2.0 (field 6
-    * is then the delimiter spec, e.g. `x09`, possibly empty → tab).
+    * is then the delimiter spec, e.g. `x09`). The delimiter field is NOT
+    * optional in 2.0: the reference rejects 2.0 events without it
+    * (`leef.cpp:209-224` fixes num_fields=6 and warns on an empty delimiter),
+    * and this parser follows that contract.
     */
   def attributeString(line: Column): Column =
     when(versionCol(line).startsWith("1"),

@@ -103,8 +103,10 @@ object Sigma {
   }
 
   /** Recursive-descent parser for the condition grammar:
-    * `expr := term (('and'|'or') term)*`, `term := 'not' term | '(' expr ')'
-    * | quantifier 'of' selector | ident`.
+    * `expr := conj ('or' conj)*`, `conj := term ('and' term)*`,
+    * `term := 'not' term | '(' expr ')' | quantifier 'of' selector | ident`
+    * — `and` binds tighter than `or`, per the sigma spec (pySigma grammar):
+    * `a or b and c` parses as `a or (b and c)`.
     */
   private final class ConditionParser(input: String, searches: Map[String, Column]) {
     private val tokens: Seq[String] =
@@ -120,12 +122,14 @@ object Sigma {
     }
 
     private def expr(): Column = {
+      var left = conj()
+      while (peek.contains("or")) { next(); left = left || conj() }
+      left
+    }
+
+    private def conj(): Column = {
       var left = term()
-      while (peek.exists(t => t == "and" || t == "or")) {
-        val op = next()
-        val right = term()
-        left = if (op == "and") left && right else left || right
-      }
+      while (peek.contains("and")) { next(); left = left && term() }
       left
     }
 

@@ -89,7 +89,9 @@ object Zeek {
     val printed = zeekType match {
       case "time" =>
         format_string("%.6f", unix_micros(c.cast("timestamp")).cast("double") / 1e6)
-      case "bool" => when(c, "T").otherwise("F")
+      // three-valued: null must fall through to the unset coalesce below —
+      // a bare otherwise("F") would print unset bools as false
+      case "bool" => when(c.isNull, lit(null: String)).when(c, "T").otherwise("F")
       case t if t.startsWith("set[") || t.startsWith("vector[") || t.startsWith("table[") =>
         when(size(c) === 0, h.emptyField).otherwise(array_join(c, h.setSeparator))
       case _ => c.cast("string")

@@ -245,6 +245,12 @@ class LakeTable(val spark: SparkSession, val root: String,
     * merge-on-read append since the last full compaction). Cleared by
     * [[compact]]; COW-only tables never set it, so their reads skip the
     * whole-table resolve shuffle and stay pure scans.
+    *
+    * Invariant (maintained by every writer in this codebase): the prop is
+    * ABSENT only when no MOR/L0 append has happened since table creation or
+    * the last full compaction — both single-version states — so absent ⇒
+    * pure scan is safe. Tables are never opened across incompatible writer
+    * versions (the lake format is internal to this library).
     */
   def needsResolve(snap: Snapshot): Boolean =
     snap.props.get(LakeTable.NeedsResolveProp).contains("true")
@@ -490,8 +496,21 @@ class LakeTable(val spark: SparkSession, val root: String,
     if (fs.exists(dataDir)) {
       // commit dirs with no referenced file go wholesale (incl. _SUCCESS and
       // empty _bucket= subdirs); partially-referenced dirs lose only the
-      // unreferenced files
-      val referencedDirs = referenced.map(p => new Path(p).getParent.getParent.toUri.getPath)
+      // unreferenced files. The commit dir is the ancestor DIRECTLY under
+      // data/ — one level up for L0 spanning files (data/<commit>/part-*),
+      // two for bucketed files (data/<commit>/_bucket=N/part-*); a fixed
+      // two-level getParent mis-resolved L0 files to data/ itself and
+      // deleted live L0 commit dirs wholesale.
+      val dataPathStr = dataDir.toUri.getPath
+      def commitDirOf(p: String): Option[String] = {
+        var cur = new Path(p).getParent
+        while (cur != null && cur.getParent != null &&
+            cur.getParent.toUri.getPath != dataPathStr)
+          cur = cur.getParent
+        Option(cur).filter(c => Option(c.getParent)
+          .exists(_.toUri.getPath == dataPathStr)).map(_.toUri.getPath)
+      }
+      val referencedDirs: Set[String] = referenced.flatMap(commitDirOf)
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
         if (!referencedDirs.contains(d.getPath.toUri.getPath)) {
           val it = fs.listFiles(d.getPath, true)

@@ -104,7 +104,10 @@ object Pipe {
       // persist: the offsets job and the final job MUST see the identical
       // range partitioning — the range partitioner re-samples per execution
       // and boundary rows can land one partition over (observed off-by-one
-      // indexes without this). Blocks are evicted LRU / on session end.
+      // indexes without this). The cache pins ONE sampling: an LRU-evicted
+      // block recomputes from that execution's shuffle outputs (not a fresh
+      // sample), so determinism survives eviction and the memory cost is
+      // bounded by normal storage-pool eviction; blocks die with the session.
       val withPid = df.repartitionByRange(parts, orderBy: _*)
         .withColumn("__pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -26,7 +26,13 @@ object Shell {
     df.select(textCol).as[String].mapPartitions { lines =>
       if (!lines.hasNext) Iterator.empty
       else {
-        val proc = new ProcessBuilder(cmd: _*).start()
+        // stderr → /dev/null: a chatty child otherwise fills the ~64 KB pipe
+        // buffer, blocks on write(2), stops draining stdin, and the task
+        // deadlocks (stderr is diagnostics, not data — the row contract is
+        // stdout lines only)
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
         val writer = new Thread(() => {
           val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
             proc.getOutputStream, StandardCharsets.UTF_8))

@@ -165,10 +165,14 @@ object StreamOps {
     (batch: DataFrame, id: Long) => {
       val h = graft.functions.Text.md5h60(
         concat_ws(" ", keyCols.map(col): _*))
+      // full-row hash tiebreak: rows sharing key values must still order
+      // deterministically, or a replay straddling the cutoff would ship a
+      // different subset
+      val tiebreak = graft.functions.Text.md5h60(to_json(struct(batch.columns.map(col): _*)))
       // sorted limit = TakeOrderedAndProject: per-partition top-n, then one
       // n-row merge on the driver side of the exchange — fully parallel,
       // never a single-partition window
-      val kept = batch.orderBy(h).limit(maxRows)
+      val kept = batch.orderBy(h, tiebreak).limit(maxRows)
       val total = batch.count()
       if (total > maxRows) onDrop(id, total - maxRows)
       sink(kept, id)

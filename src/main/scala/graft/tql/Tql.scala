@@ -446,7 +446,8 @@ object Tql {
       val pairs = parseCommaList { () =>
         val name = parsePath().mkString("."); expect("="); (name, parseExpr())
       }
-      st => new State(pairs.foldLeft(st.df) { case (d, (n, e)) => d.set_(n, e) }, st.orderKeys)
+      st => new State(pairs.foldLeft(st.df) { case (d, (n, e)) => d.set_(n, e) },
+        st.orderKeys, st.groupKeys)
     }
 
     private def parseSelectItem(): Column = {
@@ -630,7 +631,10 @@ object Tql {
       path.tail.foldLeft(col(path.head))(_.getField(_))
 
     private def applyFn(name: String, args: Seq[Column]): Column = {
-      isAggCall = aggFns.contains(name)
+      // sticky within one summarize item (reset there): an aggregate ANYWHERE
+      // in the expression makes it an aggregation — `round(mean(x))` must not
+      // be classified a group key just because round() parsed last
+      isAggCall = isAggCall || aggFns.contains(name)
       val fn = scalarFns.get(name).orElse(aggFns.get(name))
         .getOrElse(sys.error(s"tql: unknown function '$name'"))
       fn(args)

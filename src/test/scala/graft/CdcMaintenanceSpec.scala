@@ -221,6 +221,32 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(pagesMap(table.pages()) == golden)
   }
 
+  test("expireSnapshots never deletes un-flushed L0 spanning files of retained snapshots") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 8).take(3)
+    groups.zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "e", i.toLong,
+        createBuckets = 8, spanning = true)
+    }
+    val preFiles = table.currentSnapshot.get.files.map(_.path)
+    assert(preFiles.nonEmpty && table.currentSnapshot.get.files.forall(_.bucket < 0),
+      "precondition: all files are un-flushed L0 spanning files")
+    val expectedPages = pagesMap(table.pages())
+    // keepLast=1: the retained snapshot references L0 files from EVERY prior
+    // commit dir — expiry must not touch any of them (the fixed-depth
+    // getParent bug resolved L0 commit dirs to data/ and deleted them all)
+    val (expired, deleted) = table.expireSnapshots(keepLast = 1)
+    assert(expired > 0)
+    assert(deleted == 0, s"expiry deleted $deleted referenced L0 files")
+    assert(pagesMap(table.pages()) == expectedPages)
+    // after the L0→bucket flush the old L0 commit dirs become unreferenced
+    // and a second expiry collects them
+    table.compact(maxFilesPerBucket = 1)
+    val (_, deletedAfterFlush) = table.expireSnapshots(keepLast = 1)
+    assert(deletedAfterFlush > 0, "flushed-away L0 files should be collected")
+    assert(pagesMap(table.pages()) == expectedPages)
+  }
+
   test("optimistic concurrency: a stale-base commit is refused, a re-read retry lands") {
     val root = tmpDir()
     val a = new LakeTable(spark, root)

@@ -207,6 +207,20 @@ class FormatsSpec extends SparkSpec {
     val ids3 = df.withColumnRenamed("cmdline", "raw")
       .filter(graft.formats.Sigma.compile(rule3, fc)).select("id").as[Long].collect().toSet
     assert(ids3 == Set(1L))
+    // precedence: and binds tighter than or — `a or b and c` = a or (b and c)
+    // (left-assoc-equal would give (a or b) and c and wrongly drop row 3)
+    val rule4 =
+      """detection:
+        |  sel_bash:
+        |    image: bash
+        |  sel_enc:
+        |    cmdline|contains: -enc
+        |  sel_score:
+        |    score|gte: 5
+        |  condition: sel_bash or sel_enc and sel_score
+        |""".stripMargin
+    val ids4 = df.filter(graft.formats.Sigma.compile(rule4, fc)).select("id").as[Long].collect().toSet
+    assert(ids4 == Set(3L), "and must bind tighter than or")
   }
 
   // ----------------------------------------------------------- JSON inference
@@ -231,8 +245,9 @@ class FormatsSpec extends SparkSpec {
   test("zeek TSV printer round-trips through the parser") {
     import graft.formats.Zeek
     val df = Seq(
-      (1700000001L, "C1", Some(42L), true, Seq("a", "b")),
-      (1700000002L, "C2", None, false, Seq.empty[String])
+      (1700000001L, "C1", Some(42L), Some(true), Seq("a", "b")),
+      (1700000002L, "C2", None, Some(false), Seq.empty[String]),
+      (1700000003L, "C3", Some(7L), None, Seq("c"))
     ).toDF("ts0", "uid", "orig_bytes", "local_orig", "tags")
       .select(
         timestamp_micros(col("ts0") * 1000000L).cast("timestamp_ntz").as("ts"),
@@ -248,6 +263,8 @@ class FormatsSpec extends SparkSpec {
     assert(back(0).getAs[Boolean]("local_orig") && !back(1).getAs[Boolean]("local_orig"))
     assert(back(0).getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("a", "b"))
     assert(back(1).getAs[scala.collection.Seq[String]]("tags").isEmpty, "(empty) round-trips to []")
+    assert(back(2).isNullAt(back(2).fieldIndex("local_orig")),
+      "unset bool must round-trip as null, not false")
   }
 
   test("yaml printer emits one document per row, parseable back") {

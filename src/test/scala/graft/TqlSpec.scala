@@ -45,6 +45,14 @@ class TqlSpec extends SparkSpec {
     assert(got.filter(col("verb") === "PUT").count() == 1)
   }
 
+  test("summarize classifies scalar-wrapped aggregates as aggregations") {
+    // round(mean(x)) must land in aggs, not group keys, even though the
+    // OUTERMOST parsed call is the scalar round()
+    val got = Tql("summarize user, r = round(mean(value))")(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq(("alpha", 3.0), ("beta", 2.0), ("gamma", 1.0)))
+  }
+
   test("summarize with groups, named aggregations, and auto-names") {
     val got = Tql("summarize user, n=count(), total=sum(value), hi=max(status)")(df)
       .orderBy("user").collect()
@@ -86,6 +94,11 @@ class TqlSpec extends SparkSpec {
     val top1 = Tql("group user { sort -value | head 1 } | select user, id")(df)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(top1 == Seq(("alpha", 5L), ("beta", 2L), ("gamma", 4L)))
+    // an assignment inside the group must NOT drop the group context:
+    // head after it stays per-user, not global
+    val top1b = Tql("group user { sort -value | flag = 1 | head 1 } | select user, id")(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(top1b == top1, "assignment inside group dropped the group keys")
     // per-user last row in id order
     val last = Tql("group user { sort id | tail 1 } | select user, id")(df)
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq

@@ -26,7 +26,10 @@ import graft.ops.Pipe._
   * `rare f [n]`, `pass`, `discard`, `assert expr` (drop-on-failure with an
   * observed dropped-count metric), `move to=from, …`,
   * `from "<path>"` / `to "<path>"`
-  * (extension-dispatched IO; see [[Tql.run]]), `enrich "<context>",
+  * (extension-dispatched IO; see [[Tql.run]]),
+  * `save_email "<to>"[, endpoint=…, from=…, subject=…]` and
+  * `to_opensearch "<url>"[, index=…, action=…]` (events rendered as NDJSON
+  * into the push connectors), `enrich "<context>",
   * ctxKey=probeField…` (named-context broadcast probe, register frames via
   * [[Tql.registerContext]]), `chart_line/_area/_bar/_pie x=f[,
   * resolution="day"], name=agg()…`, `parse_json/_grok/_syslog/_cef/_leef/_kv
@@ -93,6 +96,14 @@ object Tql {
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
       case other => sys.error(s"tql: no writer for extension '.$other' (to $path)")
     }
+
+  /** Events rendered as one NDJSON string column — what the byte-oriented
+    * sinks (`save_email`, `to_opensearch`) consume. The reference's
+    * connector pipelines insert a `write_ndjson` printer the same way
+    * (`email.cpp` defaults the body printer to JSON).
+    */
+  private[tql] def renderLines(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
 
   // ------------------------------------------------------------------ lexer
 
@@ -347,6 +358,29 @@ object Tql {
       case Ident("to") =>
         val path = parseStringLit("to")
         st => { writePath(st.df, path); st }
+      case Ident("save_email") =>
+        // save_email "<to>"[, endpoint="smtp://…", from="…", subject="…"]
+        // (connectors/email.cpp option surface; events render as NDJSON)
+        val to = parseStringLit("save_email")
+        val opts = parseNamedStrings("save_email", Set("endpoint", "from", "subject"))
+        st => {
+          graft.sources.Email.saveEmail(renderLines(st.df),
+            endpoint = opts.getOrElse("endpoint", "smtp://localhost:25"), to = to,
+            from = opts.getOrElse("from", "graft@localhost"),
+            subject = opts.getOrElse("subject", ""))
+          st
+        }
+      case Ident("to_opensearch") =>
+        // to_opensearch "<url>"[, index="…", action="create|index"]
+        // (to_opensearch.cpp option surface; events render as NDJSON docs)
+        val url = parseStringLit("to_opensearch")
+        val opts = parseNamedStrings("to_opensearch", Set("index", "action"))
+        st => {
+          graft.sources.Opensearch.toOpensearch(renderLines(st.df), url,
+            index = opts.getOrElse("index", "main"),
+            action = opts.getOrElse("action", "create"))
+          st
+        }
       case Ident("enrich") =>
         // enrich "<context>", key=<field>[, key2=…] — broadcast build-probe
         val name = parseStringLit("enrich")
@@ -416,6 +450,21 @@ object Tql {
     private def parseStringLit(op: String): String = next() match {
       case Str(s) => s
       case t => sys.error(s"tql: $op expects a string literal, got $t")
+    }
+
+    /** Trailing `, name="value"` options, names restricted to `allowed`. */
+    private def parseNamedStrings(op: String, allowed: Set[String]): Map[String, String] = {
+      val opts = Map.newBuilder[String, String]
+      while (accept(",")) {
+        val name = next() match {
+          case Ident(n) => n
+          case t => sys.error(s"tql: $op expects an option name, got $t")
+        }
+        require(allowed(name), s"tql: $op does not accept option '$name'")
+        expect("=")
+        opts += (name -> parseStringLit(op))
+      }
+      opts.result()
     }
 
     /** Keep the first `n` rows per group in window order. */

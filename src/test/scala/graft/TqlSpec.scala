@@ -151,6 +151,46 @@ class TqlSpec extends SparkSpec {
     assert(c.count() == 3)
   }
 
+  test("to_opensearch / save_email statements render NDJSON and parse options") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import com.sun.net.httpserver.HttpServer
+
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", ex => {
+      requests.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val resp = """{"errors":false}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val out = Tql(s"""
+        where status == 200
+        select id, user
+        to_opensearch "http://127.0.0.1:${server.getAddress.getPort}", index="pages"
+      """)(df)
+      assert(out.columns.toSeq == Seq("id", "user")) // sink passes events through
+      val lines = requests.toArray(Array.empty[String]).toSeq
+        .flatMap(_.split('\n').filter(_.nonEmpty))
+      val (actions, docs) = lines.partition(_.startsWith("""{"create""""))
+      assert(actions.forall(_ == """{"create":{"_index":"pages"}}"""))
+      assert(docs.sorted == Seq(
+        """{"id":1,"user":"alpha"}""", """{"id":3,"user":"alpha"}""",
+        """{"id":5,"user":"alpha"}"""))
+    } finally server.stop(0)
+
+    // unknown option names are compile-time errors, not silent drops
+    val err = intercept[IllegalArgumentException](
+      Tql("""to_opensearch "http://x", bogus="1""""))
+    assert(err.getMessage.contains("does not accept option 'bogus'"))
+    assert(intercept[IllegalArgumentException](
+      Tql("""save_email "a@b", bogus="1"""")).getMessage.contains("bogus"))
+  }
+
   test("parse_* statements and namespaced/domain functions") {
     // CEF header parse from the string surface
     val cef = Seq((1L, "CEF:0|graft|engine|1.0|sig-7|probe|3|src=10.1.0.1"))

@@ -21,8 +21,11 @@ import graft.ops.Pipe._
   * Supported statements (newline or `|` separated, TQL2 grammar):
   * `where`, `select`, `drop`, `rename`, bare assignment (`set`), `sort`
   * (with `-expr` descending), `head n`, `tail n`, `taste n`, `unique`,
-  * `deduplicate keys… [limit=n]`, `summarize (group|name=agg())…`,
-  * `unroll f`, `enumerate [f]`, `slice b:e[:stride]`, `top f [n]`,
+  * `deduplicate keys… [limit=n | distance=n]`,
+  * `summarize (group|name=agg())…`,
+  * `unroll f`, `flatten ["sep"]` / `unflatten ["sep"]`,
+  * `sample <fraction>`, `timeshift f, by=<seconds>`,
+  * `enumerate [f]`, `slice b:e[:stride]`, `top f [n]`,
   * `rare f [n]`, `pass`, `discard`, `assert expr` (drop-on-failure with an
   * observed dropped-count metric), `move to=from, …`,
   * `from "<path>"` / `to "<path>"`
@@ -297,12 +300,22 @@ object Tql {
           }
       case Ident("deduplicate") =>
         val keys = parseFieldList()
-        val limit = if (accept(",")) { // trailing limit=n option
-          val Ident("limit") = next(): @unchecked; expect("="); parseInt()
-        } else 1
-        st => st.next(st.df.deduplicate_(
-          st.groupKeys ++ keys,
-          if (st.order.nonEmpty) st.order else keys.map(col), limit))
+        var limit = 1
+        var distance: Option[Long] = None
+        while (accept(",")) next() match { // trailing limit=n / distance=n options
+          case Ident("limit") => expect("="); limit = parseInt()
+          case Ident("distance") => expect("="); distance = Some(parseInt().toLong)
+          case t => sys.error(s"tql: deduplicate does not accept option $t")
+        }
+        st => distance match {
+          case Some(d) =>
+            require(st.order.nonEmpty,
+              "tql: deduplicate distance=… requires a preceding sort (the event order)")
+            st.next(st.df.deduplicateDistance_(st.groupKeys ++ keys, st.order, d))
+          case None => st.next(st.df.deduplicate_(
+            st.groupKeys ++ keys,
+            if (st.order.nonEmpty) st.order else keys.map(col), limit))
+        }
       case Ident("top") =>
         val f = parsePath().mkString(".")
         val n = peek match { case Some(Num(_)) => parseInt(); case _ => 10 }
@@ -313,6 +326,30 @@ object Tql {
         st => { requireUngrouped(st, "rare"); st.next(st.df.rare_(f, n)) }
       case Ident("unroll") =>
         val f = parsePath().mkString("."); st => st.next(st.df.unroll_(f))
+      case Ident("flatten") =>
+        val sep = peek match { case Some(Str(_)) => parseStringLit("flatten"); case _ => "." }
+        st => st.next(st.df.flatten_(sep))
+      case Ident("unflatten") =>
+        val sep = peek match { case Some(Str(_)) => parseStringLit("unflatten"); case _ => "." }
+        st => st.next(st.df.unflatten_(sep))
+      case Ident("sample") =>
+        // sample <fraction> — deterministic hash sample (Pipe.sample_; the
+        // reference's fixed-rate `sample.md` mode; adaptive mode stays on the
+        // Scala surface, it needs a time column + period config)
+        val fraction = { val Num(n) = next(): @unchecked; n.toDouble }
+        require(fraction >= 0 && fraction <= 1, "tql: sample expects a fraction in [0,1]")
+        st => st.next(st.df.sample_(fraction, st.df.columns.map(col).toIndexedSeq))
+      case Ident("timeshift") =>
+        // timeshift <field>, by=<seconds> — pure column arithmetic
+        val f = parsePath().mkString(".")
+        expect(",")
+        next() match {
+          case Ident("by") => ()
+          case t => sys.error(s"tql: timeshift expects by=<seconds>, got $t")
+        }
+        expect("=")
+        val secs = parseSignedInt()
+        st => st.next(st.df.timeshift_(f, expr(s"INTERVAL '$secs' SECOND")))
       case Ident("reverse") =>
         // flip the tracked order (reference reverse.cpp); downstream
         // positional ops consume the flipped keys
@@ -534,7 +571,8 @@ object Tql {
       val out = Seq.newBuilder[String]
       out += parsePath().mkString(".")
       while (peek.contains(Punct(",")) &&
-        !toks.lift(pos + 1).exists { case Ident("limit") => true; case _ => false }) {
+        !toks.lift(pos + 1).exists {
+          case Ident("limit") | Ident("distance") => true; case _ => false }) {
         next(); out += parsePath().mkString(".")
       }
       out.result()

@@ -151,6 +151,38 @@ class TqlSpec extends SparkSpec {
     assert(c.count() == 3)
   }
 
+  test("flatten / unflatten / sample / timeshift / deduplicate distance statements") {
+    // flatten then unflatten round-trips a nested struct
+    val nested = df.select(col("id"), struct(col("user"), col("status")).as("req"))
+    val flat = Tql("flatten")(nested)
+    assert(flat.columns.toSeq == Seq("id", "req.user", "req.status"))
+    val back = Tql("unflatten")(flat)
+    assert(back.columns.toSeq == nested.columns.toSeq)
+    assert(back.select("id", "req.user", "req.status").collect().toSeq ==
+      nested.select("id", "req.user", "req.status").collect().toSeq)
+
+    // sample: matches the hand-written deterministic hash sample over all cols
+    val got = Tql("sample 0.5")(df)
+    val want = df.sample_(0.5, df.columns.map(col).toIndexedSeq)
+    assert(got.collect().toSeq == want.collect().toSeq)
+
+    // timeshift: shifts the column by the signed interval
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    val shifted = Tql("timeshift ts, by=-3600")(ts)
+    assert(shifted.select("ts").head().getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2023-12-31 23:00:00"))
+
+    // deduplicate distance=n: matches deduplicateDistance_ on the same order
+    val gotD = Tql("sort id | deduplicate user, distance=2")(df)
+    val wantD = df.deduplicateDistance_(Seq("user"), Seq(col("id")), 2L)
+    assert(gotD.collect().toSeq == wantD.collect().toSeq)
+    // unsorted distance-dedup is a compile-usage error
+    val e = intercept[IllegalArgumentException](
+      Tql("deduplicate user, distance=2")(df))
+    assert(e.getMessage.contains("requires a preceding sort"))
+  }
+
   test("to_opensearch / save_email statements render NDJSON and parse options") {
     import java.net.InetSocketAddress
     import java.nio.charset.StandardCharsets

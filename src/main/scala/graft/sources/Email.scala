@@ -40,6 +40,9 @@ object Email {
     */
   def saveEmail(df: DataFrame, endpoint: String, to: String, from: String,
       subject: String = ""): Unit = {
+    // CR/LF in envelope or header values would inject SMTP commands/headers
+    require(!Seq(to, from, subject).exists(_.exists(c => c == '\r' || c == '\n')),
+      "saveEmail: to/from/subject must not contain CR or LF")
     val (host, port) = parseEndpoint(endpoint)
     val sock = new Socket(host, port)
     try {
@@ -67,9 +70,13 @@ object Email {
       out.write(s"From: $from\r\nTo: $to\r\nSubject: $subject\r\n\r\n")
       val it = df.toLocalIterator()
       while (it.hasNext) {
-        val line = it.next().getString(0)
-        if (line.startsWith(".")) out.write('.')
-        out.write(line); out.write("\r\n")
+        // a value may itself contain line breaks: every WIRE line must be
+        // dot-stuffed, or an embedded "\r\n.\r\n" spoofs the terminator
+        val value = Option(it.next().getString(0)).getOrElse("")
+        for (line <- value.split("\r?\n", -1)) {
+          if (line.startsWith(".")) out.write('.')
+          out.write(line); out.write("\r\n")
+        }
       }
       send(".", Set(250))
       send("QUIT", Set(221))

@@ -46,25 +46,28 @@ object Opensearch {
       else url.replaceAll("/+$", "") + "/_bulk"
     val actionLine = s"""{"$action":{"_index":"$index"}}"""
     df.foreachPartition { (rows: Iterator[Row]) =>
-      val buf = new StringBuilder
-      def flush(): Unit = if (buf.nonEmpty) {
+      // the cap is on the encoded request body, so count UTF-8 bytes, not chars
+      val actionBytes = actionLine.getBytes(StandardCharsets.UTF_8)
+      val buf = new java.io.ByteArrayOutputStream()
+      def flush(): Unit = if (buf.size > 0) {
         val conn = URI.create(bulkUrl).toURL.openConnection().asInstanceOf[HttpURLConnection]
         try {
           conn.setRequestMethod("POST")
           conn.setDoOutput(true)
           conn.setRequestProperty("Content-Type", "application/x-ndjson")
           val out = new DataOutputStream(conn.getOutputStream)
-          out.write(buf.toString.getBytes(StandardCharsets.UTF_8))
+          buf.writeTo(out)
           out.close()
           val code = conn.getResponseCode
           if (code >= 300) sys.error(s"toOpensearch: endpoint returned $code")
         } finally conn.disconnect()
-        buf.clear()
+        buf.reset()
       }
       rows.foreach { r =>
-        val doc = r.getString(0)
-        if (buf.length + actionLine.length + doc.length + 2 > maxContentLength) flush()
-        buf.append(actionLine).append('\n').append(doc).append('\n')
+        val doc = r.getString(0).getBytes(StandardCharsets.UTF_8)
+        if (buf.size > 0 && buf.size + actionBytes.length + doc.length + 2 > maxContentLength)
+          flush()
+        buf.write(actionBytes); buf.write('\n'); buf.write(doc); buf.write('\n')
       }
       flush()
     }
@@ -81,17 +84,27 @@ object Opensearch {
     * version handshake Filebeat probes with.
     */
   def fromOpensearch(spark: SparkSession, port: Int, maxDocs: Int,
-      timeoutMs: Int = 5000): DataFrame = {
+      timeoutMs: Int = 5000, bind: String = "0.0.0.0"): DataFrame = {
     import spark.implicits._
     val docs = new ConcurrentLinkedQueue[String]()
     val enough = new CountDownLatch(1)
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    val server = HttpServer.create(new InetSocketAddress(bind, port), 0)
     server.createContext("/", ex => {
       val resp: Array[Byte] =
         if (ex.getRequestMethod == "POST" && ex.getRequestURI.getPath.endsWith("/_bulk")) {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          body.split('\n').filter(_.trim.nonEmpty).foreach { line =>
-            if (actionRe.findFirstIn(line).isEmpty) docs.add(line)
+          // positional action/doc alternation (from_opensearch.cpp:317-345):
+          // a doc FOLLOWS its action line, so a document whose first key
+          // happens to be "create"/"index"/… is never mistaken for metadata;
+          // `delete` actions carry no doc line. CRLF-delimited payloads are
+          // legal NDJSON — split tolerates both endings.
+          var expectDoc = false
+          body.split("\r?\n").filter(_.trim.nonEmpty).foreach { line =>
+            if (expectDoc) { docs.add(line); expectDoc = false }
+            else actionRe.findFirstMatchIn(line) match {
+              case Some(m) => expectDoc = m.group(1) != "delete"
+              case None    => docs.add(line) // bare-NDJSON shipper: every line is a doc
+            }
           }
           if (docs.size >= maxDocs) enough.countDown()
           """{"errors":false,"items":[]}""".getBytes(StandardCharsets.UTF_8)

@@ -106,7 +106,11 @@ object Tql {
     * (`email.cpp` defaults the body printer to JSON).
     */
   private[tql] def renderLines(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    // backtick-quote: flattened frames have dotted top-level column names;
+    // keep nulls so the shipped docs have a uniform shape
+    df.select(to_json(
+      struct(df.columns.map(n => col(s"`$n`")).toIndexedSeq: _*),
+      Map("ignoreNullFields" -> "false")).as("value"))
 
   // ------------------------------------------------------------------ lexer
 
@@ -299,7 +303,7 @@ object Tql {
             st.next(st.df.slice_(begin, end, st.order, stride = stride))
           }
       case Ident("deduplicate") =>
-        val keys = parseFieldList()
+        val keys = parseFieldList(stops = Set("limit", "distance"))
         var limit = 1
         var distance: Option[Long] = None
         while (accept(",")) next() match { // trailing limit=n / distance=n options
@@ -311,7 +315,18 @@ object Tql {
           case Some(d) =>
             require(st.order.nonEmpty,
               "tql: deduplicate distance=… requires a preceding sort (the event order)")
-            st.next(st.df.deduplicateDistance_(st.groupKeys ++ keys, st.order, d))
+            if (st.grouped) {
+              // per-group semantics: distance counts THIS group's events, so
+              // the sequence is a per-group row_number, not a global index
+              val seqC = "__tql_seq"; val prevC = "__tql_prev"
+              val wk = org.apache.spark.sql.expressions.Window
+                .partitionBy((st.groupKeys ++ keys).map(col): _*).orderBy(col(seqC))
+              st.next(st.df
+                .withColumn(seqC, row_number().over(st.window).cast("long"))
+                .withColumn(prevC, lag(col(seqC), 1).over(wk))
+                .filter(col(prevC).isNull || col(seqC) - col(prevC) > d)
+                .drop(seqC, prevC))
+            } else st.next(st.df.deduplicateDistance_(keys, st.order, d))
           case None => st.next(st.df.deduplicate_(
             st.groupKeys ++ keys,
             if (st.order.nonEmpty) st.order else keys.map(col), limit))
@@ -338,7 +353,8 @@ object Tql {
         // Scala surface, it needs a time column + period config)
         val fraction = { val Num(n) = next(): @unchecked; n.toDouble }
         require(fraction >= 0 && fraction <= 1, "tql: sample expects a fraction in [0,1]")
-        st => st.next(st.df.sample_(fraction, st.df.columns.map(col).toIndexedSeq))
+        st => st.next(st.df.sample_(fraction,
+          st.df.columns.map(n => col(s"`$n`")).toIndexedSeq))
       case Ident("timeshift") =>
         // timeshift <field>, by=<seconds> — pure column arithmetic
         val f = parsePath().mkString(".")
@@ -567,12 +583,17 @@ object Tql {
     }
     private var isAggCall = false // set by parseCall on aggregation functions
 
-    private def parseFieldList(): Seq[String] = {
+    /** Comma-separated field paths; `stops` names end the list when they
+      * follow a comma (operator-specific trailing options, e.g. deduplicate's
+      * `limit=`/`distance=`) — so a FIELD named "limit" stays selectable in
+      * operators that take no options.
+      */
+    private def parseFieldList(stops: Set[String] = Set.empty): Seq[String] = {
       val out = Seq.newBuilder[String]
       out += parsePath().mkString(".")
       while (peek.contains(Punct(",")) &&
         !toks.lift(pos + 1).exists {
-          case Ident("limit") | Ident("distance") => true; case _ => false }) {
+          case Ident(n) => stops(n); case _ => false }) {
         next(); out += parsePath().mkString(".")
       }
       out.result()

@@ -132,4 +132,100 @@ class PushConnectorsSpec extends SparkSpec {
     val got = df.as[String].collect().toSet
     assert(got == Set("""{"msg":"one"}""", """{"msg":"two"}""", """{"msg":"three"}"""))
   }
+
+  test("fromOpensearch pairs docs positionally: action-named first keys survive, CRLF ok") {
+    val port = {
+      val probe = new ServerSocket(0); val p = probe.getLocalPort; probe.close(); p
+    }
+    new Thread(() => {
+      Thread.sleep(300)
+      val conn = URI.create(s"http://127.0.0.1:$port/_bulk").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      val out = new DataOutputStream(conn.getOutputStream)
+      // CRLF-delimited; both docs start with a key named like a bulk action
+      out.write(List(
+        """{"create":{"_index":"logs"}}""", """{"index": 5, "msg": "x"}""",
+        """{"index":{"_index":"logs"}}""", """{"delete": true, "msg": "y"}"""
+      ).mkString("", "\r\n", "\r\n").getBytes(StandardCharsets.UTF_8))
+      out.close()
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    }).start()
+    val got = Opensearch.fromOpensearch(spark, port, maxDocs = 2, timeoutMs = 15000)
+      .as[String].collect().toSet
+    assert(got == Set("""{"index": 5, "msg": "x"}""", """{"delete": true, "msg": "y"}"""))
+  }
+
+  test("toOpensearch counts the cap in UTF-8 bytes, not chars") {
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", ex => {
+      requests.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val resp = """{"errors":false}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      // 2 docs × (28-byte action + 1 + 32-byte doc + 1) = 124 bytes > 100;
+      // the same docs counted in CHARS are 2 × (28+1+16+1) = 92 ≤ 100 — so a
+      // char-based cap would send ONE request, the byte-correct cap sends two
+      val doc = s"""{"m":"${"世" * 8}"}""" // 16 chars, 32 UTF-8 bytes
+      Opensearch.toOpensearch(
+        Seq(doc, doc).toDF("value").coalesce(1),
+        url = s"http://127.0.0.1:${server.getAddress.getPort}",
+        index = "logs", action = "create", maxContentLength = 100)
+      assert(requests.size == 2)
+    } finally server.stop(0)
+  }
+
+  test("saveEmail dot-stuffs embedded CRLF lines and rejects CRLF in headers") {
+    intercept[IllegalArgumentException](Email.saveEmail(
+      Seq("x").toDF("value"), "smtp://127.0.0.1:1",
+      to = "a@b", from = "c@d", subject = "a\r\nBcc: evil@x"))
+
+    val server = new ServerSocket(0)
+    val body = new StringBuilder
+    val done = new CountDownLatch(1)
+    new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(
+        new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+      val out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.UTF_8)
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      reply("220 stub ready")
+      var inData = false
+      var line = in.readLine()
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 queued") }
+          else body.append(line).append('\n')
+        } else line.split(' ').head match {
+          case "HELO" => reply("250 stub")
+          case "MAIL" => reply("250 ok")
+          case "RCPT" => reply("250 ok")
+          case "DATA" => inData = true; reply("354 go")
+          case "QUIT" => reply("221 bye"); s.close(); done.countDown()
+          case _      => reply("500 ?")
+        }
+        line = if (s.isClosed) null else in.readLine()
+      }
+    }).start()
+    // the embedded "\r\n.\r\n" must NOT terminate DATA early — each wire
+    // line is dot-stuffed, so the stub sees ".." and keeps reading
+    Email.saveEmail(
+      Seq("pre\r\n.\r\nQUIT injected?", "tail").toDF("value"),
+      endpoint = s"smtp://127.0.0.1:${server.getLocalPort}",
+      to = "a@b", from = "c@d", subject = "s")
+    done.await()
+    server.close()
+    val text = body.toString
+    assert(text.contains("pre\n"))
+    assert(text.contains("..\n"))   // the spoofed terminator, stuffed
+    assert(text.contains("QUIT injected?\n"))
+    assert(text.contains("tail\n"))
+  }
 }

@@ -181,6 +181,29 @@ class TqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Tql("deduplicate user, distance=2")(df))
     assert(e.getMessage.contains("requires a preceding sort"))
+
+    // a field literally named "limit" or "distance" stays selectable where
+    // the operator takes no options
+    assert(Tql("select id, distance")(df.withColumnRenamed("value", "distance"))
+      .columns.toSeq == Seq("id", "distance"))
+
+    // flatten output (dotted top-level names) flows into sample unharmed
+    val fs = Tql("flatten | sample 1.0")(nested)
+    assert(fs.count() == nested.count())
+  }
+
+  test("group distance-dedup counts per-group events, not global row gaps") {
+    // host A rows at seq 1,2; host B rows interleave between them globally.
+    // Per-group distance=1 must drop A's second "u" row (gap 1 within A)
+    // even though 3 other-global rows sit between them.
+    val ev = Seq(
+      (1L, "A", "u"), (2L, "B", "u"), (3L, "B", "v"),
+      (4L, "B", "w"), (5L, "A", "u")
+    ).toDF("ts", "host", "user")
+    val got = Tql("group host { sort ts | deduplicate user, distance=1 }")(ev)
+      .orderBy("ts").collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    // A: seqs 1,2 for "u" → gap 1, second dropped. B: all distinct users kept.
+    assert(got == Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "B")))
   }
 
   test("to_opensearch / save_email statements render NDJSON and parse options") {

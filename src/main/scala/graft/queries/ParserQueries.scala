@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Grok, JsonInfer, Leef, Syslog5424, Zeek}
+import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Syslog5424, Zeek}
 
 /** Driver-checked query catalog, part 4: the widened parser surface —
   * grok with the real pattern library, syslog RFC 5424 (incl.
@@ -183,6 +183,60 @@ object ParserQueries {
       val routes = JsonInfer.routeBySelector(raw, "js", "type")
       routes("purchase").select(col("event_id"), col("parsed.id").as("id"),
         col("parsed.amount").as("amount"))
+    }),
+
+    // ------------------------------------------------ codecs (§2.6 compress)
+    // round-trip through every in-pipeline codec must be the identity on the
+    // raw text bytes — the oracle is the uncompressed column itself
+    "q_codec_roundtrip" -> ((s, d) => {
+      val b = col("text").cast("binary")
+      def rt(codec: String): Column =
+        Codec.decompress(Codec.compress(b, codec), codec).cast("string")
+      t(s, d, "documents").select(col("doc_id"),
+        rt("gzip").as("gz"), rt("zlib").as("zl"), rt("lz4").as("lz"),
+        rt("zstd").as("zs"), rt("bz2").as("bz"))
+    }),
+
+    // -------------------------------------- JSON-dialect streams (read_gelf)
+    "q_gelf" -> ((s, d) => {
+      val host = concat(lit("h"), pmod(col("user_id"), lit(50)).cast("string"))
+      def frame(sm: Column): Column = to_json(struct(
+        lit("1.1").as("version"), host.as("host"),
+        sm.as("short_message"), col("event_id").as("_id")))
+      val chunks = t(s, d, "events").select(
+        concat(frame(col("event_type")), lit(0.toChar.toString),
+          frame(lit("ack"))).as("chunk"))
+      JsonStreams.readGelf(chunks, "chunk")
+        .select(col("parsed._id").as("id"), col("parsed.host").as("host"),
+          col("parsed.short_message").as("sm"))
+    }),
+
+    "q_suricata" -> ((s, d) => {
+      val raw = t(s, d, "events").select(
+        when(col("event_type") === "purchase",
+          to_json(struct(lit("alert").as("event_type"), col("event_id").as("id"),
+            struct(pmod(col("event_id"), lit(40)).as("signature_id"),
+              (pmod(col("event_id"), lit(5)) + 1).as("severity")).as("alert"))))
+          .otherwise(
+            to_json(struct(lit("flow").as("event_type"), col("event_id").as("id"),
+              struct(floor(col("value") * 10).cast("long").as("bytes_toserver"))
+                .as("flow")))).as("line"))
+      JsonStreams.readSuricata(raw, "line")("alert")
+        .select(col("parsed.id").as("id"),
+          col("parsed.alert.signature_id").as("signature_id"),
+          col("parsed.alert.severity").as("severity"))
+    }),
+
+    "q_zeek_json" -> ((s, d) => {
+      val raw = t(s, d, "events").select(
+        when(pmod(col("event_id"), lit(2)) === 0,
+          to_json(struct(lit("conn").as("_path"), col("event_id").as("uid"),
+            floor(col("value") * 100).cast("long").as("orig_bytes"))))
+          .otherwise(
+            to_json(struct(lit("dns").as("_path"), col("event_id").as("uid"),
+              concat(col("event_type"), lit(".example.com")).as("query")))).as("line"))
+      JsonStreams.readZeekJson(raw, "line")("conn")
+        .select(col("parsed.uid").as("uid"), col("parsed.orig_bytes").as("orig_bytes"))
     })
   )
 
@@ -303,7 +357,23 @@ object ParserQueries {
           |   OR lower(event_type) LIKE 'log%'""".stripMargin,
       "q_json_route" ->
         """SELECT event_id, event_id AS id, CAST(floor(value * 100) AS BIGINT) AS amount
-          |FROM events WHERE event_type = 'purchase'""".stripMargin
+          |FROM events WHERE event_type = 'purchase'""".stripMargin,
+      // round-trip = identity: the oracle is the raw text column
+      "q_codec_roundtrip" ->
+        """SELECT doc_id, text AS gz, text AS zl, text AS lz, text AS zs, text AS bz
+          |FROM documents""".stripMargin,
+      "q_gelf" ->
+        """SELECT event_id AS id, concat('h', CAST(user_id % 50 AS VARCHAR)) AS host,
+          |  event_type AS sm FROM events
+          |UNION ALL
+          |SELECT event_id, concat('h', CAST(user_id % 50 AS VARCHAR)), 'ack' FROM events""".stripMargin,
+      "q_suricata" ->
+        """SELECT event_id AS id, event_id % 40 AS signature_id,
+          |  event_id % 5 + 1 AS severity
+          |FROM events WHERE event_type = 'purchase'""".stripMargin,
+      "q_zeek_json" ->
+        """SELECT event_id AS uid, CAST(floor(value * 100) AS BIGINT) AS orig_bytes
+          |FROM events WHERE event_id % 2 = 0""".stripMargin
     )
   }
 }

@@ -405,6 +405,24 @@ object Tql {
             (a, parseStringLit("parse_kv"))
           } else (" ", "=")
         st => st.next(st.df.withColumn("kv", str_to_map(col(f), lit(fs), lit(kvs))))
+      case Ident("read_gelf") =>
+        // GELF stream: NUL-delimited JSON frames in a bytes/string field —
+        // explode frames, parse with one inferred schema (json.cpp gelf mode)
+        val f = parsePath().mkString(".")
+        st => st.next(graft.formats.JsonStreams.readGelf(st.df, f))
+      case Ident(name) if name.startsWith("compress_") =>
+        // compress_gzip/_zlib/_lz4/_zstd/_bz2 <field> (compress_decompress.cpp)
+        val codec = name.stripPrefix("compress_")
+        require(graft.formats.Codec.Codecs.contains(codec), s"tql: unknown codec in $name")
+        val f = parsePath().mkString(".")
+        st => st.next(st.df.withColumn(f,
+          graft.formats.Codec.compress(col(f).cast("binary"), codec)))
+      case Ident(name) if name.startsWith("decompress_") =>
+        val codec = name.stripPrefix("decompress_")
+        require(graft.formats.Codec.Codecs.contains(codec), s"tql: unknown codec in $name")
+        val f = parsePath().mkString(".")
+        st => st.next(st.df.withColumn(f,
+          graft.formats.Codec.decompress(col(f), codec)))
       case Ident("from") =>
         val path = parseStringLit("from")
         st => st.next(readPath(st.df.sparkSession, path))

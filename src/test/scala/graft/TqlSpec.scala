@@ -285,6 +285,23 @@ class TqlSpec extends SparkSpec {
     assert(r.getString(2).startsWith("1:") && r.getBoolean(3) && r.getLong(4) == 2L)
   }
 
+  test("compress_*/decompress_* statements round-trip; read_gelf explodes frames") {
+    // every codec surfaces as a statement pair; round-trip is the identity
+    for (c <- graft.formats.Codec.Codecs) {
+      val rt = Tql(s"compress_$c user | decompress_$c user | s = string(user) | select id, s")(df)
+      assert(rt.as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq ==
+        df.sort("id").select("user").as[String].collect().toSeq, c)
+    }
+    intercept[IllegalArgumentException](Tql("compress_brotli user")(df))
+
+    val NUL = 0.toChar.toString
+    val gelf = Seq(
+      ("""{"host":"a","short_message":"x"}""" + NUL + """{"host":"b","short_message":"y"}"""))
+      .toDF("chunk")
+    val out = Tql("read_gelf chunk | h = parsed.host | select h")(gelf)
+    assert(out.as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
   test("reverse flips the tracked order for downstream positional ops") {
     // head after reverse == tail of the original order
     val got = Tql("sort id | reverse | head 2 | select id")(df)

@@ -97,8 +97,14 @@ object Introspect {
       Seq("shell").map((_, "operator", "graft.ops.Shell")) ++
       Seq("grok", "syslog_rfc3164", "syslog_rfc5424", "cef", "leef",
         "zeek_tsv", "yaml", "json_infer", "json_route", "sigma", "pcap",
-        "decapsulate", "csv", "kv", "lines", "json")
+        "decapsulate", "csv", "kv", "lines", "json",
+        "gelf", "suricata", "zeek_json", "tsv", "ssv", "ndjson",
+        "write_kv", "write_tql",
+        "compress_gzip", "compress_zlib", "compress_lz4", "compress_zstd",
+        "compress_bz2", "decompress_gzip", "decompress_zlib", "decompress_lz4",
+        "decompress_zstd", "decompress_bz2")
         .map((_, "format", "graft.formats")) ++
+      Seq("cron").map((_, "operator", "graft.streaming.Cron")) ++
       Seq("lookup_table", "lookup_table_ttl", "subnet_prefix", "bloom_filter",
         "range_geoip").map((_, "context", "graft.ops.Contexts")) ++
       Seq("stdin", "stdout", "tcp", "udp", "http", "files", "file_contents",

@@ -153,7 +153,43 @@ object FormatQueries {
     // under test; the oracle recomputes its effect with upper()
     "q_shell" -> ((s, d) =>
       graft.ops.Shell.shell_(t(s, d, "part").select(col("p_name")), "p_name",
-        Seq("tr", "a-z", "A-Z")))
+        Seq("tr", "a-z", "A-Z"))),
+
+    // ------------------------------- xsv dialects + remaining printers (§2.6)
+    // tsv/ssv are xsv.cpp's fixed-separator dialects; parse both ways and let
+    // DuckDB re-split the identical synthesized lines
+    "q_xsv" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("typ", StringType),
+        StructField("uid", LongType)))
+      val raw = t(s, d, "events").select(col("event_id"),
+        concat_ws("\t", col("event_id"), col("event_type"), col("user_id")).as("tline"),
+        concat_ws(" ", col("event_id"), col("event_type"), col("user_id")).as("sline"))
+      raw.select(col("event_id"),
+        graft.formats.Printers.parseXsv(col("tline"), schema, "\t").as("tr"),
+        graft.formats.Printers.parseXsv(col("sline"), schema, " ").as("sr"))
+        .select(col("event_id"),
+          col("tr.id").as("tid"), col("tr.typ").as("ttyp"), col("tr.uid").as("tuid"),
+          col("sr.id").as("sid"), col("sr.typ").as("styp"), col("sr.uid").as("suid"))
+    }),
+
+    "q_print_kv" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        graft.formats.Printers.kvLine(struct(
+          col("event_id").as("id"), col("event_type").as("t"),
+          col("user_id").as("u"))).as("line"))),
+
+    "q_print_tql" -> ((s, d) => {
+      val sch = StructType(Seq(
+        StructField("id", LongType), StructField("t", StringType),
+        StructField("n", StructType(Seq(StructField("u", LongType))))))
+      // null string every 7th row exercises the `null` literal path
+      t(s, d, "events").select(col("event_id"),
+        graft.formats.Printers.tqlLiteral(struct(
+          col("event_id").as("id"),
+          when(pmod(col("event_id"), lit(7)) =!= 0, col("event_type")).as("t"),
+          struct(col("user_id").as("u")).as("n")), sch).as("line"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -226,6 +262,23 @@ object FormatQueries {
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
-    "q_shell" -> "SELECT upper(p_name) AS p_name FROM part"
+    "q_shell" -> "SELECT upper(p_name) AS p_name FROM part",
+    "q_xsv" ->
+      """WITH raw AS (SELECT event_id,
+        |  string_split(concat_ws(chr(9), CAST(event_id AS VARCHAR), event_type,
+        |    CAST(user_id AS VARCHAR)), chr(9)) AS tp,
+        |  string_split(concat_ws(' ', CAST(event_id AS VARCHAR), event_type,
+        |    CAST(user_id AS VARCHAR)), ' ') AS sp FROM events)
+        |SELECT event_id,
+        |  CAST(tp[1] AS BIGINT) AS tid, tp[2] AS ttyp, CAST(tp[3] AS BIGINT) AS tuid,
+        |  CAST(sp[1] AS BIGINT) AS sid, sp[2] AS styp, CAST(sp[3] AS BIGINT) AS suid
+        |FROM raw""".stripMargin,
+    "q_print_kv" ->
+      """SELECT event_id, concat('id=', CAST(event_id AS VARCHAR), ' t=', event_type,
+        |  ' u=', CAST(user_id AS VARCHAR)) AS line FROM events""".stripMargin,
+    "q_print_tql" ->
+      """SELECT event_id, concat('{id: ', CAST(event_id AS VARCHAR), ', t: ',
+        |  CASE WHEN event_id % 7 = 0 THEN 'null' ELSE concat('"', event_type, '"') END,
+        |  ', n: {u: ', CAST(user_id AS VARCHAR), '}}') AS line FROM events""".stripMargin
   )
 }

@@ -22,10 +22,13 @@ object JsonStreams {
     * custom fields, which inference keeps verbatim).
     */
   def readGelf(df: DataFrame, chunkCol: String, parsedCol: String = "parsed"): DataFrame = {
+    // collision-proof scratch name: never silently clobber a user column
+    val tmp = "__gelf_frame"
+    require(!df.columns.contains(tmp), s"readGelf: input already has a '$tmp' column")
     val frames = df
-      .withColumn("_frame", explode(split(col(chunkCol).cast("string"), "\\u0000")))
-      .filter(length(col("_frame")) > 0)
-    JsonInfer.parseInferred(frames, "_frame", parsedCol).drop("_frame")
+      .withColumn(tmp, explode(split(col(chunkCol).cast("string"), "\\u0000")))
+      .filter(length(col(tmp)) > 0)
+    JsonInfer.parseInferred(frames, tmp, parsedCol).drop(tmp)
   }
 
   /** `read_suricata`: Suricata EVE NDJSON, one schema per `event_type`

@@ -1,8 +1,10 @@
 package graft.formats
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{StringType, StructType, TimestampType}
 
 /** The remaining event→bytes printers of the reference's format surface
   * (`/root/reference/libtenzir/builtins/formats/`): `write_kv` (kv.cpp),
@@ -15,15 +17,21 @@ object Printers {
 
   /** `write_kv`: struct → `k1=v1 k2=v2` with configurable separators
     * (kv.cpp's field/value separator options, printing direction).
-    * Null fields are skipped (the reference prints only present fields).
+    * Schema-driven direct concat (one pass, no serialize/re-parse round trip);
+    * null fields are skipped (the reference prints only present fields);
+    * nested records render as JSON objects.
     */
-  def kvLine(s: Column, fieldSep: String = " ", valueSep: String = "="): Column = {
-    val pairs = map_entries(from_json(to_json(s),
-      org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
-    array_join(
-      transform(filter(pairs, p => p.getField("value").isNotNull),
-        p => concat(p.getField("key"), lit(valueSep), p.getField("value"))),
-      fieldSep)
+  def kvLine(s: Column, schema: StructType,
+      fieldSep: String = " ", valueSep: String = "="): Column = {
+    val parts = schema.fields.map { f =>
+      val v = s.getField(f.name)
+      val rendered = f.dataType match {
+        case _: StructType => to_json(v)
+        case _ => v.cast("string")
+      }
+      when(v.isNotNull, concat(lit(f.name + valueSep), rendered))
+    }
+    array_join(filter(array(parts.toIndexedSeq: _*), _.isNotNull), fieldSep)
   }
 
   /** `write_ndjson`: struct → one JSON object per row — newline-delimited
@@ -33,17 +41,21 @@ object Printers {
   def ndjsonLine(s: Column): Column = to_json(s)
 
   /** `write_tql`: struct → a TQL record literal `{k: v, …}` (write_tql.cpp):
-    * strings quoted with escaped inner quotes, numbers/bools bare, nulls
-    * printed as `null`, nested records recursively.
+    * strings quoted (backslashes then inner quotes escaped), numbers/bools
+    * bare, nulls printed as `null` (incl. a whole null nested record), nested
+    * records recursively.
     */
   def tqlLiteral(s: Column, schema: StructType): Column = {
     val parts = schema.fields.map { f =>
       val v = s.getField(f.name)
       val rendered = f.dataType match {
-        case st: StructType => tqlLiteral(v, st)
-        case org.apache.spark.sql.types.StringType =>
-          concat(lit("\""), regexp_replace(v, "\"", "\\\\\""), lit("\""))
-        case TimestampType => concat(lit("\""), date_format(v, "yyyy-MM-dd'T'HH:mm:ss"), lit("\""))
+        case st: StructType => when(v.isNotNull, tqlLiteral(v, st))
+        case StringType =>
+          // order matters: escape backslashes BEFORE quotes
+          val esc = regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+          concat(lit("\""), esc, lit("\""))
+        case TimestampType =>
+          concat(lit("\""), date_format(v, "yyyy-MM-dd'T'HH:mm:ss"), lit("\""))
         case _ => v.cast("string")
       }
       concat(lit(s"${f.name}: "), coalesce(rendered, lit("null")))
@@ -59,12 +71,4 @@ object Printers {
 
   def parseXsv(line: Column, schema: StructType, sep: String): Column =
     from_csv(line, schema, Map("sep" -> sep))
-
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val jm = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
-  }
 }

@@ -177,7 +177,9 @@ object FormatQueries {
       t(s, d, "events").select(col("event_id"),
         graft.formats.Printers.kvLine(struct(
           col("event_id").as("id"), col("event_type").as("t"),
-          col("user_id").as("u"))).as("line"))),
+          col("user_id").as("u")),
+          StructType(Seq(StructField("id", LongType), StructField("t", StringType),
+            StructField("u", LongType)))).as("line"))),
 
     "q_print_tql" -> ((s, d) => {
       val sch = StructType(Seq(

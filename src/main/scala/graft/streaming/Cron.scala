@@ -41,18 +41,21 @@ object Cron {
       (a to b by step)
     }.toSet
     val dow = f(fields(4), 0, 7).map(d => if (d == 7) 0 else d) // 7 ≡ Sunday
+    // Vixie rule: the star flag is set whenever the field STARTS with '*'
+    // (so "*/2" on dom still intersects with a restricted dow, not OR)
     Expr(f(fields(0), 0, 59), f(fields(1), 0, 23), f(fields(2), 1, 31),
       f(fields(3), 1, 12), dow,
-      domStar = fields(2) == "*", dowStar = fields(4) == "*")
+      domStar = fields(2).startsWith("*"), dowStar = fields(4).startsWith("*"))
   }
 
   /** Strictly-next fire time after `after` (UTC), or None if none within
-    * 4 years (catches impossible specs like Feb 30).
+    * 8 years (catches impossible specs like Feb 30; 8 years covers the worst
+    * real gap — Feb 29 across a non-leap century year).
     */
   def nextAfter(e: Expr, after: Instant): Option[Instant] = {
     var t = ZonedDateTime.ofInstant(after, ZoneOffset.UTC)
       .withSecond(0).withNano(0).plusMinutes(1)
-    val limit = t.plusYears(4)
+    val limit = t.plusYears(8)
     while (t.isBefore(limit)) {
       if (!e.mon(t.getMonthValue)) {
         t = t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0)
@@ -101,7 +104,10 @@ object Cron {
           if (waitMs > 0) sleeper(waitMs)
           body(fire)
           runs += 1
-          now = fire
+          // re-sync to wall clock: a body slower than the cadence skips the
+          // missed slots instead of firing a stale catch-up burst
+          val after = clock()
+          now = if (after.isAfter(fire)) after else fire
       }
     }
     runs

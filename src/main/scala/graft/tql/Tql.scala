@@ -410,17 +410,22 @@ object Tql {
         // explode frames, parse with one inferred schema (json.cpp gelf mode)
         val f = parsePath().mkString(".")
         st => st.next(graft.formats.JsonStreams.readGelf(st.df, f))
-      case Ident(name) if name.startsWith("compress_") =>
-        // compress_gzip/_zlib/_lz4/_zstd/_bz2 <field> (compress_decompress.cpp)
+      // compress_gzip/_zlib/_lz4/_zstd/_bz2 <field> (compress_decompress.cpp).
+      // The peek guards keep assignments like `compress_ratio = …` on the
+      // assignment path; the field must be top-level (withColumn can't
+      // rewrite a nested field, and the reference ops work on byte streams).
+      case Ident(name) if name.startsWith("compress_") &&
+          !peek.contains(Punct("=")) && !peek.contains(Punct(".")) =>
         val codec = name.stripPrefix("compress_")
         require(graft.formats.Codec.Codecs.contains(codec), s"tql: unknown codec in $name")
-        val f = parsePath().mkString(".")
+        val f = parseTopLevelField(name)
         st => st.next(st.df.withColumn(f,
           graft.formats.Codec.compress(col(f).cast("binary"), codec)))
-      case Ident(name) if name.startsWith("decompress_") =>
+      case Ident(name) if name.startsWith("decompress_") &&
+          !peek.contains(Punct("=")) && !peek.contains(Punct(".")) =>
         val codec = name.stripPrefix("decompress_")
         require(graft.formats.Codec.Codecs.contains(codec), s"tql: unknown codec in $name")
-        val f = parsePath().mkString(".")
+        val f = parseTopLevelField(name)
         st => st.next(st.df.withColumn(f,
           graft.formats.Codec.decompress(col(f), codec)))
       case Ident("from") =>
@@ -521,6 +526,16 @@ object Tql {
     private def parseStringLit(op: String): String = next() match {
       case Str(s) => s
       case t => sys.error(s"tql: $op expects a string literal, got $t")
+    }
+
+    /** A single top-level field name (rejects dotted paths with a clear
+      * error — for ops that rewrite a column in place via withColumn).
+      */
+    private def parseTopLevelField(op: String): String = {
+      val path = parsePath()
+      require(path.lengthIs == 1,
+        s"tql: $op takes a top-level field, got nested path ${path.mkString(".")}")
+      path.head
     }
 
     /** Trailing `, name="value"` options, names restricted to `allowed`. */

@@ -37,6 +37,25 @@ class CronPrintersSpec extends SparkSpec {
     // impossible date → None
     assert(next("0 0 30 2 *", "2026-01-01T00:00:00Z") == null)
     intercept[IllegalArgumentException](Cron.parse("* * * *"))
+    // Vixie star rule: a step-on-star dom ("*/2") keeps the star flag, so a
+    // restricted dow INTERSECTS (Mondays on odd days), not ORs
+    assert(next("0 0 */2 * 1", "2026-03-03T00:00:00Z") == "2026-03-09T00:00:00Z")
+    // Feb 29 across the 2100 non-leap century year needs the 8-year horizon
+    assert(next("0 0 29 2 *", "2096-03-01T00:00:00Z") == "2104-02-29T00:00:00Z")
+  }
+
+  test("cron schedule re-syncs to the wall clock when the body outruns the cadence") {
+    val fires = scala.collection.mutable.ArrayBuffer.empty[String]
+    var now = Instant.parse("2026-03-01T10:02:00Z")
+    Cron.schedule("*/5 * * * *", maxRuns = 3,
+      clock = () => now,
+      sleeper = ms => now = now.plusMillis(ms)) { fire =>
+      fires += fire.toString
+      now = now.plusSeconds(720) // 12-minute body > 5-minute cadence
+    }
+    // missed slots are skipped — no stale catch-up burst
+    assert(fires.toSeq == Seq("2026-03-01T10:05:00Z", "2026-03-01T10:20:00Z",
+      "2026-03-01T10:35:00Z"))
   }
 
   test("cron schedule fires the body at each computed time via injected clock") {
@@ -55,14 +74,17 @@ class CronPrintersSpec extends SparkSpec {
   }
 
   test("kvLine prints k=v pairs in field order and skips nulls") {
+    val sch = StructType(Seq(StructField("id", LongType), StructField("t", StringType),
+      StructField("u", LongType)))
     val df = Seq((1L, "login", Some(7L)), (2L, "buy", None))
       .toDF("id", "t", "u")
-    val out = df.select(Printers.kvLine(struct(col("id"), col("t"), col("u"))).as("line"))
+    val out = df.select(Printers.kvLine(struct(col("id"), col("t"), col("u")), sch).as("line"))
       .as[String].collect().sorted.toSeq
     assert(out == Seq("id=1 t=login u=7", "id=2 t=buy"))
     // custom separators
+    val sch2 = StructType(sch.fields.take(2))
     val o2 = df.filter(col("id") === 1)
-      .select(Printers.kvLine(struct(col("id"), col("t")), fieldSep = ";", valueSep = ":"))
+      .select(Printers.kvLine(struct(col("id"), col("t")), sch2, fieldSep = ";", valueSep = ":"))
       .as[String].head()
     assert(o2 == "id:1;t:login")
   }
@@ -77,6 +99,15 @@ class CronPrintersSpec extends SparkSpec {
     assert(out == Seq(
       "{id: 1, t: \"say \\\"hi\\\"\", n: {u: 7}}",
       "{id: 2, t: null, n: {u: 8}}"))
+
+    // backslashes escape BEFORE quotes; a whole-null nested record is `null`
+    val df2 = Seq((1L, "C:\\logs\\", 7L), (2L, "x", 8L)).toDF("id", "t", "u")
+    val out2 = df2.select(Printers.tqlLiteral(struct(col("id"), col("t"),
+        when(col("id") === 1, struct(col("u"))).as("n")), sch).as("line"))
+      .as[String].collect().sorted.toSeq
+    assert(out2 == Seq(
+      "{id: 1, t: \"C:\\\\logs\\\\\", n: {u: 7}}",
+      "{id: 2, t: \"x\", n: null}"))
   }
 
   test("xsv dialect round-trip: print then parse with tsv and ssv separators") {

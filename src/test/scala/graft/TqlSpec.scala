@@ -293,6 +293,13 @@ class TqlSpec extends SparkSpec {
         df.sort("id").select("user").as[String].collect().toSeq, c)
     }
     intercept[IllegalArgumentException](Tql("compress_brotli user")(df))
+    // prefixed names stay usable as assignment targets
+    val asn = Tql("compress_ratio = value * 2 | select id, compress_ratio")(df)
+    assert(asn.columns.toSeq == Seq("id", "compress_ratio"))
+    assert(asn.sort("id").as[(Long, Double)].head()._2 == 3.0)
+    // nested paths are rejected eagerly (withColumn can't rewrite a nested field)
+    val err = intercept[IllegalArgumentException](Tql("compress_gzip a.b")(df))
+    assert(err.getMessage.contains("top-level field"))
 
     val NUL = 0.toChar.toString
     val gelf = Seq(

@@ -181,6 +181,27 @@ object FormatQueries {
           StructType(Seq(StructField("id", LongType), StructField("t", StringType),
             StructField("u", LongType)))).as("line"))),
 
+    // -------------------------- string classification predicates (§2.4)
+    // is_alpha/is_alnum/is_numeric/is_lower/is_upper/is_printable/is_title +
+    // capitalize (string.cpp classification fns) — identical regexes run in
+    // both engines (all RE2-safe)
+    "q_strclass" -> ((s, d) => {
+      val variants = t(s, d, "part").select(col("p_partkey"),
+        explode(array(col("p_name"), upper(col("p_brand")),
+          initcap(col("p_type")), lit("abc123"), lit("42"),
+          concat(col("p_name"), lit("")))).as("v"))
+      variants.select(col("p_partkey"), col("v"),
+        col("v").rlike("^[A-Za-z]+$").as("is_alpha"),
+        col("v").rlike("^[A-Za-z0-9]+$").as("is_alnum"),
+        col("v").rlike("^[0-9]+$").as("is_numeric"),
+        (col("v").rlike("[a-z]") && !col("v").rlike("[A-Z]")).as("is_lower"),
+        (col("v").rlike("[A-Z]") && !col("v").rlike("[a-z]")).as("is_upper"),
+        col("v").rlike("^[\\x20-\\x7e]*$").as("is_printable"),
+        col("v").rlike("^([A-Z][a-z0-9]*)( [A-Z][a-z0-9]*)*$").as("is_title"),
+        concat(upper(substring(col("v"), 1, 1)), lower(expr("substring(v, 2)")))
+          .as("capitalized"))
+    }),
+
     "q_print_tql" -> ((s, d) => {
       val sch = StructType(Seq(
         StructField("id", LongType), StructField("t", StringType),
@@ -278,6 +299,21 @@ object FormatQueries {
     "q_print_kv" ->
       """SELECT event_id, concat('id=', CAST(event_id AS VARCHAR), ' t=', event_type,
         |  ' u=', CAST(user_id AS VARCHAR)) AS line FROM events""".stripMargin,
+    "q_strclass" ->
+      """WITH v AS (SELECT p_partkey, unnest([p_name, upper(p_brand),
+        |  list_aggregate(list_transform(string_split(p_type, ' '),
+        |    w -> concat(upper(w[1]), lower(w[2:]))), 'string_agg', ' '),
+        |  'abc123', '42', concat(p_name, '')]) AS v FROM part)
+        |SELECT p_partkey, v,
+        |  regexp_full_match(v, '[A-Za-z]+') AS is_alpha,
+        |  regexp_full_match(v, '[A-Za-z0-9]+') AS is_alnum,
+        |  regexp_full_match(v, '[0-9]+') AS is_numeric,
+        |  (regexp_matches(v, '[a-z]') AND NOT regexp_matches(v, '[A-Z]')) AS is_lower,
+        |  (regexp_matches(v, '[A-Z]') AND NOT regexp_matches(v, '[a-z]')) AS is_upper,
+        |  regexp_full_match(v, '[\x20-\x7e]*') AS is_printable,
+        |  regexp_full_match(v, '([A-Z][a-z0-9]*)( [A-Z][a-z0-9]*)*') AS is_title,
+        |  concat(upper(v[1]), lower(v[2:])) AS capitalized
+        |FROM v""".stripMargin,
     "q_print_tql" ->
       """SELECT event_id, concat('{id: ', CAST(event_id AS VARCHAR), ', t: ',
         |  CASE WHEN event_id % 7 = 0 THEN 'null' ELSE concat('"', event_type, '"') END,

@@ -16,6 +16,38 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Unordered within-bucket candidate pairs after ONE shuffle.
+    *
+    * The classic inverted-index *self-join* (a ⋈ b on the bucket key)
+    * evaluates the upstream pipeline twice — at web scale that doubles the
+    * expensive signature compute (minhash/simhash/shingle expressions) and
+    * pays two full exchanges. Instead: `groupBy(bucket) + collect_list`
+    * (one exchange, map-side partial), then explode the i<j positional pairs
+    * per bucket with codegen'd array HOFs. Bucket size is capped FIRST
+    * (`maxBucket`), so the per-row pair array is bounded — the same
+    * boilerplate-cluster guard the join path had, now also bounding memory.
+    *
+    * `payload` must contain the doc id and whatever the verifier needs;
+    * output: keyCols ++ a `p: struct(a: payload, b: payload)` column, one row
+    * per unordered pair (positional i<j — normalize by id downstream).
+    */
+  private def bucketPairs(df: DataFrame, keyCols: Seq[String], payload: Column,
+      maxBucket: Option[Int]): DataFrame = {
+    val grouped = df.groupBy(keyCols.map(col): _*).agg(collect_list(payload).as("docs"))
+    val capped = maxBucket.fold(grouped)(m => grouped.filter(size(col("docs")) <= m))
+    val pairs = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs")) - i - 1),
+        y => struct(x.as("a"), y.as("b")))))
+    capped.select(keyCols.map(col) :+ explode(pairs).as("p"): _*)
+  }
+
+  /** Order a positional pair struct so `a.id <= b.id` (bucket list order is
+    * nondeterministic; downstream dedup/grouping needs a canonical key).
+    */
+  private def orderPair(p: Column): Column =
+    when(p.getField("a").getField("id") <= p.getField("b").getField("id"), p)
+      .otherwise(struct(p.getField("b").as("a"), p.getField("a").as("b")))
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup on a normalized-text fingerprint: keeps the row with the
@@ -160,16 +192,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val k = bands * rows
     val banded = bandedSignatures(df, textCol, idCol, bands, rows, shingleN)
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pruned = a.withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("cnt") <= maxBucket).drop("cnt")
-
-    pruned.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    // one shuffle on (band, bucket); the signature pipeline evaluates ONCE
+    // (the former a ⋈ b self-join ran it twice and shuffled twice)
+    bucketPairs(banded, Seq("band", "bucket"),
+        struct(col("id"), col("sig")), Some(maxBucket))
+      .select(orderPair(col("p")).as("q"))
+      .select(col("q.a.id").as("id_a"), col("q.b.id").as("id_b"),
+        col("q.a.sig").as("sig_a"), col("q.b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
       .filter(col("est_jaccard") >= threshold)
@@ -226,11 +255,10 @@ object Dedup {
       posexplode(array((0 until segments).map(s =>
         shiftrightunsigned(col("sim"), s * segBits)
           .bitwiseAND((1L << segBits) - 1L)): _*)).as(Seq("seg", "key")))
-    val a = seg.select(col("seg"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = seg.select(col("seg"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("seg", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+    bucketPairs(seg, Seq("seg", "key"), struct(col("id"), col("sim")), None)
+      .select(orderPair(col("p")).as("q"))
+      .select(col("q.a.id").as("id_a"), col("q.b.id").as("id_b"),
+        hamming64(col("q.a.sim"), col("q.b.sim")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
@@ -252,26 +280,20 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     val sets = df.select(col(idCol).as("id"), Text.shingles(col(textCol), shingleN).as("sh"))
       .withColumn("setsize", size(col("sh")))
-    val inv0 = sets.select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
+    val inv = sets.select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
     // shingle document-frequency cap: one boilerplate shingle shared by k
-    // docs creates a k² bucket in the self-join — at web scale that is THE
-    // skew risk. Capped shingles are dropped from the index (pairs whose
-    // only overlap is boilerplate stop matching; intersection counts become
-    // a lower bound for pairs that shared capped shingles). The hot set is
-    // tiny by construction → broadcast anti-join, no extra big shuffle.
-    val inv = maxDocFreq match {
-      case Some(m) =>
-        val hot = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > m).select("shingle")
-        inv0.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => inv0
-    }
-    val a = inv.select(col("shingle"), col("id").as("id_a"), col("setsize").as("size_a"))
-    val b = inv.select(col("shingle"), col("id").as("id_b"), col("setsize").as("size_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    // docs creates a k² bucket — at web scale that is THE skew risk. Hot
+    // shingles are dropped whole (pairs whose only overlap is boilerplate
+    // stop matching; intersection counts become a lower bound for pairs that
+    // shared capped shingles). The cap is a size filter on the grouped
+    // bucket — no extra aggregation or anti-join pass.
+    bucketPairs(inv, Seq("shingle"),
+        struct(col("id"), col("setsize")), maxDocFreq.map(_.toInt))
+      .select(orderPair(col("p")).as("q"))
+      .select(col("q.a.id").as("id_a"), col("q.b.id").as("id_b"),
+        col("q.a.setsize").as("sa0"), col("q.b.setsize").as("sb0"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), first(col("size_a")).as("sa"), first(col("size_b")).as("sb"))
+      .agg(count(lit(1)).as("inter"), first(col("sa0")).as("sa"), first(col("sb0")).as("sb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -301,10 +323,10 @@ object Dedup {
       posexplode(array((0 until bands).map(bd =>
         shiftrightunsigned(col("sig"), bd * perBand).bitwiseAND((1L << perBand) - 1L)): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    bucketPairs(banded, Seq("band", "bucket"), struct(col("id"), col("v")), None)
+      .select(orderPair(col("p")).as("q"))
+      .select(col("q.a.id").as("id_a"), col("q.b.id").as("id_b"),
+        col("q.a.v").as("v_a"), col("q.b.v").as("v_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Text.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)

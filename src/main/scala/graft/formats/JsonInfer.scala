@@ -43,13 +43,28 @@ object JsonInfer {
     * distinct selector value, each parsed with ITS OWN inferred schema. The
     * selector set is collected driver-side — it is the number of event
     * *schemas* (bounded, like the reference's builder map), not event count.
+    *
+    * The input is cached for the duration of the k+1 driver-side passes
+    * (key distinct + one inference per route) so the upstream lineage is
+    * scanned once, not k+1 times, then unpersisted — the returned
+    * DataFrames carry only the baked schemas, no cache dependency. For very
+    * large inputs set `samplingRatio` < 1.0: inference becomes a sampled
+    * pass (the reference's builders likewise infer from the events seen).
     */
-  def routeBySelector(df: DataFrame, jsonCol: String, selectorField: String): Map[String, DataFrame] = {
+  def routeBySelector(df: DataFrame, jsonCol: String, selectorField: String,
+      samplingRatio: Double = 1.0): Map[String, DataFrame] = {
     val sel = get_json_object(col(jsonCol), s"$$.$selectorField")
-    val keys = df.select(sel.as("k")).filter(col("k").isNotNull)
-      .distinct().collect().map(_.getString(0))
-    keys.map { k =>
-      k -> parseInferred(df.filter(sel === k), jsonCol)
-    }.toMap
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = cached.select(sel.as("k")).filter(col("k").isNotNull)
+        .distinct().collect().map(_.getString(0))
+      import df.sparkSession.implicits._
+      keys.map { k =>
+        val schema = inferSchema(
+          cached.filter(sel === k).select(col(jsonCol)).as[String], samplingRatio)
+        // route frames are built on the ORIGINAL df: no cache dependency
+        k -> df.filter(sel === k).withColumn("parsed", from_json(col(jsonCol), schema))
+      }.toMap
+    } finally cached.unpersist(blocking = false)
   }
 }

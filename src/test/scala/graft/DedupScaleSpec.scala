@@ -28,6 +28,20 @@ class DedupScaleSpec extends SparkSpec {
     assert(capped.size < uncapped.size)
   }
 
+  test("candidate generation is a single shuffle: no joins in the pair plans") {
+    // the signature pipeline must be evaluated once (groupBy+collect_list
+    // pair explosion), never via a self-join that recomputes it — lock the
+    // plan shape so a regression back to the 2x-eval join shape fails here
+    for ((name, df) <- Seq(
+        "ngramJaccard" -> Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.1),
+        "minhashLsh" -> Dedup.minhashLsh(docs, "text", "doc_id", bands = 4, rows = 2, threshold = 0.0),
+        "simhashDup" -> Dedup.simhashDup(docs, "text", "doc_id"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name plan regressed to a self-join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), name)
+    }
+  }
+
   test("minhashLsh bucket cap is observable via minhashLshDroppedBuckets") {
     // make every doc identical → one giant bucket per band
     val same = (0 until 30).map(i => (i.toLong, "exactly the same text in every document body")).toDF("doc_id", "text")

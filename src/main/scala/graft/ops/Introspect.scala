@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, struct, to_json}
 import org.apache.spark.sql.types.StructType
 
 import graft.lake.LakeTable
@@ -78,6 +79,22 @@ object Introspect {
     * `plugins.cpp` walks the linked plugin list). Queryable like any data:
     * `plugins(spark).where($"kind" === "format")`.
     */
+  /** The reference's `show` unified introspection (`show.cpp:148` — every
+    * aspect as one stream of tagged records): each source's rows rendered as
+    * `(aspect, data-json)`, unioned. Table-backed aspects appear only when a
+    * table is given.
+    */
+  def show(spark: SparkSession, table: Option[LakeTable] = None): DataFrame = {
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("aspect"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("data"))
+    val base = Seq("version" -> version(spark), "plugins" -> plugins(spark),
+      "diagnostics" -> Diagnostics.df(spark))
+    val tbl = table.toSeq.flatMap(t => Seq("partitions" -> partitions(t),
+      "schemas" -> schemas(t), "fields" -> fields(t), "metrics" -> metrics(t)))
+    (base ++ tbl).map { case (n, d) => tag(n, d) }.reduce(_ unionByName _)
+  }
+
   def plugins(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val reg: Seq[(String, String, String)] =
@@ -111,6 +128,7 @@ object Introspect {
         "processes", "sockets", "nics").map((_, "connector", "graft.sources")) ++
       Seq("serve", "cache", "publish", "subscribe")
         .map((_, "connector", "graft.ops")) ++
+      Seq("show", "diagnostics").map((_, "operator", "graft.ops.Introspect")) ++
       Seq("text", "ip", "ocsf", "hash", "time", "string", "numeric", "bit",
         "list").map((_, "function_module", "graft.functions")) ++
       Seq(("tql", "language", "graft.tql.Tql"),

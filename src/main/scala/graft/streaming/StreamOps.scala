@@ -174,7 +174,11 @@ object StreamOps {
       // never a single-partition window
       val kept = batch.orderBy(h, tiebreak).limit(maxRows)
       val total = batch.count()
-      if (total > maxRows) onDrop(id, total - maxRows)
+      if (total > maxRows) {
+        graft.ops.Diagnostics.warning("buffer_drop",
+          s"batch $id: dropped ${total - maxRows} of $total rows (policy=drop, max=$maxRows)")
+        onDrop(id, total - maxRows)
+      }
       sink(kept, id)
     }
 }

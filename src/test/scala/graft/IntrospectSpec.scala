@@ -66,6 +66,27 @@ class IntrospectSpec extends SparkSpec {
     assert(cache.ids.isEmpty)
   }
 
+  test("diagnostics bus collects reports; show unifies the aspects") {
+    import org.apache.spark.sql.functions.{col => c}
+    graft.ops.Diagnostics.clear()
+    graft.ops.Diagnostics.warning("buffer_drop", "batch 3: dropped 5 of 20 rows")
+    graft.ops.Diagnostics.error("commit", "stale base v7")
+    val d = graft.ops.Diagnostics.df(spark)
+    assert(d.columns.toSeq == Seq("ts", "severity", "source", "message"))
+    assert(d.count() == 2)
+    assert(d.filter(c("severity") === "error").select("source").head().getString(0) == "commit")
+
+    val sh = Introspect.show(spark)
+    assert(sh.columns.toSeq == Seq("aspect", "data"))
+    val aspects = sh.select("aspect").distinct().collect().map(_.getString(0)).toSet
+    assert(aspects == Set("version", "plugins", "diagnostics"))
+    // rows are the union of the tagged sources, rendered as JSON records
+    assert(sh.filter(c("aspect") === "diagnostics").count() == 2)
+    assert(sh.filter(c("aspect") === "version")
+      .select("data").head().getString(0).contains("\"engine\":\"graft\""))
+    graft.ops.Diagnostics.clear()
+  }
+
   test("plugins registry is queryable and covers every kind") {
     val p = Introspect.plugins(spark)
     assert(p.columns.toSeq == Seq("name", "kind", "module"))

@@ -54,17 +54,20 @@ object JsonInfer {
   def routeBySelector(df: DataFrame, jsonCol: String, selectorField: String,
       samplingRatio: Double = 1.0): Map[String, DataFrame] = {
     val sel = get_json_object(col(jsonCol), s"$$.$selectorField")
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a DISTINCT single-column probe plan is persisted (persist returns
+    // this.type, so persisting `df` itself would alias — and later evict —
+    // any cache the CALLER holds on it); the probe also pins only the json
+    // column, not the full row
+    val probe = df.select(col(jsonCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val keys = cached.select(sel.as("k")).filter(col("k").isNotNull)
+      val keys = probe.select(sel.as("k")).filter(col("k").isNotNull)
         .distinct().collect().map(_.getString(0))
       import df.sparkSession.implicits._
       keys.map { k =>
-        val schema = inferSchema(
-          cached.filter(sel === k).select(col(jsonCol)).as[String], samplingRatio)
-        // route frames are built on the ORIGINAL df: no cache dependency
+        val schema = inferSchema(probe.filter(sel === k).as[String], samplingRatio)
         k -> df.filter(sel === k).withColumn("parsed", from_json(col(jsonCol), schema))
       }.toMap
-    } finally cached.unpersist(blocking = false)
+    } finally probe.unpersist(blocking = false)
   }
 }

@@ -24,10 +24,13 @@ object Diagnostics {
   val MaxEntries = 10000
 
   private val buf = new ConcurrentLinkedDeque[Entry]()
+  // ConcurrentLinkedDeque.size() is O(n): keep an O(1) element counter so a
+  // full bus doesn't pay a 10k-node walk per report
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def report(severity: String, source: String, message: String): Unit = {
     buf.addLast(Entry(Instant.now().toString, severity, source, message))
-    while (buf.size > MaxEntries) buf.pollFirst()
+    if (n.incrementAndGet() > MaxEntries && buf.pollFirst() != null) n.decrementAndGet()
   }
 
   def warning(source: String, message: String): Unit = report("warning", source, message)
@@ -40,5 +43,5 @@ object Diagnostics {
     spark.createDataset(buf.iterator().asScala.toSeq).toDF()
   }
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = { buf.clear(); n.set(0) }
 }

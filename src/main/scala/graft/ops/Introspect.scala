@@ -74,11 +74,6 @@ object Introspect {
       .toDF("engine", "engine_version", "spark_version", "scala_version")
   }
 
-  /** One row per available operator/function/format (the reference's
-    * `plugins` source / `show plugins` — a static registry there too:
-    * `plugins.cpp` walks the linked plugin list). Queryable like any data:
-    * `plugins(spark).where($"kind" === "format")`.
-    */
   /** The reference's `show` unified introspection (`show.cpp:148` — every
     * aspect as one stream of tagged records): each source's rows rendered as
     * `(aspect, data-json)`, unioned. Table-backed aspects appear only when a
@@ -95,6 +90,11 @@ object Introspect {
     (base ++ tbl).map { case (n, d) => tag(n, d) }.reduce(_ unionByName _)
   }
 
+  /** One row per available operator/function/format (the reference's
+    * `plugins` source / `show plugins` — a static registry there too:
+    * `plugins.cpp` walks the linked plugin list). Queryable like any data:
+    * `plugins(spark).where($"kind" === "format")`.
+    */
   def plugins(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val reg: Seq[(String, String, String)] =
@@ -128,7 +128,8 @@ object Introspect {
         "processes", "sockets", "nics").map((_, "connector", "graft.sources")) ++
       Seq("serve", "cache", "publish", "subscribe")
         .map((_, "connector", "graft.ops")) ++
-      Seq("show", "diagnostics").map((_, "operator", "graft.ops.Introspect")) ++
+      Seq(("show", "operator", "graft.ops.Introspect"),
+        ("diagnostics", "operator", "graft.ops.Diagnostics")) ++
       Seq("text", "ip", "ocsf", "hash", "time", "string", "numeric", "bit",
         "list").map((_, "function_module", "graft.functions")) ++
       Seq(("tql", "language", "graft.tql.Tql"),

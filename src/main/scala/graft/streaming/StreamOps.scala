@@ -172,13 +172,19 @@ object StreamOps {
       // sorted limit = TakeOrderedAndProject: per-partition top-n, then one
       // n-row merge on the driver side of the exchange — fully parallel,
       // never a single-partition window
-      val kept = batch.orderBy(h, tiebreak).limit(maxRows)
-      val total = batch.count()
-      if (total > maxRows) {
-        graft.ops.Diagnostics.warning("buffer_drop",
-          s"batch $id: dropped ${total - maxRows} of $total rows (policy=drop, max=$maxRows)")
-        onDrop(id, total - maxRows)
-      }
-      sink(kept, id)
+      // persist for the micro-batch: the count, the TakeOrdered cutoff, and
+      // the sink all read one materialization instead of re-scanning the
+      // (possibly expensive) upstream per action
+      batch.persist()
+      try {
+        val total = batch.count()
+        val kept = batch.orderBy(h, tiebreak).limit(maxRows)
+        if (total > maxRows) {
+          graft.ops.Diagnostics.warning("buffer_drop",
+            s"batch $id: dropped ${total - maxRows} of $total rows (policy=drop, max=$maxRows)")
+          onDrop(id, total - maxRows)
+        }
+        sink(kept, id)
+      } finally batch.unpersist(blocking = false)
     }
 }

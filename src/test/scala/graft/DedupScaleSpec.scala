@@ -32,10 +32,13 @@ class DedupScaleSpec extends SparkSpec {
     // the signature pipeline must be evaluated once (groupBy+collect_list
     // pair explosion), never via a self-join that recomputes it — lock the
     // plan shape so a regression back to the 2x-eval join shape fails here
+    val vecs = (0 until 8).map(i => (i.toLong, Array(1.0, i.toDouble, 0.5)))
+      .toDF("doc_id", "emb")
     for ((name, df) <- Seq(
         "ngramJaccard" -> Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.1),
         "minhashLsh" -> Dedup.minhashLsh(docs, "text", "doc_id", bands = 4, rows = 2, threshold = 0.0),
-        "simhashDup" -> Dedup.simhashDup(docs, "text", "doc_id"))) {
+        "simhashDup" -> Dedup.simhashDup(docs, "text", "doc_id"),
+        "embeddingDup" -> Dedup.embeddingDup(vecs, "emb", "doc_id", threshold = 0.0))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Join"), s"$name plan regressed to a self-join:\n$plan")
       assert(!plan.contains("CartesianProduct"), name)

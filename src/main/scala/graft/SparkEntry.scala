@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ContextQueries, CoreQueries, FormatQueries, MLQueries, MiscQueries, ParserQueries, StreamQueries, TqlQueries}
+import graft.queries.{ContextQueries, CoreQueries, FormatQueries, MLQueries, MiscQueries, ParserQueries, StreamQueries, TqlQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ MLQueries.queries ++ FormatQueries.queries ++
       ParserQueries.queries ++ ContextQueries.queries ++ TqlQueries.queries ++
-      MiscQueries.queries ++ StreamQueries.queries
+      MiscQueries.queries ++ StreamQueries.queries ++ WebQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ MLQueries.oracleSql ++ FormatQueries.oracleSql ++
       ParserQueries.oracleSql ++ ContextQueries.oracleSql ++ TqlQueries.oracleSql ++
-      MiscQueries.oracleSql ++ StreamQueries.oracleSql
+      MiscQueries.oracleSql ++ StreamQueries.oracleSql ++ WebQueries.oracleSql
 }

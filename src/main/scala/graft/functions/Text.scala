@@ -187,6 +187,102 @@ object Text {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit(default))
   }
 
+  // -------------------------------------------- repetition / boilerplate
+
+  /** ALL word n-gram windows (non-distinct, document order): the unit for
+    * repetition signals, where multiplicity is the whole point — contrast
+    * [[shingles]], which is distinct-set-valued for Jaccard. Docs shorter
+    * than n words yield an empty array. Shift-and-zip construction for the
+    * same O(len) reason documented on [[shingles]].
+    */
+  def windowsAll(text: Column, n: Int): Column = {
+    val toks = coalesce(tokens(normalize(text)), array().cast("array<string>"))
+    val wins = greatest(size(toks) - (n - 1), lit(1))
+    val shifted = (0 until n).map(j => slice(toks, lit(j + 1), wins))
+    val grams = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
+  /** Longest run length in a sorted string array — i.e. the max multiplicity
+    * of any value. One codegen'd left fold, no shuffle, no explode.
+    */
+  private def maxMultiplicity(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Sum of `weight(x)` over every element of a sorted array that is a
+    * REPEAT of its predecessor (occurrences 2..k of each value) — the shared
+    * core of the duplicate-fraction signals.
+    */
+  private def repeatWeight(sorted: Column, weight: Column => Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(false).as("started"), lit(0L).as("dup")),
+      (acc, x) => {
+        val isRep = acc.getField("started") && (x === acc.getField("prev"))
+        struct(x.as("prev"), lit(true).as("started"),
+          (acc.getField("dup") + when(isRep, weight(x)).otherwise(lit(0L))).as("dup"))
+      },
+      acc => acc.getField("dup"))
+
+  /** Gopher-style "fraction of tokens covered by the single most frequent
+    * word n-gram": maxcount(n-gram) * n / tokens. 0 for docs with no
+    * windows. High values flag templated/spammy pages.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val toks = coalesce(tokens(normalize(text)), array().cast("array<string>"))
+    val ntok = size(toks)
+    val best = maxMultiplicity(array_sort(windowsAll(text, n)))
+    when(ntok === 0, lit(0.0))
+      .otherwise((best * n).cast("double") / ntok.cast("double"))
+  }
+
+  /** Fraction of word n-gram windows that are duplicates of another window
+    * in the same document (all occurrences of any repeated n-gram count).
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val grams = array_sort(windowsAll(text, n))
+    val nw = size(grams)
+    val inRuns = aggregate(grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dups")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        val add = when(run === 2L, lit(2L)).when(run > 2L, lit(1L)).otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"), (acc.getField("dups") + add).as("dups"))
+      },
+      acc => acc.getField("dups"))
+    when(nw === 0, lit(0.0)).otherwise(inRuns.cast("double") / nw.cast("double"))
+  }
+
+  /** Fraction of lines (split on \n, kept verbatim) that are duplicates of
+    * an earlier line: (total - distinct) / total. 0 for empty/null text.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(coalesce(text, lit("")), "\n")
+    val total = size(lines)
+    when(total === 0, lit(0.0)).otherwise(
+      (total - size(array_distinct(lines))).cast("double") / total.cast("double"))
+  }
+
+  /** Fraction of characters that sit inside repeated lines (occurrences
+    * 2..k of each duplicated line), per Gopher's duplicate-line-chars
+    * signal. Newlines themselves are not counted on either side.
+    */
+  def dupLineCharFraction(text: Column): Column = {
+    val lines = array_sort(split(coalesce(text, lit("")), "\n"))
+    val totalChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+    val dupChars = repeatWeight(lines, x => length(x).cast("long"))
+    when(totalChars === 0L, lit(0.0))
+      .otherwise(dupChars.cast("double") / totalChars.cast("double"))
+  }
+
   // ------------------------------------------------------------- vectors
 
   /** Dot product of two array<numeric> columns in double precision,

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and decomposition for web-scale pipelines.
+  *
+  * The CDC north star keys every page by `url` (BASELINE.json input_hint);
+  * any dedup/grouping over that key at 10^10-event scale wants a canonical
+  * form first (scheme/host case, default ports, fragments) or hot keys split
+  * across spellings of the same page. The reference has no URL module — this
+  * is part of the training-data extension surface, alongside graft.ops.Dedup.
+  *
+  * All extraction is plain regexp over the RFC 3986 appendix-B grammar using
+  * only character classes and non-capturing groups, so the identical pattern
+  * runs in Java regex (Spark, codegen'd) and RE2 (DuckDB oracle) with the
+  * same semantics. No-match yields the engines' shared "" convention, mapped
+  * to null where a typed value (port) is expected.
+  */
+object Web {
+
+  /** URI scheme, lowercased; "" when absent. */
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+  /** Host, lowercased, userinfo and port stripped; "" when not a
+    * scheme://host URL.
+    */
+  def urlHost(u: Column): Column =
+    lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
+  /** Explicit port as a long; null when absent. */
+  def urlPort(u: Column): Column = {
+    val p = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)", 1)
+    when(p === "", lit(null).cast("long")).otherwise(p.cast("long"))
+  }
+
+  /** Path starting at "/"; "" when the URL has no path component. */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+
+  /** Query string without the "?"; "" when absent. */
+  def urlQuery(u: Column): Column =
+    regexp_extract(u, "\\?([^#]*)", 1)
+
+  /** Fragment without the "#"; "" when absent. */
+  def urlFragment(u: Column): Column =
+    regexp_extract(u, "#(.*)$", 1)
+
+  /** Value of one query parameter; "" when the key is absent. `key` must be
+    * a plain literal name (it is embedded in the pattern unescaped).
+    */
+  def urlQueryParam(u: Column, key: String): Column =
+    regexp_extract(urlQuery(u), s"(?:^|&)$key=([^&]*)", 1)
+
+  /** Two-label public suffixes where the registrable domain is the last
+    * THREE labels ("bbc.co.uk"), not two. A deliberately small, documented
+    * subset of the public-suffix list — the full list is data, this is the
+    * algorithm; swap the set for the real PSL in production.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.tw", "co.in", "co.kr", "com.mx",
+    "co.nz", "co.za", "com.sg", "com.ar", "com.tr", "co.id")
+
+  /** Registrable ("pay-level") domain of a host: last two labels, or last
+    * three when the last two are a multi-part public suffix. Hosts with
+    * fewer labels pass through unchanged.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val take = when(last2.isin(MultiPartSuffixes: _*) && n >= lit(3), lit(3)).otherwise(lit(2))
+    when(n <= 2, host).otherwise(concat_ws(".", slice(labels, (take * -1), take)))
+  }
+
+  /** Canonical URL: scheme and host lowercased, userinfo dropped, default
+    * port stripped (80 for http, 443 for https; other ports kept), empty
+    * path becomes "/", query kept verbatim when nonempty, fragment dropped.
+    * Non-URL strings (no scheme://) pass through unchanged so the function
+    * is safe over dirty columns.
+    */
+  def urlNormalize(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = urlPort(u)
+    val isDefault = (scheme === "http" && port === 80L) ||
+      (scheme === "https" && port === 443L)
+    val portPart = when(port.isNull || isDefault, lit(""))
+      .otherwise(concat(lit(":"), port.cast("string")))
+    val path = urlPath(u)
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val query = urlQuery(u)
+    val queryPart = when(query === "", lit("")).otherwise(concat(lit("?"), query))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+}

@@ -300,6 +300,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------ exact substring
+
+  /** Exact-substring near-dup at k-token-window granularity
+    * (MassiveText/RefinedWeb-style: two docs sharing ANY verbatim k-token
+    * span are near-dups). The literature's suffix-array construction is a
+    * single-machine design; at web scale the same predicate is a bounded
+    * inverted index — hash every k-token window (distinct per doc), ONE
+    * shuffle on the window hash, emit within-bucket pairs. `maxDocFreq`
+    * drops boilerplate windows shared by more than that many docs (the k²
+    * skew guard), same contract as [[ngramJaccard]]'s shingle cap.
+    *
+    * Output: (id_a, id_b, shared_windows) — distinct doc pairs plus how many
+    * distinct windows they share. Docs shorter than k tokens don't
+    * participate (no window exists).
+    */
+  def windowDup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val wins = array_distinct(Text.windowsAll(col(textCol), k))
+    val inv = df.select(col(idCol).as("id"),
+      explode(transform(wins, w => Text.md5h60(w))).as("wh"))
+    bucketPairs(inv, Seq("wh"), struct(col("id")), maxDocFreq)
+      .select(orderPair(col("p")).as("q"))
+      .select(col("q.a.id").as("id_a"), col("q.b.id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   // ------------------------------------------------------- embedding cosine
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, candidates generated

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Text, Web}
+import graft.ops.{Dedup, Python}
+
+/** Driver-checked query catalog, part 3: URL canonicalization, repetition /
+  * boilerplate quality signals, exact-substring (k-token window) dedup, and
+  * the `python` escape hatch — the round-2 web-pipeline additions.
+  *
+  * Oracle notes: URL parts are extracted with the IDENTICAL regex in both
+  * engines (Java regex and RE2 agree on the character-class-only patterns);
+  * repetition fractions divide the same integer pairs as doubles; the window
+  * hash is the md5h60 family every other sketch oracle uses; the python-op
+  * oracle relies on JSON shortest-round-trip doubles being exact in both
+  * directions.
+  */
+object WebQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Empty-filtered normalized tokens — twin of Text.tokens(normalize(_)). */
+  private val NormToks =
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> length(t) > 0)"
+
+  // ------------------------------------------------------- synthesized URL
+
+  /** The synthesized URL (Spark side). Mirrored verbatim by [[UrlSql]]. */
+  private def urlExpr: Column = {
+    val dom = element_at(
+      array(lit("example.co.uk"), lit("data.example.com"), lit("news.site.org"),
+        lit("deep.sub.example.com.au"), lit("single")),
+      (pmod(col("event_id"), lit(5)) + 1).cast("int"))
+    concat(
+      when(pmod(col("event_id"), lit(3)) === 0, lit("https")).otherwise(lit("http")),
+      lit("://"),
+      when(pmod(col("user_id"), lit(2)) === 0, concat(lit("WWW."), dom)).otherwise(dom),
+      when(pmod(col("event_id"), lit(5)) === 0, lit(":8080"))
+        .when(pmod(col("event_id"), lit(5)) === 1, lit(":443"))
+        .otherwise(lit("")),
+      when(pmod(col("event_id"), lit(7)) === 0, lit(""))
+        .otherwise(concat(lit("/"), col("event_type"), lit("/p"),
+          col("event_id").cast("string"))),
+      when(pmod(col("event_id"), lit(2)) === 0,
+        concat(lit("?uid="), col("user_id").cast("string"), lit("&ref=feed")))
+        .otherwise(lit("")),
+      when(pmod(col("event_id"), lit(4)) === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** The same URL in DuckDB SQL (event_id/user_id are non-negative, so % ≡
+    * pmod).
+    */
+  private val UrlSql =
+    """(CASE WHEN event_id % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+      |(CASE WHEN user_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |(['example.co.uk','data.example.com','news.site.org','deep.sub.example.com.au','single'])[CAST(event_id % 5 AS INT) + 1] ||
+      |(CASE WHEN event_id % 5 = 0 THEN ':8080' WHEN event_id % 5 = 1 THEN ':443' ELSE '' END) ||
+      |(CASE WHEN event_id % 7 = 0 THEN '' ELSE '/' || event_type || '/p' || CAST(event_id AS VARCHAR) END) ||
+      |(CASE WHEN event_id % 2 = 0 THEN '?uid=' || CAST(user_id AS VARCHAR) || '&ref=feed' ELSE '' END) ||
+      |(CASE WHEN event_id % 4 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------ URL canonicalization (web module)
+    "q_urlfns" -> ((s, d) => {
+      val u = urlExpr
+      t(s, d, "events").select(
+        col("event_id"), u.as("url"),
+        Web.urlScheme(u).as("scheme"),
+        Web.urlHost(u).as("host"),
+        Web.urlPort(u).as("port"),
+        Web.urlPath(u).as("path"),
+        Web.urlQuery(u).as("query"),
+        Web.urlQueryParam(u, "uid").as("uid"),
+        Web.urlFragment(u).as("fragment"),
+        Web.registeredDomain(Web.urlHost(u)).as("reg_domain"),
+        Web.urlNormalize(u).as("canonical"))
+    }),
+
+    // -------------------------- repetition / boilerplate signals (Gopher)
+    "q_repetition" -> ((s, d) => {
+      val ml = concat_ws("\n", col("source"), col("lang"), col("source"),
+        col("lang"), col("doc_id").cast("string"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.topNgramFraction(col("text"), 2).as("top2_frac"),
+        Text.dupNgramFraction(col("text"), 3).as("dup3_frac"),
+        Text.dupLineFraction(ml).as("dup_line_frac"),
+        Text.dupLineCharFraction(ml).as("dup_line_char_frac"))
+    }),
+
+    // --------------------------- exact-substring (k-token window) near-dup
+    "q_window_dup" -> ((s, d) =>
+      Dedup.windowDup(t(s, d, "documents"), "text", "doc_id",
+        k = 5, maxDocFreq = Some(50))),
+
+    // -------------------------------------- `python` escape hatch (§2.8)
+    // the subprocess interpreter is the operator under test; the oracle
+    // recomputes its arithmetic + filter relationally
+    "q_python" -> ((s, d) => {
+      val in = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Python.python_(in,
+        "event['total'] = event['l_quantity'] * event['l_extendedprice']\n" +
+          "if event['total'] < 20000.0:\n" +
+          "    event = None",
+        StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_linenumber", IntegerType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("total", DoubleType))))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_urlfns" ->
+      s"""WITH u AS (SELECT event_id, $UrlSql AS url FROM events),
+         |parts AS (SELECT event_id, url,
+         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS host,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS port_s,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS query,
+         |  regexp_extract(url, '#(.*)$$', 1) AS fragment
+         |  FROM u),
+         |typed AS (SELECT *,
+         |  CASE WHEN port_s = '' THEN NULL ELSE CAST(port_s AS BIGINT) END AS port,
+         |  string_split(host, '.') AS labels
+         |  FROM parts),
+         |dom AS (SELECT *,
+         |  CASE WHEN len(labels) >= 2
+         |       AND array_to_string(labels[-2:], '.') IN ('co.uk','ac.uk','gov.uk','org.uk','me.uk','net.uk','com.au','net.au','org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.tw','co.in','co.kr','com.mx','co.nz','co.za','com.sg','com.ar','com.tr','co.id')
+         |       AND len(labels) >= 3 THEN 3 ELSE 2 END AS take
+         |  FROM typed)
+         |SELECT event_id, url, scheme, host, port, path, query,
+         |  regexp_extract(query, '(?:^|&)uid=([^&]*)', 1) AS uid,
+         |  fragment,
+         |  CASE WHEN len(labels) <= 2 THEN host
+         |       ELSE array_to_string(labels[(len(labels)-take+1):len(labels)], '.') END AS reg_domain,
+         |  CASE WHEN scheme = '' THEN url ELSE
+         |    scheme || '://' || host ||
+         |    (CASE WHEN port IS NULL OR (scheme = 'http' AND port = 80)
+         |               OR (scheme = 'https' AND port = 443) THEN ''
+         |          ELSE ':' || CAST(port AS VARCHAR) END) ||
+         |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         |    (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+         |  END AS canonical
+         |FROM dom""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $NormToks AS w FROM documents),
+         |base AS (SELECT doc_id, len(w) AS ntok,
+         |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' ')) ELSE [] END AS w2,
+         |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [] END AS w3
+         |  FROM toks),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(w2) AS g FROM base) GROUP BY doc_id, g),
+         |s2 AS (SELECT doc_id, max(c) AS maxc FROM c2 GROUP BY doc_id),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(w3) AS g FROM base) GROUP BY doc_id, g),
+         |s3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw, sum(c) AS nw FROM c3 GROUP BY doc_id),
+         |lc AS (SELECT doc_id, l, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(string_split(concat_ws(chr(10), source, lang, source, lang, CAST(doc_id AS VARCHAR)), chr(10))) AS l
+         |  FROM documents) GROUP BY doc_id, l),
+         |ls AS (SELECT doc_id, sum(c) AS total, count(*) AS dist,
+         |  sum((c-1)*length(l)) AS dupchars, sum(c*length(l)) AS totchars FROM lc GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  CASE WHEN b.ntok = 0 THEN 0.0 ELSE CAST(coalesce(s2.maxc, 0) * 2 AS DOUBLE) / CAST(b.ntok AS DOUBLE) END AS top2_frac,
+         |  CASE WHEN coalesce(s3.nw, 0) = 0 THEN 0.0 ELSE CAST(s3.dupw AS DOUBLE) / CAST(s3.nw AS DOUBLE) END AS dup3_frac,
+         |  CASE WHEN ls.total = 0 THEN 0.0 ELSE CAST(ls.total - ls.dist AS DOUBLE) / CAST(ls.total AS DOUBLE) END AS dup_line_frac,
+         |  CASE WHEN ls.totchars = 0 THEN 0.0 ELSE CAST(ls.dupchars AS DOUBLE) / CAST(ls.totchars AS DOUBLE) END AS dup_line_char_frac
+         |FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) JOIN ls USING (doc_id)""".stripMargin,
+
+    "q_window_dup" ->
+      s"""WITH toks AS (SELECT doc_id, $NormToks AS w FROM documents),
+         |wins AS (SELECT doc_id, CASE WHEN len(w) >= 5
+         |  THEN list_distinct(list_transform(generate_series(1, len(w)-4),
+         |       i -> ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT))
+         |  ELSE [] END AS ws FROM toks),
+         |ex AS (SELECT doc_id, unnest(ws) AS wh FROM wins),
+         |ok AS (SELECT wh FROM ex GROUP BY wh HAVING count(*) <= 50),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ex a JOIN ex b
+         |  ON a.wh = b.wh AND a.doc_id < b.doc_id
+         |  WHERE a.wh IN (SELECT wh FROM ok))
+         |SELECT id_a, id_b, count(*) AS shared_windows FROM p GROUP BY id_a, id_b""".stripMargin,
+
+    "q_python" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_quantity * l_extendedprice AS total
+        |FROM lineitem WHERE l_quantity * l_extendedprice >= 20000.0""".stripMargin)
+}

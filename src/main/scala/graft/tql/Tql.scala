@@ -820,6 +820,26 @@ object Tql {
     "language_id" -> fn1(c => graft.functions.Text.langId(c)),
     "token_count" -> fn1(graft.functions.Text.tokenCount),
     "quality_score" -> fn1(graft.functions.Text.qualityScore),
+    // web/url module (training-data extension; see graft.functions.Web)
+    "url::scheme" -> fn1(graft.functions.Web.urlScheme),
+    "url::host" -> fn1(graft.functions.Web.urlHost),
+    "url::port" -> fn1(graft.functions.Web.urlPort),
+    "url::path" -> fn1(graft.functions.Web.urlPath),
+    "url::query" -> fn1(graft.functions.Web.urlQuery),
+    "url::fragment" -> fn1(graft.functions.Web.urlFragment),
+    "url::domain" -> fn1(c => graft.functions.Web.registeredDomain(
+      graft.functions.Web.urlHost(c))),
+    "url::normalize" -> fn1(graft.functions.Web.urlNormalize),
+    // repetition / boilerplate signals (Gopher-style); n baked into the name
+    // because the window count is a plan-shape constant, not a row value
+    "top_2gram_fraction" -> fn1(graft.functions.Text.topNgramFraction(_, 2)),
+    "top_3gram_fraction" -> fn1(graft.functions.Text.topNgramFraction(_, 3)),
+    "top_4gram_fraction" -> fn1(graft.functions.Text.topNgramFraction(_, 4)),
+    "dup_2gram_fraction" -> fn1(graft.functions.Text.dupNgramFraction(_, 2)),
+    "dup_3gram_fraction" -> fn1(graft.functions.Text.dupNgramFraction(_, 3)),
+    "dup_4gram_fraction" -> fn1(graft.functions.Text.dupNgramFraction(_, 4)),
+    "dup_line_fraction" -> fn1(graft.functions.Text.dupLineFraction),
+    "dup_line_char_fraction" -> fn1(graft.functions.Text.dupLineCharFraction),
     "file_name" -> fn1(graft.sources.Files.fileName),
     "parent_dir" -> fn1(graft.sources.Files.parentDir),
     "encode_base64" -> fn1(base64), "decode_base64" -> fn1(unbase64),

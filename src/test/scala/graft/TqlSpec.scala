@@ -283,6 +283,21 @@ class TqlSpec extends SparkSpec {
     assert(r.getLong(0) == 4003L)
     assert(r.getString(1) == "Network Activity")
     assert(r.getString(2).startsWith("1:") && r.getBoolean(3) && r.getLong(4) == 2L)
+
+    // url:: module + repetition signals
+    val w = Tql("""
+      host = url::host(u)
+      dom = url::domain(u)
+      canon = url::normalize(u)
+      rep = top_2gram_fraction(line)
+      dl = dup_line_fraction(ml)
+      select host, dom, canon, rep, dl
+    """)(Seq(("HTTP://WWW.Ex.CO.UK:80/a?q=1#f", "a b a b a", "x\ny\nx"))
+      .toDF("u", "line", "ml")).head()
+    assert(w.getString(0) == "www.ex.co.uk")
+    assert(w.getString(1) == "ex.co.uk")
+    assert(w.getString(2) == "http://www.ex.co.uk/a?q=1")
+    assert(w.getDouble(3) == 0.8 && w.getDouble(4) == 1.0 / 3.0)
   }
 
   test("compress_*/decompress_* statements round-trip; read_gelf explodes frames") {

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Text, Web}
+import graft.ops.{Dedup, Python}
+
+/** URL canonicalization, repetition/boilerplate signals, window dedup, and
+  * the python escape hatch — hand-computed oracles on planted rows.
+  */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(u: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq(u).toDF("u").select(f(col("u"))).head.get(0)
+
+  test("url part extraction") {
+    val u = "HTTPS://User@WWW.Example.CO.UK:8443/A/b%20c?x=1&uid=42&y=#sec-2"
+    assert(one(u, Web.urlScheme) == "https")
+    assert(one(u, Web.urlHost) == "www.example.co.uk")
+    assert(one(u, Web.urlPort) == 8443L)
+    assert(one(u, Web.urlPath) == "/A/b%20c")
+    assert(one(u, Web.urlQuery) == "x=1&uid=42&y=")
+    assert(one(u, c => Web.urlQueryParam(c, "uid")) == "42")
+    assert(one(u, c => Web.urlQueryParam(c, "zz")) == "")
+    assert(one(u, Web.urlFragment) == "sec-2")
+    // no-scheme strings: every part is the engines' shared "" / null
+    assert(one("not a url", Web.urlScheme) == "")
+    assert(one("not a url", Web.urlHost) == "")
+    assert(one("not a url", Web.urlPort) == null)
+  }
+
+  test("registered domain: multi-part public suffixes take three labels") {
+    assert(one("www.bbc.co.uk", Web.registeredDomain) == "bbc.co.uk")
+    assert(one("a.b.news.example.com.au", Web.registeredDomain) == "example.com.au")
+    assert(one("deep.sub.example.com", Web.registeredDomain) == "example.com")
+    assert(one("example.org", Web.registeredDomain) == "example.org")
+    assert(one("localhost", Web.registeredDomain) == "localhost")
+  }
+
+  test("url normalization: case, default ports, fragment, empty path") {
+    assert(one("HTTP://EXAMPLE.com:80?q=1#top", Web.urlNormalize) ==
+      "http://example.com/?q=1")
+    assert(one("https://Example.com:443/x", Web.urlNormalize) == "https://example.com/x")
+    assert(one("https://example.com:8443/x", Web.urlNormalize) ==
+      "https://example.com:8443/x")
+    assert(one("http://user:pw@Host.com/p", Web.urlNormalize) == "http://host.com/p")
+    // non-URLs pass through so the function is safe over dirty columns
+    assert(one("garbage", Web.urlNormalize) == "garbage")
+  }
+
+  test("repetition signals match hand computation") {
+    // "a b a b a": 2-gram windows [ab, ba, ab, ba] -> max mult 2, top2 = 2*2/5
+    val df = Seq("a b a b a").toDF("text")
+    assert(df.select(Text.topNgramFraction(col("text"), 2)).head.getDouble(0) == 0.8)
+    // 3-gram windows [aba, bab, aba]: "aba" repeats -> 2 of 3 windows are dups
+    assert(df.select(Text.dupNgramFraction(col("text"), 3)).head.getDouble(0) == 2.0 / 3.0)
+    // shorter than n -> no windows -> 0.0 (not null, not division error)
+    val short = Seq("only two").toDF("text")
+    assert(short.select(Text.topNgramFraction(col("text"), 3)).head.getDouble(0) == 0.0)
+    assert(Seq("").toDF("text").select(Text.dupNgramFraction(col("text"), 2))
+      .head.getDouble(0) == 0.0)
+  }
+
+  test("duplicate-line signals match hand computation") {
+    val df = Seq("xx\nyy\nxx\nzzz").toDF("t")
+    // 4 lines, 3 distinct -> 1/4 duplicate lines
+    assert(df.select(Text.dupLineFraction(col("t"))).head.getDouble(0) == 0.25)
+    // repeated chars: second "xx" = 2 chars of 2+2+2+3 = 9 total
+    assert(df.select(Text.dupLineCharFraction(col("t"))).head.getDouble(0) == 2.0 / 9.0)
+    assert(Seq("").toDF("t").select(Text.dupLineCharFraction(col("t")))
+      .head.getDouble(0) == 0.0)
+  }
+
+  test("windowDup finds exactly the planted shared k-token span") {
+    val docs = Seq(
+      (1L, "p q r s t u v"), // shares the 4-token span p q r s t with doc 2
+      (2L, "z0 z1 p q r s t z2"),
+      (3L, "m n o aa bb cc dd"), // no shared window with anyone
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.windowDup(docs, "text", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // shared 4-token windows between 1 and 2: "p q r s" and "q r s t"
+    assert(got == Set((1L, 2L, 2L)))
+  }
+
+  test("windowDup maxDocFreq drops boilerplate windows") {
+    val boiler = (0 until 6).map(i => (i.toLong, "same same same same"))
+    val df = boiler.toDF("doc_id", "text")
+    // window "same same same same" appears in 6 docs; cap at 5 -> no pairs
+    assert(Dedup.windowDup(df, "text", "doc_id", k = 4, maxDocFreq = Some(5)).count() == 0)
+    assert(Dedup.windowDup(df, "text", "doc_id", k = 4).count() == 15) // 6 choose 2
+  }
+
+  test("python op: per-row code mutates, adds, and drops rows") {
+    val in = Seq((1L, 2.5, "keep"), (2L, 4.0, "drop"), (3L, 0.5, "keep"))
+      .toDF("id", "x", "tag")
+    val out = Python.python_(in,
+      "event['y'] = event['x'] * 2\n" +
+        "if event['tag'] == 'drop':\n    event = None",
+      StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
+        StructField("tag", StringType), StructField("y", DoubleType))))
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+      r.getDouble(3))).toSet
+    assert(rows == Set((1L, 2.5, "keep", 5.0), (3L, 0.5, "keep", 1.0)))
+  }
+
+  test("python op: null fields arrive as None and survive the round trip") {
+    val in = Seq((1L, Some("a")), (2L, None)).map { case (i, s) => (i, s.orNull) }
+      .toDF("id", "s")
+    val out = Python.python_(in,
+      "event['has'] = event['s'] is not None",
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+        StructField("has", BooleanType))))
+    val rows = out.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSet
+    assert(rows == Set((1L, Some("a"), true), (2L, None, false)))
+  }
+}

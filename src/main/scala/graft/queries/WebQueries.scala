@@ -102,9 +102,12 @@ object WebQueries {
 
     // -------------------------------------- `python` escape hatch (§2.8)
     // the subprocess interpreter is the operator under test; the oracle
-    // recomputes its arithmetic + filter relationally
+    // recomputes its arithmetic + filter relationally. A deterministic 1-in-10
+    // orderkey slice keeps the per-event-exec cost proportionate in the
+    // catalog (the semantics are row-local, so coverage doesn't need volume).
     "q_python" -> ((s, d) => {
       val in = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       Python.python_(in,
         "event['total'] = event['l_quantity'] * event['l_extendedprice']\n" +
@@ -192,5 +195,6 @@ object WebQueries {
     "q_python" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_quantity * l_extendedprice AS total
-        |FROM lineitem WHERE l_quantity * l_extendedprice >= 20000.0""".stripMargin)
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |  AND l_quantity * l_extendedprice >= 20000.0""".stripMargin)
 }

@@ -232,7 +232,9 @@ object Text {
       acc => acc.getField("dup"))
 
   /** Gopher-style "fraction of tokens covered by the single most frequent
-    * word n-gram": maxcount(n-gram) * n / tokens. 0 for docs with no
+    * word n-gram": maxcount(n-gram) * n / tokens, capped at 1.0 (overlapping
+    * occurrences of a self-overlapping gram — "a a a a" — would otherwise
+    * overcount covered tokens past the document length). 0 for docs with no
     * windows. High values flag templated/spammy pages.
     */
   def topNgramFraction(text: Column, n: Int): Column = {
@@ -240,7 +242,7 @@ object Text {
     val ntok = size(toks)
     val best = maxMultiplicity(array_sort(windowsAll(text, n)))
     when(ntok === 0, lit(0.0))
-      .otherwise((best * n).cast("double") / ntok.cast("double"))
+      .otherwise(least((best * n).cast("double") / ntok.cast("double"), lit(1.0)))
   }
 
   /** Fraction of word n-gram windows that are duplicates of another window

@@ -39,9 +39,12 @@ object Web {
   def urlPath(u: Column): Column =
     regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
 
-  /** Query string without the "?"; "" when absent. */
+  /** Query string without the "?"; "" when absent. The "?" must precede any
+    * "#" — a "?" inside the fragment is fragment text, not a query (the lazy
+    * `[^#]*?` prefix cannot cross a "#").
+    */
   def urlQuery(u: Column): Column =
-    regexp_extract(u, "\\?([^#]*)", 1)
+    regexp_extract(u, "^[^#]*?\\?([^#]*)", 1)
 
   /** Fragment without the "#"; "" when absent. */
   def urlFragment(u: Column): Column =
@@ -66,14 +69,16 @@ object Web {
 
   /** Registrable ("pay-level") domain of a host: last two labels, or last
     * three when the last two are a multi-part public suffix. Hosts with
-    * fewer labels pass through unchanged.
+    * fewer labels pass through unchanged. The host is lowercased first
+    * (hosts are case-insensitive per RFC 4343; the suffix set is lowercase).
     */
   def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    val h = lower(host)
+    val labels = split(h, "\\.")
     val n = size(labels)
     val last2 = concat_ws(".", slice(labels, -2, 2))
     val take = when(last2.isin(MultiPartSuffixes: _*) && n >= lit(3), lit(3)).otherwise(lit(2))
-    when(n <= 2, host).otherwise(concat_ws(".", slice(labels, (take * -1), take)))
+    when(n <= 2, h).otherwise(concat_ws(".", slice(labels, (take * -1), take)))
   }
 
   /** Canonical URL: scheme and host lowercased, userinfo dropped, default

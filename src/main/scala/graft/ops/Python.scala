@@ -40,9 +40,14 @@ object Python {
     * always sees every column key.
     */
   def python_(df: DataFrame, code: String, outSchema: StructType): DataFrame = {
-    val ndjson = df.select(to_json(struct(df.columns.map(col): _*),
+    // backtick-quote: dotted top-level names (flattened frames) must not
+    // resolve as nested-field paths
+    val ndjson = df.select(to_json(struct(df.columns.map(n => col(s"`$n`")).toIndexedSeq: _*),
       Map("ignoreNullFields" -> "false")).as("line"))
-    val out = Shell.shell_(ndjson, "line", Seq("python3", "-c", Harness, code))
+    // strict exit contract: ANY non-zero status (an uncaught user exception)
+    // fails the task with the traceback — never a silently truncated partition
+    val out = Shell.shell_(ndjson, "line", Seq("python3", "-c", Harness, code),
+      okExit = Set(0))
     out.select(from_json(col("line"), outSchema).as("e")).select(col("e.*"))
   }
 }

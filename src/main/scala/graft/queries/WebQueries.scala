@@ -130,7 +130,7 @@ object WebQueries {
          |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS host,
          |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS port_s,
          |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
-         |  regexp_extract(url, '\\?([^#]*)', 1) AS query,
+         |  regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query,
          |  regexp_extract(url, '#(.*)$$', 1) AS fragment
          |  FROM u),
          |typed AS (SELECT *,
@@ -158,7 +158,7 @@ object WebQueries {
          |FROM dom""".stripMargin,
 
     "q_repetition" ->
-      s"""WITH toks AS (SELECT doc_id, $NormToks AS w FROM documents),
+      s"""WITH toks AS (SELECT doc_id, coalesce($NormToks, []) AS w FROM documents),
          |base AS (SELECT doc_id, len(w) AS ntok,
          |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' ')) ELSE [] END AS w2,
          |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')) ELSE [] END AS w3
@@ -173,7 +173,7 @@ object WebQueries {
          |ls AS (SELECT doc_id, sum(c) AS total, count(*) AS dist,
          |  sum((c-1)*length(l)) AS dupchars, sum(c*length(l)) AS totchars FROM lc GROUP BY doc_id)
          |SELECT b.doc_id,
-         |  CASE WHEN b.ntok = 0 THEN 0.0 ELSE CAST(coalesce(s2.maxc, 0) * 2 AS DOUBLE) / CAST(b.ntok AS DOUBLE) END AS top2_frac,
+         |  CASE WHEN b.ntok = 0 THEN 0.0 ELSE least(CAST(coalesce(s2.maxc, 0) * 2 AS DOUBLE) / CAST(b.ntok AS DOUBLE), 1.0) END AS top2_frac,
          |  CASE WHEN coalesce(s3.nw, 0) = 0 THEN 0.0 ELSE CAST(s3.dupw AS DOUBLE) / CAST(s3.nw AS DOUBLE) END AS dup3_frac,
          |  CASE WHEN ls.total = 0 THEN 0.0 ELSE CAST(ls.total - ls.dist AS DOUBLE) / CAST(ls.total AS DOUBLE) END AS dup_line_frac,
          |  CASE WHEN ls.totchars = 0 THEN 0.0 ELSE CAST(ls.dupchars AS DOUBLE) / CAST(ls.totchars AS DOUBLE) END AS dup_line_char_frac

@@ -29,6 +29,16 @@ class ShellTopicsSpec extends SparkSpec {
     assert(doubled.count() == 8)
   }
 
+  test("shell_ fails the task on a crashing child (exit outside the ok set)") {
+    val df = Seq("alpha", "bravo").toDF("line").coalesce(1)
+    // grep exit 2 = real error (bad pattern), beyond the tolerated no-match 1
+    val bad = Shell.shell_(df, "line", Seq("grep", "-E", "(unclosed"))
+    val e = intercept[Exception](bad.collect())
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("exited 2"), messages.take(300))
+  }
+
   test("publish/subscribe: batch fan-in and fan-out over a topic") {
     val topic = tmpDir("topic")
     try {

@@ -29,6 +29,10 @@ class WebSpec extends SparkSpec {
     assert(one("not a url", Web.urlScheme) == "")
     assert(one("not a url", Web.urlHost) == "")
     assert(one("not a url", Web.urlPort) == null)
+    // a "?" inside the fragment is fragment text, NOT a query
+    assert(one("http://h/p#sec?tab=2", Web.urlQuery) == "")
+    assert(one("http://h/p#sec?tab=2", Web.urlFragment) == "sec?tab=2")
+    assert(one("http://h/p#sec?tab=2", Web.urlNormalize) == "http://h/p")
   }
 
   test("registered domain: multi-part public suffixes take three labels") {
@@ -37,6 +41,8 @@ class WebSpec extends SparkSpec {
     assert(one("deep.sub.example.com", Web.registeredDomain) == "example.com")
     assert(one("example.org", Web.registeredDomain) == "example.org")
     assert(one("localhost", Web.registeredDomain) == "localhost")
+    // hosts are case-insensitive: uppercase input must not dodge the suffix set
+    assert(one("WWW.BBC.CO.UK", Web.registeredDomain) == "bbc.co.uk")
   }
 
   test("url normalization: case, default ports, fragment, empty path") {
@@ -61,6 +67,9 @@ class WebSpec extends SparkSpec {
     assert(short.select(Text.topNgramFraction(col("text"), 3)).head.getDouble(0) == 0.0)
     assert(Seq("").toDF("text").select(Text.dupNgramFraction(col("text"), 2))
       .head.getDouble(0) == 0.0)
+    // self-overlapping gram ("a a" × 4 in 5 tokens) caps at 1.0, stays a fraction
+    assert(Seq("a a a a a").toDF("text")
+      .select(Text.topNgramFraction(col("text"), 2)).head.getDouble(0) == 1.0)
   }
 
   test("duplicate-line signals match hand computation") {
@@ -115,5 +124,25 @@ class WebSpec extends SparkSpec {
         StructField("has", BooleanType))))
     val rows = out.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSet
     assert(rows == Set((1L, Some("a"), true), (2L, None, false)))
+  }
+
+  test("python op: a raising user script FAILS the job instead of truncating") {
+    val in = Seq((1L, 1.0), (2L, 0.0), (3L, 4.0)).toDF("id", "x")
+    val out = Python.python_(in, "event['y'] = 1.0 / event['x']",
+      StructType(Seq(StructField("id", LongType), StructField("x", DoubleType),
+        StructField("y", DoubleType))))
+    val e = intercept[Exception](out.collect())
+    // the child's traceback must surface in the failure, not vanish
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("ZeroDivisionError"), messages.take(500))
+  }
+
+  test("python op: dotted top-level column names survive (flattened frames)") {
+    val in = Seq((1L, "GET"), (2L, "POST")).toDF("id", "http.method")
+    val out = Python.python_(in, "event['m2'] = event['http.method'].lower()",
+      StructType(Seq(StructField("id", LongType), StructField("http.method", StringType),
+        StructField("m2", StringType))))
+    assert(out.select(col("m2")).as[String].collect().toSet == Set("get", "post"))
   }
 }

@@ -363,4 +363,30 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Benchmark decontamination: flag training documents sharing word-n-gram
+    * shingles with an evaluation set (the standard pre-training hygiene step;
+    * the reference's pipeline stops at dedup — this extends the same shingle
+    * machinery to cross-corpus overlap).
+    *
+    * Returns one row per document with ≥1 shared shingle: `n_hits` (distinct
+    * shared shingles) and `contaminated` (`n_hits >= minHits`). Plan shape:
+    * the benchmark shingle set is tiny by construction (eval sets are
+    * thousands of docs, not billions) → `broadcast` join against the exploded
+    * corpus shingles, then one map-side-combinable count per doc — the corpus
+    * is scanned once and never shuffled on the benchmark axis.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "minHits must be >= 1")
+    val benchSh = bench
+      .select(explode(Text.shingles(col(textCol), n)).as("shingle")).distinct()
+    docs
+      .select(col(idCol), explode(Text.shingles(col(textCol), n)).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      // shingles() is distinct per doc, so this count IS the distinct overlap
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
 }

@@ -219,6 +219,23 @@ object Pipe {
       df.filter(pmod(xxhash64(keys :+ lit(seed): _*), lit(1L << 32)) < bound)
     }
 
+    /** Stratified mixture sampling — per-stratum keep rates (the training-mix
+      * step: upsample scarce languages/sources, downsample boilerplate-heavy
+      * ones). Deterministic and shuffle-free: the keep decision is an
+      * [[graft.functions.Text.md5h60]] threshold on the row's id columns, so
+      * replays and a DuckDB oracle reproduce the exact row set; rates live in
+      * a literal map (pure codegen'd lookup, no join).
+      */
+    def sampleStratified_(strat: Column, rates: Map[String, Double],
+        defaultRate: Double, idCols: Seq[Column], seed: Long = 42L): DataFrame = {
+      require(rates.nonEmpty, "rates must not be empty")
+      val rate = Pipe.rateColumn(rates, defaultRate, strat)
+      val u = pmod(graft.functions.Text.md5h60(
+        concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*)),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      df.filter(u < rate)
+    }
+
     /** `sample <period>` — RATE-ADAPTIVE sampling (reference `sample.cpp`,
       * `sample.md:9-45`): the sample rate for each period is derived from the
       * PREVIOUS period's event count, targeting `targetPerPeriod` emitted
@@ -378,7 +395,13 @@ object Pipe {
   /** Partition-offset literal map for [[PipeOps.enumerate_]] (outside the
     * value class: `typedlit`'s TypeTag materialization is a nested class).
     */
-  private def offsetColumn(offsets: Map[Int, Long]): Column =
+  /** Literal-map stratum-rate lookup (outside the value class — typedlit's
+    * macro expands to a nested class, which AnyVal bodies forbid).
+    */
+  private def rateColumn(rates: Map[String, Double], default: Double, strat: Column): Column =
+    coalesce(element_at(typedlit(rates), strat.cast("string")), lit(default))
+
+  private[graft] def offsetColumn(offsets: Map[Int, Long]): Column =
     if (offsets.isEmpty) lit(0L)
     else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.CdcApply
 import graft.functions.Text
 import graft.lake.LakeTable
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Chunk, Dedup, Multimodal, Similarity}
 
 /** Driver-checked query catalog, part 2: web-scale training-data operators
   * (dedup family, similarity search, text analysis, multimodal plumbing) and
@@ -179,6 +179,16 @@ object MLQueries {
         Text.tokenCount(col("text")).as("ws_tokens"),
         Text.subwordCount(col("text")).as("subword_tokens"))),
 
+    // 16-token windows advancing by 12 (overlap 4) — RAG-style chunking
+    "q_chunk" -> ((s, d) =>
+      Chunk.chunkTokens(t(s, d, "documents"), "text", "doc_id",
+        chunkSize = 16, overlap = 4)),
+
+    // concat-then-split packing into 256-token context windows
+    "q_pack" -> ((s, d) =>
+      Chunk.packContext(t(s, d, "documents"), "text", "doc_id",
+        contextSize = 256)),
+
     "q_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
 
@@ -334,6 +344,40 @@ object MLQueries {
         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS subword_tokens
         |FROM documents""".stripMargin,
+    // twin of Chunk.chunkTokens(chunkSize=16, overlap=4): stride 12
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN coalesce(len(toks), 0) > 0
+        |      THEN 1 + CAST(floor((greatest(len(toks) - 16, 0) + 11) / 12.0) AS BIGINT)
+        |      ELSE 0 END AS nchunks
+        |  FROM t
+        |), e AS (SELECT doc_id, toks, unnest(range(nchunks)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(toks[(i*12+1):(i*12+16)], ' ') AS chunk_text,
+        |  CAST(len(toks[(i*12+1):(i*12+16)]) AS BIGINT) AS chunk_tokens
+        |FROM e""".stripMargin,
+    // twin of Chunk.packContext(contextSize=256): global offsets in doc_id order
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> length(x) > 0)), 0) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS bin_first,
+        |  CAST(floor((tok_offset + greatest(n_tokens - 1, 0)) / 256.0) AS BIGINT) AS bin_last
+        |FROM c""".stripMargin,
     "q_extract_text" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>T &amp; ß</title><style>p{color:red}</style></head><body onload="x()"><h1>'

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Web}
 import graft.ops.{Dedup, Python}
+import graft.ops.Pipe._
 
 /** Driver-checked query catalog, part 3: URL canonicalization, repetition /
   * boilerplate quality signals, exact-substring (k-token window) dedup, and
@@ -99,6 +100,23 @@ object WebQueries {
     "q_window_dup" -> ((s, d) =>
       Dedup.windowDup(t(s, d, "documents"), "text", "doc_id",
         k = 5, maxDocFreq = Some(50))),
+
+    // ------------------- benchmark decontamination (eval-set shingle overlap)
+    // the "benchmark" is the doc_id % 25 == 0 slice of the corpus itself —
+    // guaranteed hits (self-overlap) plus realistic cross-doc collisions
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(docs,
+        docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+        "text", "doc_id", n = 3, minHits = 2)
+    }),
+
+    // ----------------------- stratified mixture sampling (training-mix step)
+    "q_sample_stratified" -> ((s, d) =>
+      t(s, d, "documents").select("doc_id", "lang")
+        .sampleStratified_(col("lang"),
+          Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.1),
+          defaultRate = 0.25, idCols = Seq(col("doc_id")))),
 
     // -------------------------------------- `python` escape hatch (§2.8)
     // the subprocess interpreter is the operator under test; the oracle
@@ -196,5 +214,28 @@ object WebQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
         |  l_quantity * l_extendedprice AS total
         |FROM lineitem WHERE l_orderkey % 10 = 0
-        |  AND l_quantity * l_extendedprice >= 20000.0""".stripMargin)
+        |  AND l_quantity * l_extendedprice >= 20000.0""".stripMargin,
+
+    // twin of Dedup.decontaminate(n=3, minHits=2), benchmark = doc_id%25==0
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents)
+        |), b AS (SELECT DISTINCT unnest(sh) AS shingle FROM d WHERE doc_id % 25 = 0),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM d)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  count(*) >= 2 AS contaminated
+        |FROM e JOIN b USING (shingle) GROUP BY 1""".stripMargin,
+
+    // twin of Pipe.sampleStratified_(rates en/de/zh, default 0.25, seed 42)
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || '42'), 1, 15))::BIGINT
+        |    % 1000000) / 1000000.0
+        |  < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'zh' THEN 0.1
+        |    ELSE 0.25 END""".stripMargin)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{Text, Web}
 import graft.ops.{Dedup, Python}
+import graft.ops.Pipe._
 
 /** URL canonicalization, repetition/boilerplate signals, window dedup, and
   * the python escape hatch — hand-computed oracles on planted rows.
@@ -144,5 +145,41 @@ class WebSpec extends SparkSpec {
       StructType(Seq(StructField("id", LongType), StructField("http.method", StringType),
         StructField("m2", StringType))))
     assert(out.select(col("m2")).as[String].collect().toSet == Set("get", "post"))
+  }
+
+  test("decontaminate flags shingle overlap with the benchmark set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with no overlap at all"),
+      (3L, "quick brown fox jumps high today")  // shares 2 shingles with doc 1
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, bench, "text", "doc_id", n = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert(out(1L) == (3L, true))
+    // doc 3 shares "quick brown fox", "brown fox jumps"
+    assert(out(3L) == (2L, true))
+    assert(!out.contains(2L))
+    // plan: benchmark side must broadcast
+    val plan = Dedup.decontaminate(docs, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sampleStratified_ applies per-stratum rates deterministically") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = df.sampleStratified_(col("lang"), Map("en" -> 0.8, "zh" -> 0.1),
+      defaultRate = 0.5, idCols = Seq(col("doc_id")))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash-threshold sampling: counts concentrate near rate * 1000
+    assert(byLang("en") > 700 && byLang("en") < 900, byLang)
+    assert(byLang("zh") > 50 && byLang("zh") < 150, byLang)
+    // deterministic: same input → identical row set
+    assert(out.collect().toSet ==
+      df.sampleStratified_(col("lang"), Map("en" -> 0.8, "zh" -> 0.1),
+        defaultRate = 0.5, idCols = Seq(col("doc_id"))).collect().toSet)
   }
 }

@@ -364,6 +364,42 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Line-level dedup (CCNet-style): drop lines whose corpus-wide frequency
+    * exceeds `maxFreq` — the standard boilerplate-removal pass (nav menus,
+    * cookie banners, footers repeat across a domain; prose doesn't).
+    *
+    * Output: one row per document with `n_lines`, `n_dropped`, and
+    * `clean_text` (surviving lines rejoined in original order).
+    *
+    * Plan shape at 100 TB: the frequency side shuffles only the 60-bit line
+    * hash (never the line text); the hash⋈lines join is shuffle-on-hash with
+    * AQE skew-split handling the pathological blank/boilerplate keys — a
+    * `Window.partitionBy(line)` would pin each hot line to ONE task, which
+    * is exactly the skew this avoids. Map-side partial aggs on both the
+    * frequency count and the final per-doc regroup.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      maxFreq: Long = 1): DataFrame = {
+    require(maxFreq >= 1, "maxFreq must be >= 1")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("__i", "__ln")))
+      .withColumn("__h", Text.md5h60(col("__ln")))
+    val freq = lines.groupBy(col("__h")).agg(count(lit(1)).as("__freq"))
+    lines.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__freq") > maxFreq, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list drops the nulls from the unmatched `when` branch;
+        // array_sort on (idx, line) structs restores original line order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__freq") <= maxFreq, struct(col("__i"), col("__ln"))))),
+            x => x("__ln")),
+          "\n").as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing word-n-gram
     * shingles with an evaluation set (the standard pre-training hygiene step;
     * the reference's pipeline stops at dedup — this extends the same shingle

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Syslog5424, Zeek}
+import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Syslog5424, Warc, Zeek}
 
 /** Driver-checked query catalog, part 4: the widened parser surface —
   * grok with the real pattern library, syslog RFC 5424 (incl.
@@ -121,6 +121,28 @@ object ParserQueries {
       Leef.exploded(t(s, d, "events").select(col("event_id"), leefLine.as("line")), "line")
         .select("event_id", "leef_version", "vendor", "product_name", "leef_event_id",
           "attr_key", "attr_value")),
+
+    // WARC framing + header parse: each doc becomes a request+response record
+    // pair in one blob; records() splits, parse() extracts. The oracle
+    // recomputes the expected fields directly from the source columns.
+    "q_warc" -> ((s, d) => {
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: <urn:uuid:req-"),
+        col("doc_id"), lit(">\r\nWARC-Target-URI: https://"), col("source"),
+        lit("/doc/"), col("doc_id"),
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 0\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:resp-"),
+        col("doc_id"), lit(">\r\nWARC-Target-URI: https://"), col("source"),
+        lit("/doc/"), col("doc_id"),
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: text/plain\r\nContent-Length: "),
+        length(col("text")), lit("\r\n\r\n"), col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(Warc.records(blob)).as("rec"))
+        .select(col("doc_id"), Warc.parse(col("rec")).as("w"))
+        .select(col("doc_id"), col("w.warc_type"), col("w.record_id"),
+          col("w.target_uri"), col("w.warc_date"), col("w.content_type"),
+          col("w.content_length"), col("w.body"))
+    }),
 
     "q_zeek" -> ((s, d) =>
       // tags joined to a scalar: array-typed outputs compare unreliably
@@ -336,6 +358,27 @@ object ParserQueries {
           |  unnest(regexp_extract_all(regexp_extract(line, '^(?:[^|]*\|){5}(.*)$', 1),
           |    concat('([\w.]+)=([^', chr(9), ']*)'), 2)) AS attr_value
           |FROM raw""".stripMargin,
+      // twin of q_warc: expected fields recomputed directly per record kind
+      "q_warc" ->
+        """WITH req AS (SELECT doc_id,
+          |    'request' AS warc_type,
+          |    '<urn:uuid:req-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+          |    'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+          |    '2026-01-01T00:00:00Z' AS warc_date,
+          |    CAST(NULL AS VARCHAR) AS content_type,
+          |    CAST(0 AS BIGINT) AS content_length,
+          |    '' AS body
+          |  FROM documents),
+          |resp AS (SELECT doc_id,
+          |    'response' AS warc_type,
+          |    '<urn:uuid:resp-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+          |    'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+          |    '2026-01-01T00:00:00Z' AS warc_date,
+          |    'text/plain' AS content_type,
+          |    CAST(length(text) AS BIGINT) AS content_length,
+          |    text AS body
+          |  FROM documents)
+          |SELECT * FROM req UNION ALL SELECT * FROM resp""".stripMargin,
       "q_zeek" ->
         """SELECT
           |  make_timestamp((event_id + 1700000000) * 1000000) AS ts,

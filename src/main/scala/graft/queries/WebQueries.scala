@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Text, Web}
-import graft.ops.{Dedup, Python}
+import graft.functions.{Pii, Text, Web}
+import graft.ops.{Dedup, Dsir, Python}
 import graft.ops.Pipe._
 
 /** Driver-checked query catalog, part 3: URL canonicalization, repetition /
@@ -109,6 +109,56 @@ object WebQueries {
       Dedup.decontaminate(docs,
         docs.filter(pmod(col("doc_id"), lit(25)) === 0),
         "text", "doc_id", n = 3, minHits = 2)
+    }),
+
+    // --------------------- DSIR-style importance scoring (data selection)
+    // target = the doc_id % 25 == 0 slice; background = the corpus itself
+    "q_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dsir.score(docs, docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+        "text", "doc_id", n = 2, buckets = 512)
+    }),
+
+    // --------------------------- training-mix statistics (per lang × source)
+    "q_mixture" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(Text.tokenCount(col("text"))).as("tokens"))
+        // #groups rows — the over-all-groups total is driver-scale by
+        // construction (same justification as the global aggs in PLANS.md)
+        .withColumn("token_share",
+          col("tokens").cast("double") /
+            sum(col("tokens")).over(Window.partitionBy()).cast("double"))
+    }),
+
+    // ------------------------------- PII detection + redaction (hygiene pass)
+    // PII is planted deterministically per doc (email/phone/IP/SSN) so every
+    // row exercises all four classes; the oracle recomputes the identical
+    // regex chain in RE2
+    "q_pii" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" Contact user"), col("doc_id"), lit("@example.org or +1 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit("-1234, host 10."), pmod(col("doc_id"), lit(256)),
+        lit(".0.7, SSN 123-45-6789."))
+      t(s, d, "documents").select(col("doc_id"),
+        Pii.countEmails(planted).cast("long").as("n_emails"),
+        Pii.countIpv4(planted).cast("long").as("n_ips"),
+        Pii.countSsn(planted).cast("long").as("n_ssn"),
+        Pii.countPhones(planted).cast("long").as("n_phones"),
+        Pii.redact(planted).as("redacted"))
+    }),
+
+    // --------------------- line-level dedup (CCNet-style boilerplate removal)
+    // sentence breaks become lines; a planted footer line repeats corpus-wide
+    // and must drop everywhere
+    "q_dedup_lines" -> ((s, d) => {
+      val lined = t(s, d, "documents").withColumn("text",
+        concat(replace(col("text"), lit(". "), lit("\n")),
+          lit("\nSubscribe to our newsletter today!")))
+      Dedup.dedupLines(lined, "text", "doc_id", maxFreq = 1)
     }),
 
     // ----------------------- stratified mixture sampling (training-mix step)
@@ -230,6 +280,79 @@ object WebQueries {
         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
         |  count(*) >= 2 AS contaminated
         |FROM e JOIN b USING (shingle) GROUP BY 1""".stripMargin,
+
+    // twin of Dsir.score(n=2, buckets=512), target = doc_id%25==0; integer
+    // masses + one exactly-rounded division → bit-identical scores
+    "q_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, coalesce($NormToks, []) AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+         |      i -> array_to_string(w[i:i+1], ' ')) ELSE [] END AS grams
+         |  FROM toks),
+         |e AS (SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT % 512 AS bucket
+         |  FROM g),
+         |tc AS (SELECT bucket, count(*) AS c FROM e WHERE doc_id % 25 = 0 GROUP BY 1),
+         |bc AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+         |s AS (SELECT e.doc_id,
+         |    count(*) AS n_grams,
+         |    sum(coalesce(tc.c, 0) + 1) AS t_mass,
+         |    sum(coalesce(bc.c, 0) + 1) AS b_mass
+         |  FROM e LEFT JOIN tc USING (bucket) LEFT JOIN bc USING (bucket)
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(s.t_mass, 0) AS BIGINT) AS t_mass,
+         |  CAST(coalesce(s.b_mass, 0) AS BIGINT) AS b_mass,
+         |  CASE WHEN s.n_grams > 0
+         |    THEN CAST(s.t_mass AS DOUBLE) / CAST(s.b_mass AS DOUBLE) END AS score
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // twin of q_mixture: per (lang, source) doc/token counts + token share
+    "q_mixture" ->
+      """WITH n AS (SELECT lang, source,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> length(t) > 0)) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(ntok) AS BIGINT) AS tokens,
+        |  CAST(sum(ntok) AS DOUBLE) / CAST(sum(sum(ntok)) OVER () AS DOUBLE) AS token_share
+        |FROM n GROUP BY 1, 2""".stripMargin,
+
+    // twin of Pii: identical regex chain (Java regex and RE2 agree on this
+    // syntax subset), identical planted PII, identical redaction order
+    "q_pii" -> {
+      val planted = "text || ' Contact user' || CAST(doc_id AS VARCHAR)" +
+        " || '@example.org or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+        " || '-1234, host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7, SSN 123-45-6789.'"
+      s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Pii.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${Pii.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${Pii.ssnRe}')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(t, '${Pii.phoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Pii.emailRe}', '<EMAIL>', 'g'),
+         |    '${Pii.ssnRe}', '<SSN>', 'g'),
+         |    '${Pii.ipv4Re}', '<IP>', 'g'),
+         |    '${Pii.phoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM p""".stripMargin
+    },
+
+    // twin of Dedup.dedupLines(maxFreq=1) over sentence-split + planted footer
+    "q_dedup_lines" ->
+      """WITH src AS (SELECT doc_id,
+        |    replace(text, '. ', chr(10)) || chr(10) || 'Subscribe to our newsletter today!' AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS ln,
+        |        generate_subscripts(string_split(t, chr(10)), 1) AS i FROM src),
+        |f AS (SELECT ln, count(*) AS freq FROM l GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(array_to_string(list(ln ORDER BY i) FILTER (WHERE freq <= 1), chr(10)), '') AS clean_text
+        |FROM l JOIN f USING (ln)
+        |GROUP BY doc_id""".stripMargin,
 
     // twin of Pipe.sampleStratified_(rates en/de/zh, default 0.25, seed 42)
     "q_sample_stratified" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Grok, JsonInfer, Leef, Syslog5424, Zeek}
+import graft.formats.{Cef, Grok, JsonInfer, Leef, Syslog5424, Warc, Zeek}
 
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -274,5 +274,33 @@ class FormatsSpec extends SparkSpec {
     assert(docs.length == 2 && docs.forall(_.contains("name:")))
     val back = docs.flatMap(Yaml.yamlDocsToJson).sorted
     assert(back(0) == """{"id":1,"name":"alpha","score":2.5}""")
+  }
+
+  // ------------------------------------------------------------------- warc
+
+  test("warc: record split + header parse + body extraction") {
+    val blob =
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 0\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:42>\r\n" +
+      "WARC-Target-URI: https://example.com/a\r\n" +
+      "WARC-Date: 2026-02-03T04:05:06Z\r\nContent-Type: text/html\r\n" +
+      "Content-Length: 12\r\n\r\nhello\nworld!"
+    val out = Seq(blob).toDF("blob")
+      .select(explode(Warc.records($"blob")).as("rec"))
+      .select(Warc.parse($"rec").as("w")).select("w.*").collect()
+    assert(out.length == 2)
+    val info = out.find(_.getString(0) == "warcinfo").get
+    assert(info.isNullAt(2) && info.getLong(5) == 0L && info.getString(6) == "")
+    val resp = out.find(_.getString(0) == "response").get
+    assert(resp.getString(1) == "<urn:uuid:42>")
+    assert(resp.getString(2) == "https://example.com/a")
+    assert(resp.getString(3) == "2026-02-03T04:05:06Z")
+    assert(resp.getString(4) == "text/html" && resp.getLong(5) == 12L)
+    // body keeps internal newlines; no header bleed
+    assert(resp.getString(6) == "hello\nworld!")
+    // a record with no blank-line separator has a null body, not a crash
+    val hdrOnly = Seq("WARC/1.0\r\nWARC-Type: metadata").toDF("b")
+      .select(Warc.parse($"b").as("w")).select("w.*").head()
+    assert(hdrOnly.getString(0) == "metadata" && hdrOnly.isNullAt(6))
   }
 }

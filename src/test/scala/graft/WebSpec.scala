@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Text, Web}
-import graft.ops.{Dedup, Python}
+import graft.functions.{Pii, Text, Web}
+import graft.ops.{Dedup, Dsir, Python}
 import graft.ops.Pipe._
 
 /** URL canonicalization, repetition/boilerplate signals, window dedup, and
@@ -165,6 +165,61 @@ class WebSpec extends SparkSpec {
     val plan = Dedup.decontaminate(docs, bench, "text", "doc_id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("pii: detects and redacts all four classes; clean text untouched") {
+    val df = Seq(
+      (1L, "Mail bob.smith+x@sub.example.co.uk or call +44 020-7946-0958 now"),
+      (2L, "server 192.168.1.254 ssn 123-45-6789"),
+      (3L, "no pii here, just 3.14 and a date 2026-08-19"),
+      (4L, "dial 555 867 5309 ok")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        Pii.countEmails($"text").as("e"), Pii.countIpv4($"text").as("i"),
+        Pii.countSsn($"text").as("s"), Pii.countPhones($"text").as("p"),
+        Pii.redact($"text").as("r"), Pii.hasPii($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(4) == 1)
+    assert(out(1L).getString(5) == "Mail <EMAIL> or call <PHONE> now")
+    assert(out(2L).getInt(2) == 1 && out(2L).getInt(3) == 1)
+    assert(out(2L).getString(5) == "server <IP> ssn <SSN>")
+    assert(!out(3L).getBoolean(6))
+    assert(out(3L).getString(5) == "no pii here, just 3.14 and a date 2026-08-19")
+    assert(out(4L).getString(5) == "dial <PHONE> ok" && out(4L).getBoolean(6))
+  }
+
+  test("dedupLines drops corpus-frequent lines, keeps order, counts drops") {
+    val df = Seq(
+      (1L, "unique opening\nCopyright Example Corp\nmore prose"),
+      (2L, "different start\nCopyright Example Corp"),
+      (3L, "Copyright Example Corp")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "text", "doc_id", maxFreq = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == (3L, 1L, "unique opening\nmore prose"))
+    assert(out(2L) == (2L, 1L, "different start"))
+    assert(out(3L) == (1L, 1L, ""))
+  }
+
+  test("dsir: target-like docs outscore background-only docs; empty doc is null") {
+    val target = Seq((100L, "machine learning models train on curated data"),
+      (101L, "neural networks and machine learning research")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "machine learning models and neural networks research"), // target-like
+      (2L, "cheap pills casino bonus click here now free"),         // background-only
+      (3L, "solo"),                                                 // < n tokens → no grams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dsir.score(docs, target, "text", "doc_id", n = 2, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(4) > out(2L).getDouble(4))
+    // background mass always >= own-occurrence smoothing → score <= 1 + eps
+    assert(out(2L).getDouble(4) < 1.0)
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(4))
+    assert(out(4L).getLong(1) == 0L && out(4L).isNullAt(4))
+    // masses are integer sums: n_grams lower-bounds both (add-one smoothing)
+    val d1 = out(1L)
+    assert(d1.getLong(2) >= d1.getLong(1) && d1.getLong(3) >= d1.getLong(1))
   }
 
   test("sampleStratified_ applies per-stratum rates deterministically") {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.CdcApply
 import graft.functions.Text
 import graft.lake.LakeTable
-import graft.ops.{Chunk, Dedup, Multimodal, Similarity}
+import graft.ops.{Chunk, Cluster, Dedup, Multimodal, Similarity}
 
 /** Driver-checked query catalog, part 2: web-scale training-data operators
   * (dedup family, similarity search, text analysis, multimodal plumbing) and
@@ -33,6 +33,24 @@ object MLQueries {
 
   /** DuckDB twin of [[graft.functions.Text.md5h60]]. */
   private def md5h60(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** The q_ngram_jaccard pair list — also the edge list for the
+    * connected-components oracles (q_dup_clusters / q_dedup_survivors wrap
+    * it in a recursive CTE).
+    */
+  private lazy val NgramPairsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+       |      i -> array_to_string(w[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id, $NormWords AS w FROM documents)
+       |), inv0 AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM d),
+       |hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 1000),
+       |inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS DOUBLE) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) AS jaccard
+       |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING jaccard >= 0.2""".stripMargin
 
   /** 3-gram shingles over `w` (NormWords) — same twin q_ngram_jaccard uses. */
   private val ShinglesSql =
@@ -111,6 +129,20 @@ object MLQueries {
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id", shingleN = 3, threshold = 0.2,
         maxDocFreq = Some(1000))),
+
+    "q_dup_clusters" -> ((s, d) =>
+      Cluster.connectedComponents(
+          Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id", shingleN = 3,
+            threshold = 0.2, maxDocFreq = Some(1000)))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+
+    "q_dedup_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Cluster.survivors(docs,
+          Dedup.ngramJaccard(docs, "text", "doc_id", shingleN = 3, threshold = 0.2,
+            maxDocFreq = Some(1000)), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
 
     "q_minhash_sig" -> ((s, d) =>
       t(s, d, "documents")
@@ -297,19 +329,30 @@ object MLQueries {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents""".stripMargin,
-    "q_ngram_jaccard" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
-         |      i -> array_to_string(w[i:i+2], ' '))) AS sh
-         |  FROM (SELECT doc_id, $NormWords AS w FROM documents)
-         |), inv0 AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM d),
-         |hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 1000),
-         |inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(count(*) AS DOUBLE) / CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS DOUBLE) AS jaccard
-         |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING jaccard >= 0.2""".stripMargin,
+    "q_ngram_jaccard" -> NgramPairsSql,
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($NgramPairsSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS ($NgramPairsSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+         |),
+         |losers AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1
+         |           HAVING id <> min(comp))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Pii, Text, Web}
-import graft.ops.{Dedup, Dsir, Python}
+import graft.ops.{Dedup, Dsir, Python, Rank}
 import graft.ops.Pipe._
 
 /** Driver-checked query catalog, part 3: URL canonicalization, repetition /
@@ -95,6 +95,11 @@ object WebQueries {
         Text.dupLineFraction(ml).as("dup_line_frac"),
         Text.dupLineCharFraction(ml).as("dup_line_char_frac"))
     }),
+
+    // -------------------------------- BM25 keyword ranking (ops.Rank)
+    "q_bm25" -> ((s, d) =>
+      Rank.bm25(t(s, d, "documents"), "text", "doc_id",
+        Seq("merge", "vector", "window"), k1 = 1.5, b = 0.75, topK = 10)),
 
     // --------------------------- exact-substring (k-token window) near-dup
     "q_window_dup" -> ((s, d) =>
@@ -224,6 +229,32 @@ object WebQueries {
          |    (CASE WHEN query = '' THEN '' ELSE '?' || query END)
          |  END AS canonical
          |FROM dom""".stripMargin,
+
+    // mirror of Rank.bm25's exact IEEE expression tree: every constant is
+    // binary-exact (k1=1.5, b=0.75, k1+1=2.5, 1-b=0.25) and only + * / is
+    // used, so scores hash-match bit-for-bit (odds-form idf; see Rank docs)
+    "q_bm25" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, COALESCE(CAST(len($NormToks) AS BIGINT), 0) AS dl,
+         |         COALESCE($NormToks, []) AS w
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM base),
+         |posting AS (
+         |  SELECT term, doc_id, CAST(len(list_filter(w, t -> t = term)) AS BIGINT) AS tf, dl
+         |  FROM base, (SELECT unnest(['merge', 'vector', 'window']) AS term) terms),
+         |dfs AS (SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
+         |        FROM posting GROUP BY 1),
+         |scored AS (
+         |  SELECT p.term, p.doc_id, p.tf, p.dl,
+         |    (((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5)) *
+         |    ((CAST(p.tf AS DOUBLE) * 2.5) /
+         |     (CAST(p.tf AS DOUBLE) + 1.5 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE)) / (SELECT avgdl FROM stats)))) AS score
+         |  FROM posting p JOIN dfs d USING (term) WHERE p.tf > 0)
+         |SELECT term, doc_id, tf, dl, score,
+         |  CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 10""".stripMargin,
 
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, coalesce($NormToks, []) AS w FROM documents),

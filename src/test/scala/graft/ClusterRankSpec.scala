@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cluster, Rank}
+
+/** Connected-components dup clustering + BM25 ranking, verified against
+  * independent in-JVM oracles (FIXTURES.md §4 style).
+  */
+class ClusterRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: transitive closure, min-id labels") {
+    // components: {1,2,3,4} (a path — A~B, B~C, C~D, no direct A~D edge),
+    // {10,11} and {20,21,22} (a triangle); 99 isolated (absent from edges)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Cluster.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want)
+  }
+
+  test("connectedComponents: long path needs multiple rounds, still exact") {
+    // a 40-node path — diameter 39 forces many propagation rounds and
+    // crosses the localCheckpoint cadence; all nodes must land on label 0
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Cluster.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: empty edge list") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Cluster.connectedComponents(edges).isEmpty)
+  }
+
+  test("survivors keeps min-id per component plus isolated docs") {
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val keep = Cluster.survivors(docs, edges, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L, 11L, 12L))
+  }
+
+  test("bm25: tf ordering, df discounting, length normalization") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),       // tf(cat)=3
+      (2L, "cat dog mouse bird"),    // tf(cat)=1
+      (3L, "cat cat fish fish"),     // tf(cat)=2
+      (4L, "dog dog dog dog"),       // no cat; tf(dog)=4 but dog is common
+      (5L, "rare rare unique unique")
+    ).toDF("doc_id", "text")
+    val r = Rank.bm25(docs, "text", "doc_id", Seq("cat", "rare"), topK = 3)
+      .collect().map(x => ((x.getString(0), x.getLong(5)), x.getLong(1))).toMap
+    // cat: tf 3 > 2 > 1 on equal-length docs
+    assert(r(("cat", 1L)) == 1L && r(("cat", 2L)) == 3L && r(("cat", 3L)) == 2L)
+    // rare appears only in doc 5
+    assert(r(("rare", 1L)) == 5L && !r.contains(("rare", 2L)))
+    // df discounting: "rare" (df=1) outscores "cat" (df=3) at equal tf —
+    // recompute both scores with the independent closed form
+    val all = Rank.bm25(docs, "text", "doc_id", Seq("cat", "rare"), topK = 3)
+      .collect().map(x => ((x.getString(0), x.getLong(1)), x.getDouble(4))).toMap
+    def score(tf: Long, dl: Long, df: Long, n: Long, sumdl: Long): Double = {
+      val avgdl = sumdl.toDouble / n.toDouble
+      val idf = (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+      idf * ((tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * dl.toDouble / avgdl)))
+    }
+    assert(all(("cat", 1L)) == score(3, 4, 3, 5, 20))
+    assert(all(("rare", 5L)) == score(2, 4, 1, 5, 20))
+    assert(all(("rare", 5L)) > all(("cat", 1L)))
+  }
+
+  test("bm25: salted two-phase top-k equals the naive global top-k") {
+    // 200 docs with varying tf/dl — enough that every salt bucket is hit
+    val docs = (0L until 200L).map { i =>
+      val words = Seq.fill((i % 7 + 1).toInt)("term") ++ Seq.fill((i % 13).toInt)("pad")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Rank.bm25(docs, "text", "doc_id", Seq("term"), topK = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val naive = Rank.bm25(docs, "text", "doc_id", Seq("term"), topK = 200, salts = 1)
+      .orderBy("rank").limit(10).select("doc_id").as[Long].collect().toSeq
+    assert(got == naive)
+  }
+}

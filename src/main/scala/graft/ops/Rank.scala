@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Text
 
@@ -92,5 +93,61 @@ object Rank {
       .withColumn("prerank", row_number().over(pre)).filter(col("prerank") <= topK)
       .withColumn("rank", row_number().over(fin).cast("long")).filter(col("rank") <= topK)
       .select("term", "doc_id", "tf", "dl", "score", "rank")
+  }
+
+  /** Integer-mass PageRank over a (src, dst) link graph — the host/page
+    * authority score web-data curation pipelines use to pick crawl subsets
+    * (Common Crawl publishes exactly this as its host-level ranking).
+    *
+    * Determinism: masses are scaled LONGS and every step is integer
+    * multiply / truncating division / sum — integer sums are
+    * order-independent, so the result is bit-identical under any
+    * partitioning, replay, or cluster size (a float PageRank is not: float
+    * sum order varies by partition). Each node starts with `initMass`;
+    * per iteration a node keeps base = initMass·(1-d) and receives
+    * `((mass · dampNum) div dampDen) div outdeg` from each in-neighbor —
+    * truncation leaks a few units of mass per hop, irrelevant to ranking
+    * and identically reproduced by any engine with integer division.
+    * Dangling nodes (outdeg 0) simply contribute nothing (the standard
+    * simplification).
+    *
+    * Plan shape at 100 TB: edges join outdeg ONCE (one shuffle, persisted);
+    * per iteration ONE shuffle join (ranks into the edge list, both sides
+    * hash-partitioned on the key) + ONE sum-aggregate with map-side partial
+    * combine absorbing hot-page in-degree skew; eager localCheckpoint per
+    * round keeps the self-referential plan constant-size ([[Cluster]]'s
+    * lesson). Iterations are a fixed K — bounded cost, no convergence scan.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5,
+      dampNum: Long = 17L,
+      dampDen: Long = 20L,
+      initMass: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampDen > dampNum && initMass > 0)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val e2 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = initMass - initMass * dampNum / dampDen
+
+    var ranks = nodes.select(col("id"), lit(initMass).as("mass"))
+    for (_ <- 1 to iterations) {
+      val contribs = e2.join(ranks, e2("src") === ranks("id"))
+        .select(e2("dst").as("id"),
+          expr(s"((mass * $dampNum) div $dampDen) div outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("mass"))
+        .localCheckpoint(true)
+    }
+    nodes.unpersist()
+    e2.unpersist()
+    ranks
   }
 }

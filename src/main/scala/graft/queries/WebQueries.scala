@@ -101,6 +101,21 @@ object WebQueries {
       Rank.bm25(t(s, d, "documents"), "text", "doc_id",
         Seq("merge", "vector", "window"), k1 = 1.5, b = 0.75, topK = 10)),
 
+    // ------------------- integer-mass PageRank over a derived link graph
+    // (deterministic 3-out-link expander on doc_id — the documents table
+    // carries no hyperlinks, so the link graph is a fixed pure function of
+    // the corpus that both engines derive identically)
+    "q_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id").cast("long").as("id"))
+      val n = docs.count() // bounded: one scalar to the driver
+      val edges = docs.select(col("id").as("src"), explode(array(
+        pmod(col("id") + 1, lit(n)),
+        pmod(col("id") * 7 + 3, lit(n)),
+        pmod(col("id") * 13 + 5, lit(n)))).as("dst"))
+      Rank.pageRank(edges, iterations = 5)
+        .select(col("id").as("doc_id"), col("mass"))
+    }),
+
     // --------------------------- exact-substring (k-token window) near-dup
     "q_window_dup" -> ((s, d) =>
       Dedup.windowDup(t(s, d, "documents"), "text", "doc_id",
@@ -255,6 +270,31 @@ object WebQueries {
          |SELECT term, doc_id, tf, dl, score,
          |  CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    // same integer arithmetic as Rank.pageRank: DuckDB `//` floors and Spark
+    // `div` truncates, identical on the all-positive masses here; the BIGINT
+    // sum is cast back from DuckDB's HUGEINT to match Spark's LongType
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e2.dst AS id, CAST(sum(((p.mass * 17) // 20) // e2.outdeg) AS BIGINT) AS s
+           |  FROM e2 JOIN pr${i - 1} p ON e2.src = p.id GROUP BY 1),
+           |pr$i AS (SELECT n.id, 150000 + COALESCE(c$i.s, 0) AS mass
+           |  FROM allnodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+         |eraw AS (
+         |  SELECT id AS src, (id + 1) % n AS dst FROM ids, nn
+         |  UNION ALL SELECT id, (id * 7 + 3) % n FROM ids, nn
+         |  UNION ALL SELECT id, (id * 13 + 5) % n FROM ids, nn),
+         |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+         |allnodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+         |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS mass FROM allnodes),
+         |$iters
+         |SELECT id AS doc_id, mass FROM pr5""".stripMargin
+    },
 
     "q_repetition" ->
       s"""WITH toks AS (SELECT doc_id, coalesce($NormToks, []) AS w FROM documents),

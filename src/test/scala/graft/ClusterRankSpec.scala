@@ -72,6 +72,39 @@ class ClusterRankSpec extends SparkSpec {
     assert(all(("rare", 5L)) > all(("cat", 1L)))
   }
 
+  test("pagerank: matches an independent scalar reimplementation") {
+    // 6-node graph with a hub (5), a dangling node (4: in-links only) and a
+    // 2-cycle; masses recomputed with a Map-based fold using the same
+    // integer rule
+    val edgeSeq = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L), (5L, 0L),
+      (0L, 1L), (1L, 0L), (3L, 4L))
+    val got = Rank.pageRank(edgeSeq.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var mass = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val recv = edgeSeq.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => mass(e._1) * 17L / 20L / outdeg(e._1)).sum
+      }
+      mass = nodes.map(n => n -> (150000L + recv.getOrElse(n, 0L))).toMap
+    }
+    assert(got == mass)
+    // the hub out-ranks the no-in-link spokes (0 out-ranks the hub — it
+    // receives the hub's entire out-mass — so only 2 and 3 are fair game)
+    assert(got(5L) > got(2L) && got(5L) > got(3L))
+  }
+
+  test("pagerank: self-loops and duplicate edges are ignored") {
+    val clean = Rank.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val noisy = Rank.pageRank(
+      Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 1L)).toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(clean == noisy && clean.keySet == Set(1L, 2L))
+  }
+
   test("bm25: salted two-phase top-k equals the naive global top-k") {
     // 200 docs with varying tf/dl — enough that every salt bucket is hit
     val docs = (0L until 200L).map { i =>

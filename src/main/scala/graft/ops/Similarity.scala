@@ -167,4 +167,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
+
+  /** Quantization for [[kmeans]]: `round(x·1024 + 4096)` — the offset keeps
+    * every quantized coordinate POSITIVE (embeddings are unit-scale), which
+    * makes truncating and flooring integer division coincide, so Scala `/`,
+    * Spark `div` and DuckDB `//` all compute the same centroid means.
+    * Translation does not change L2 distances, so cluster geometry is
+    * unaffected.
+    */
+  val KmeansScale = 1024L
+  val KmeansOffset = 4096L
+
+  /** Deterministic Lloyd's k-means over an embedding column — the training
+    * pass that fits [[ivfTopK]]'s `centroids` parameter (its doc promises a
+    * k-means fit at production scale; this is it).
+    *
+    * Exactness: coordinates are positive quantized longs ([[KmeansScale]]),
+    * distances are integer squared-L2 (order-independent sums), assignment
+    * ties break to the smaller centroid id, and centroid updates are
+    * truncating integer means — every engine reproduces the run bit-for-bit
+    * regardless of partitioning. Empty clusters keep their previous
+    * centroid. Init = the `k` smallest-id rows (deterministic, SQL-expressible).
+    *
+    * Plan shape at 100 TB: centroids live driver-side between rounds (k·dim
+    * longs — bounded) and enter each scan as LITERALS, so assignment is a
+    * zero-join, zero-shuffle scan; the update is one posexplode +
+    * groupBy(cluster, dim) sum — map-side combinable, shuffling exactly
+    * k·dim partial rows per partition, never the vectors themselves.
+    *
+    * @return (assignments DataFrame (id, cluster), centroids as k×dim longs)
+    */
+  def kmeans(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iterations: Int = 3): (DataFrame, Array[Array[Long]]) = {
+    require(k >= 1 && iterations >= 1)
+    val qv = transform(col(vecCol), x =>
+      round(x.cast("double") * KmeansScale.toDouble + KmeansOffset.toDouble).cast("long"))
+    val pts = df.select(col(idCol).as("id"), qv.as("qv"))
+
+    var cents: Array[Array[Long]] = pts.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    def assigned = {
+      val dists = cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b).as("d"),
+          lit(i).as("c"))
+      }
+      pts.withColumn("cluster", array_min(array(dists: _*)).getField("c"))
+    }
+    for (_ <- 1 to iterations) {
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, ci) =>
+        if (!sums.contains((ci, 0))) prev // empty cluster: keep centroid
+        else prev.indices.map { d => val (s, n) = sums((ci, d)); s / n }.toArray
+      }
+    }
+    (assigned.select(col("id"), col("cluster").cast("long").as("cluster")), cents)
+  }
 }

@@ -195,6 +195,13 @@ object MLQueries {
         nlist = 16, nprobe = 4)
     }),
 
+    // deterministic integer k-means: the training pass for ivfTopK's
+    // centroid seam (assign → update ×3 → final assignment)
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeans(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 4, iterations = 3)._1
+        .select(col("id").as("vec_id"), col("cluster"))),
+
     // ----------------------------------------------------- text analysis
     "q_text_quality" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -358,6 +365,40 @@ object MLQueries {
         |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)) AS l2
         |FROM embeddings""".stripMargin,
+    // mirror of Similarity.kmeans: positive quantized longs (offset 4096 →
+    // floor ≡ trunc division), integer squared-L2, min-struct tiebreak,
+    // 3 update rounds then a final assignment with the fitted centroids
+    "q_kmeans" -> {
+      val dim = 64
+      def assign(i: Int) =
+        s"""a$i AS (
+           |  SELECT vec_id, any_value(qv) AS qv, (min({'d': d, 'c': cid})).c AS cluster
+           |  FROM (SELECT q.vec_id, q.qv, c.cid,
+           |          list_sum(list_transform(generate_series(1, $dim),
+           |            j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS d
+           |        FROM q, c${i - 1} c)
+           |  GROUP BY vec_id)""".stripMargin
+      def update(i: Int) =
+        s"""c$i AS (
+           |  SELECT c${i - 1}.cid, COALESCE(n$i.cv, c${i - 1}.cv) AS cv
+           |  FROM c${i - 1} LEFT JOIN (
+           |    SELECT cluster AS cid, list(m ORDER BY j) AS cv
+           |    FROM (SELECT cluster, j, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+           |          FROM (SELECT cluster, unnest(qv) AS v,
+           |                  unnest(generate_series(1, $dim)) AS j FROM a$i)
+           |          GROUP BY 1, 2)
+           |    GROUP BY 1) n$i ON c${i - 1}.cid = n$i.cid)""".stripMargin
+      val rounds = (1 to 3).map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1024 + 4096) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT 4)),
+         |$rounds,
+         |${assign(4)}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a4""".stripMargin
+    },
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |scored AS (

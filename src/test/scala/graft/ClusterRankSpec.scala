@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cluster, Rank}
+import graft.ops.{Cluster, Rank, Similarity}
 
 /** Connected-components dup clustering + BM25 ranking, verified against
   * independent in-JVM oracles (FIXTURES.md §4 style).
@@ -41,6 +41,64 @@ class ClusterRankSpec extends SparkSpec {
     val keep = Cluster.survivors(docs, edges, "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(keep == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L, 11L, 12L))
+  }
+
+  test("kmeans: matches an independent scalar Lloyd's reimplementation") {
+    // two well-separated planted blobs in 4-d (floats exactly representable)
+    // ids 0 and 1 (the deterministic seeds) sit in different blobs
+    val pts = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f)), (1L, Seq(-1.0f, -1.0f, 0.0f, 0.5f)),
+      (2L, Seq(0.75f, 1.25f, 0.25f, 0.0f)), (3L, Seq(1.25f, 0.75f, 0.0f, 0.0f)),
+      (4L, Seq(-1.25f, -0.75f, 0.0f, 0.5f)), (5L, Seq(-0.75f, -1.25f, 0.25f, 0.5f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val (adf, cents) = Similarity.kmeans(df, "embedding", "vec_id", k = 2, iterations = 3)
+    val got = adf.as[(Long, Long)].collect().toMap
+
+    // scalar twin with the same integer rule
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => Math.round(x.toDouble * 1024.0 + 4096.0)).toArray
+    val q = pts.map { case (id, v) => id -> quant(v) }.toMap
+    var c = Seq(q(0L), q(1L)) // init: two smallest ids
+    def assignAll = q.map { case (id, v) =>
+      id -> c.zipWithIndex.map { case (cv, ci) =>
+        (cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, ci)
+      }.min._2
+    }
+    for (_ <- 1 to 3) {
+      val a = assignAll
+      c = c.zipWithIndex.map { case (prev, ci) =>
+        val members = a.collect { case (id, cl) if cl == ci => q(id) }.toSeq
+        if (members.isEmpty) prev
+        else prev.indices.map(d => members.map(_(d)).sum / members.size).toArray
+      }
+    }
+    assert(got == assignAll.map { case (id, cl) => id -> cl.toLong })
+    assert(cents.map(_.toSeq).toSeq == c.map(_.toSeq))
+    // the planted blobs are recovered
+    assert(Set(got(0L), got(2L), got(3L)).size == 1 &&
+      Set(got(1L), got(4L), got(5L)).size == 1 && got(0L) != got(1L))
+  }
+
+  test("kmeans centroids plug into ivfTopK's centroid seam") {
+    val n = 60
+    val vecs = (0L until n).map { i =>
+      val blob = (i % 3).toInt
+      (i, Seq.tabulate(8)(d => (if (d == blob) 2.0f else 0.1f) + (i % 5) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (_, cents) = Similarity.kmeans(df, "embedding", "vec_id", k = 3, iterations = 2)
+    // dequantize exactly: (c - 4096) / 1024 is a power-of-two division
+    val centDf = cents.zipWithIndex.map { case (cv, i) =>
+      (i.toLong, cv.map(x => ((x - Similarity.KmeansOffset).toDouble / Similarity.KmeansScale).toFloat).toSeq)
+    }.toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(df, df.filter(col("vec_id") < 3), "embedding", "vec_id",
+      k = 5, nlist = 3, nprobe = 1, centroids = Some(centDf))
+    // probing 1 fitted list per query still recovers the same-blob neighbors
+    val exact = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val gotSet = got.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(gotSet.size == 15 && (gotSet intersect exact).size >= 12)
   }
 
   test("bm25: tf ordering, df discounting, length normalization") {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -398,6 +399,146 @@ object Dedup {
               when(col("__freq") <= maxFreq, struct(col("__i"), col("__ln"))))),
             x => x("__ln")),
           "\n").as("clean_text"))
+  }
+
+  /** Duplicated-substring SPAN extraction (the per-document half of exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better": don't drop whole documents — cut the repeated
+    * passages out of them). A position is duplicated iff the k-token window
+    * starting there occurs ≥ `minFreq` times corpus-wide; maximal runs of
+    * duplicated positions merge into spans (so a repeated 40-token passage
+    * under k=5 reports as ONE span of 36 windows, not 36 rows).
+    *
+    * The paper builds a single-machine suffix array; the distributed
+    * equivalent of its "repeated substring of length ≥ k" predicate is the
+    * hashed-window inverted index ([[windowDup]]'s candidate structure):
+    * window multiplicity is ONE count shuffle on the 60-bit window hash
+    * (map-side combine; the window text itself never shuffles), the
+    * dup-position join is shuffle-on-hash with AQE skew-split on boilerplate
+    * windows, and span merging is a per-document window function (parallel in
+    * documents — the gaps-and-islands step is local to each doc's positions).
+    *
+    * Output: (id, span_start, span_end, n_windows) — token positions on the
+    * normalized token sequence, end exclusive, `span_end - span_start ≥ k`.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minFreq: Long = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minFreq >= 2, "minFreq must be >= 2 (1 would mark every position)")
+    val wins = df.select(col(idCol),
+      posexplode(Text.windowsAll(col(textCol), k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"), Text.md5h60(col("__g")).as("__wh"))
+    val freq = wins.groupBy(col("__wh")).agg(count(lit(1)).as("__f"))
+      .filter(col("__f") >= minFreq)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    wins.join(freq, Seq("__wh"))
+      .withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__isl")
+  }
+
+  /** Exact substring dedup, removal half: rewrite each document's normalized
+    * token sequence with every [[duplicatedSpans]] span cut out. Output is
+    * one row per input document: `n_tokens`, `n_removed`, and `clean_text`
+    * (surviving tokens rejoined in order; docs with no duplicated span pass
+    * through with `n_removed = 0`).
+    *
+    * Plan shape: covered token positions are the spans re-exploded
+    * (`sequence(start, end-1)` — O(duplicated tokens), not O(corpus)), the
+    * kept-token side is one posexplode of the token array, and the final
+    * regroup is a per-doc sort-free `array_sort(collect_list(struct))` — the
+    * same shape [[dedupLines]] uses, skew-safe under AQE.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minFreq: Long = 2): DataFrame = {
+    val covered = duplicatedSpans(df, textCol, idCol, k, minFreq)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("__tp"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(coalesce(Text.tokens(Text.normalize(col(textCol))),
+        array().cast("array<string>"))).as(Seq("__tp", "__tok")))
+      .withColumn("__tp", col("__tp").cast("long"))
+    val kept = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+            x => x("__tok")),
+          " ").as("clean_text"))
+    df.select(col(idCol),
+      size(coalesce(Text.tokens(Text.normalize(col(textCol))),
+        array().cast("array<string>"))).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Incremental dedup: flag INCOMING documents that exact- or near-duplicate
+    * a document already in the lake — the dedup pass a CDC ingest pipeline
+    * runs per micro-batch (new crawl vs everything ingested so far), where
+    * re-running old×old comparisons every batch would be quadratic over time.
+    * Only new×old pairs are generated: the incoming side is exploded and
+    * joined against the existing side's banded minhash signatures, never
+    * against itself.
+    *
+    * Output: one row per incoming document: `is_exact` (normalized
+    * fingerprint already present), `near_id` (smallest existing doc id whose
+    * estimated Jaccard ≥ `threshold`, null if none), `est_jaccard` for that
+    * match.
+    *
+    * Plan shape at 100 TB: the existing side's signatures are computed once
+    * per batch here, but a production loop materializes them incrementally
+    * (signatures are per-row and append-only — exactly the lake's MOR
+    * columns); both joins shuffle on bounded keys (fingerprint, band
+    * buckets), map-side combine on the final per-doc min.
+    */
+  def dedupIncremental(
+      incoming: DataFrame,
+      existing: DataFrame,
+      textCol: String,
+      idCol: String,
+      bands: Int = 16,
+      rows: Int = 2,
+      threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val k = bands * rows
+    def banded(d: DataFrame, pfx: String): DataFrame =
+      bandedSignatures(d, textCol, idCol, bands, rows, shingleN)
+        .select(col("id").as(s"${pfx}_id"), col("sig").as(s"${pfx}_sig"),
+          col("band").as(s"${pfx}_band"), col("bucket").as(s"${pfx}_bkt"))
+    val fpOld = existing.select(
+      Text.fingerprintMd5(col(textCol)).as("__fp")).distinct()
+    val exact = incoming.select(col(idCol),
+      Text.fingerprintMd5(col(textCol)).as("__fp"))
+      .join(fpOld.withColumn("__hit", lit(true)), Seq("__fp"), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(false)).as("is_exact"))
+    val near = banded(incoming, "n")
+      .join(banded(existing, "o"),
+        col("n_band") === col("o_band") && col("n_bkt") === col("o_bkt"))
+      .select(col("n_id"), col("o_id"),
+        estJaccard(col("n_sig"), col("o_sig"), k).as("est"))
+      .dropDuplicates("n_id", "o_id")
+      .filter(col("est") >= threshold)
+      .groupBy(col("n_id"))
+      .agg(min_by(struct(col("o_id"), col("est")), col("o_id")).as("m"))
+      .select(col("n_id").as(idCol), col("m.o_id").as("near_id"),
+        col("m.est").as("est_jaccard"))
+    exact.join(near, Seq(idCol), "left")
   }
 
   /** Benchmark decontamination: flag training documents sharing word-n-gram

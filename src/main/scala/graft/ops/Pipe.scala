@@ -236,6 +236,47 @@ object Pipe {
       df.filter(u < rate)
     }
 
+    /** Deterministic corpus shuffle — the training-order randomization pass
+      * (every epoch of LLM pretraining consumes the corpus in a seeded
+      * pseudo-random permutation): order by a seeded id-hash, tie-broken by
+      * the ids themselves, with the global position materialized via the
+      * parallel [[enumerate_]] (range shuffle + per-partition offsets — no
+      * single-partition funnel). Replays, cluster sizes, and the DuckDB
+      * oracle all produce the identical permutation.
+      */
+    def shuffle_(idCols: Seq[Column], seed: Long = 42L,
+        field: String = "shuffle_pos"): DataFrame = {
+      val h = graft.functions.Text.md5h60(
+        concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*))
+      df.enumerate_(h +: idCols.map(c => c.asc), field)
+    }
+
+    /** Deterministic train/valid/test split: assign each row a split label by
+      * seeded id-hash thresholds (cumulative over `fractions`, which must sum
+      * to 1). The same hash family as [[sampleStratified_]], so membership is
+      * stable under replay, appends elsewhere in the corpus, and cluster
+      * size — a row's split NEVER depends on what other rows exist, which is
+      * the property that makes incremental ingest safe (a fraction-based
+      * `randomSplit` re-deals the whole corpus every run).
+      */
+    def splitHash_(fractions: Seq[(String, Double)], idCols: Seq[Column],
+        seed: Long = 42L, field: String = "split"): DataFrame = {
+      require(fractions.nonEmpty, "fractions must be non-empty")
+      require(fractions.forall(_._2 > 0), "fractions must be positive")
+      require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+        "fractions must sum to 1")
+      val u = pmod(graft.functions.Text.md5h60(
+        concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*)),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      val label = fractions.zip(cum).init
+        .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
+          Some(acc.fold(when(u < t, name))(_.when(u < t, name)))
+        }
+        .fold(lit(fractions.head._1))(_.otherwise(fractions.last._1))
+      df.withColumn(field, label)
+    }
+
     /** `sample <period>` — RATE-ADAPTIVE sampling (reference `sample.cpp`,
       * `sample.md:9-45`): the sample rate for each period is derived from the
       * PREVIOUS period's event count, targeting `targetPerPeriod` emitted

@@ -95,6 +95,64 @@ object Rank {
       .select("term", "doc_id", "tf", "dl", "score", "rank")
   }
 
+  /** Hashed n-gram language-model quality scoring — the CCNet-style "does
+    * this document look like the reference corpus" perplexity filter
+    * (Wenzek et al. 2020), re-expressed under the repo's no-libm determinism
+    * rule: instead of Σ log p (libm `ln` is not oracle-checkable), the score
+    * is the MEAN in-context token probability under an add-one-smoothed
+    * hashed-bigram model. Each per-token probability is one exactly-rounded
+    * IEEE division of integer counts, and the document sum is a left fold in
+    * token order — bit-identical across engines, replays, and cluster sizes.
+    * (Arithmetic instead of geometric mean changes the exact ordering but not
+    * the filter's purpose: natural text scores high, gibberish and
+    * boilerplate-mangled text score low.)
+    *
+    * Plan shape at 100 TB: two hashed-bucket count jobs over the reference
+    * corpus (map-side combine collapses each partition to ≤ `buckets` rows
+    * before the shuffle; the driver collect is ≤ `buckets` rows — bounded,
+    * [[Dsir]]-style), then ONE scoring scan with both count tables embedded
+    * as literal maps — zero shuffle, zero join on the corpus side.
+    *
+    * @param reference corpus to train the bigram counts on (defaults to
+    *                  `docs` itself — self-scoring, the boilerplate-detection
+    *                  mode); pass the high-quality target corpus for the
+    *                  CCNet filter proper.
+    * @return (id, n_grams, sum_prob, avg_prob) — `avg_prob` null for docs
+    *         with fewer than 2 tokens.
+    */
+  def lmAvgProb(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      reference: Option[DataFrame] = None,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ref = reference.getOrElse(docs)
+    def countsOf(n: Int): Map[Long, Long] =
+      ref.select(explode(Text.windowsAll(col(textCol), n)).as("__g"))
+        .select(pmod(Text.md5h60(col("__g")), lit(buckets.toLong)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (big, uni) = (countsOf(2), countsOf(1))
+    def lookup(counts: Map[Long, Long], bk: Column): Column =
+      if (counts.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(counts), bk), lit(0L))
+    def bucketOf(g: Column): Column = pmod(Text.md5h60(g), lit(buckets.toLong))
+
+    val grams = Text.windowsAll(col(textCol), 2)
+    val ctxs = Text.windowsAll(col(textCol), 1) // = the token list
+    // context of bigram i = token i: zip grams with the token prefix
+    val pairs = zip_with(grams, slice(ctxs, lit(1), size(grams)),
+      (g, c) => struct(g.as("g"), c.as("c")))
+    val folded = aggregate(pairs, lit(0.0), (acc, x) =>
+      acc + (lookup(big, bucketOf(x("g"))) + lit(1L)).cast("double") /
+        (lookup(uni, bucketOf(x("c"))) + lit(buckets.toLong)).cast("double"))
+    docs
+      .select(col(idCol), size(grams).cast("long").as("n_grams"), folded.as("sum_prob"))
+      .withColumn("avg_prob",
+        when(col("n_grams") > 0, col("sum_prob") / col("n_grams").cast("double")))
+  }
+
   /** Integer-mass PageRank over a (src, dst) link graph — the host/page
     * authority score web-data curation pipelines use to pick crawl subsets
     * (Common Crawl publishes exactly this as its host-level ranking).

@@ -25,14 +25,14 @@ object MLQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Normalized whitespace-split words, shared by several oracles. */
-  private val NormWords =
+  private[queries] val NormWords =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
   /** Empty-filtered tokens — the exact twin of Text.tokens(normalize(_)). */
-  private val NormToks = s"list_filter($NormWords, t -> length(t) > 0)"
+  private[queries] val NormToks = s"list_filter($NormWords, t -> length(t) > 0)"
 
   /** DuckDB twin of [[graft.functions.Text.md5h60]]. */
-  private def md5h60(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  private[queries] def md5h60(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
   /** The q_ngram_jaccard pair list — also the edge list for the
     * connected-components oracles (q_dup_clusters / q_dedup_survivors wrap
@@ -53,14 +53,14 @@ object MLQueries {
        |GROUP BY 1, 2 HAVING jaccard >= 0.2""".stripMargin
 
   /** 3-gram shingles over `w` (NormWords) — same twin q_ngram_jaccard uses. */
-  private val ShinglesSql =
+  private[queries] val ShinglesSql =
     "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)), " +
       "i -> array_to_string(w[i:i+2], ' ')))"
 
   /** The k minhash-component expressions over a 60-bit-hash list `hs`, with
     * the same literal coefficients the Spark plan embeds.
     */
-  private def minhashComponentsSql(k: Int): String =
+  private[queries] def minhashComponentsSql(k: Int): String =
     Dedup.minhashCoefs(k).map { case (a, b, c) =>
       s"list_min(list_transform(hs, h -> ($a * (h >> 30) + $b * (h & 1073741823) + $c) % ${Dedup.MinhashP}))"
     }.mkString(", ")

@@ -28,6 +28,26 @@ object WebQueries {
   private val NormToks =
     "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> length(t) > 0)"
 
+  /** 10-token passage planted at every doc's tail for the span-dedup queries
+    * — guarantees each doc carries a corpus-wide duplicated span.
+    */
+  private val SpanTail = " the quick brown fox jumps over the lazy dog again"
+
+  /** Shared CTE prefix for the span queries: planted tail, normalized tokens,
+    * k=5 window hashes with 0-based positions, corpus-duplicated positions.
+    */
+  private val SpanDupCtes =
+    s"""src AS (SELECT doc_id, text || '$SpanTail' AS text FROM documents),
+       |toks AS (SELECT doc_id, coalesce($NormToks, []) AS w FROM src),
+       |wins AS (SELECT doc_id,
+       |    CASE WHEN len(w) >= 5 THEN list_transform(generate_series(1, len(w) - 4),
+       |      i -> ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT)
+       |    ELSE [] END AS whs
+       |  FROM toks),
+       |e AS (SELECT doc_id, unnest(whs) AS wh, generate_subscripts(whs, 1) - 1 AS pos FROM wins),
+       |f AS (SELECT wh FROM e GROUP BY wh HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM e WHERE wh IN (SELECT wh FROM f))""".stripMargin
+
   // ------------------------------------------------------- synthesized URL
 
   /** The synthesized URL (Spark side). Mirrored verbatim by [[UrlSql]]. */
@@ -187,6 +207,48 @@ object WebQueries {
         .sampleStratified_(col("lang"),
           Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.1),
           defaultRate = 0.25, idCols = Seq(col("doc_id")))),
+
+    // -------------------- exact-substring SPAN dedup (Lee et al. 2022 style)
+    // a 10-token passage is planted at the tail of every doc, so every doc
+    // carries ≥1 corpus-wide duplicated span; organic cross-doc window dups
+    // add more. k=5 windows, minFreq=2.
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(
+        t(s, d, "documents").withColumn("text", concat(col("text"), lit(SpanTail))),
+        "text", "doc_id", k = 5, minFreq = 2)),
+
+    // removal half: rewrite the normalized token stream with spans cut out
+    "q_span_clean" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(
+        t(s, d, "documents").withColumn("text", concat(col("text"), lit(SpanTail))),
+        "text", "doc_id", k = 5, minFreq = 2)),
+
+    // ---------------- hashed-bigram LM quality scoring (CCNet-style filter)
+    "q_lm_score" -> ((s, d) =>
+      Rank.lmAvgProb(t(s, d, "documents"), "text", "doc_id", buckets = 512)),
+
+    // ------------------- deterministic corpus shuffle (training-order perm)
+    "q_shuffle" -> ((s, d) =>
+      t(s, d, "documents").select("doc_id")
+        .shuffle_(Seq(col("doc_id")), seed = 7L)),
+
+    // ------------------------- hash-threshold train/valid/test assignment
+    "q_split" -> ((s, d) =>
+      t(s, d, "documents").select("doc_id", "lang")
+        .splitHash_(Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25),
+          Seq(col("doc_id")), seed = 42L)),
+
+    // ------------- incremental dedup: new batch vs the already-ingested lake
+    // existing = even docs; incoming = odd docs ∪ exact clones of the evens
+    // (id-shifted) — every clone must flag is_exact and near-match its source
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(existing.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.dedupIncremental(incoming, existing, "text", "doc_id",
+        bands = 16, rows = 2, threshold = 0.5)
+    }),
 
     // -------------------------------------- `python` escape hatch (§2.8)
     // the subprocess interpreter is the operator under test; the oracle
@@ -424,6 +486,121 @@ object WebQueries {
         |  coalesce(array_to_string(list(ln ORDER BY i) FILTER (WHERE freq <= 1), chr(10)), '') AS clean_text
         |FROM l JOIN f USING (ln)
         |GROUP BY doc_id""".stripMargin,
+
+    // twin of Dedup.duplicatedSpans(k=5, minFreq=2) with the planted tail:
+    // gaps-and-islands over corpus-duplicated window positions
+    "q_dup_spans" ->
+      s"""WITH $SpanDupCtes,
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM dup)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 5 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, g""".stripMargin,
+
+    // twin of Dedup.removeDuplicatedSpans: covered token positions are the
+    // duplicated windows re-expanded; survivors rejoin in original order
+    "q_span_clean" ->
+      s"""WITH $SpanDupCtes,
+         |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS tp FROM dup),
+         |tokpos AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS tp FROM toks),
+         |kept AS (SELECT t.doc_id, t.tok, t.tp FROM tokpos t
+         |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tp = c.tp
+         |  WHERE c.tp IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS kept_n,
+         |    array_to_string(list(tok ORDER BY tp), ' ') AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  CAST(len(s.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(s.w) - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM toks s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // twin of Rank.lmAvgProb(buckets=512): hashed bigram/unigram counts,
+    // add-one smoothing, left-fold double sum in token order (bit-identical)
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, coalesce($NormToks, []) AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+         |      i -> array_to_string(w[i:i+1], ' ')) ELSE [] END AS g2
+         |  FROM toks),
+         |eb AS (SELECT ('0x' || substr(md5(unnest(g2)), 1, 15))::BIGINT % 512 AS b FROM g),
+         |bc2 AS (SELECT b, count(*) AS c FROM eb GROUP BY 1),
+         |eu AS (SELECT ('0x' || substr(md5(unnest(w)), 1, 15))::BIGINT % 512 AS b FROM toks),
+         |bc1 AS (SELECT b, count(*) AS c FROM eu GROUP BY 1),
+         |pg AS (SELECT doc_id, unnest(g2) AS gram, unnest(w[1:len(g2)]) AS ctx,
+         |    generate_subscripts(g2, 1) AS i FROM g),
+         |p AS (SELECT pg.doc_id, pg.i,
+         |    CAST(coalesce(b2.c, 0) + 1 AS DOUBLE) / CAST(coalesce(b1.c, 0) + 512 AS DOUBLE) AS prob
+         |  FROM pg
+         |  LEFT JOIN bc2 b2 ON b2.b = ('0x' || substr(md5(pg.gram), 1, 15))::BIGINT % 512
+         |  LEFT JOIN bc1 b1 ON b1.b = ('0x' || substr(md5(pg.ctx), 1, 15))::BIGINT % 512),
+         |s AS (SELECT doc_id, count(*) AS n_grams,
+         |    list_reduce(list_prepend(0.0, list(prob ORDER BY i)), (a, b) -> a + b) AS sum_prob
+         |  FROM p GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         |  coalesce(s.sum_prob, 0.0) AS sum_prob,
+         |  CASE WHEN s.n_grams > 0 THEN s.sum_prob / CAST(s.n_grams AS DOUBLE) END AS avg_prob
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // twin of Pipe.shuffle_(seed=7): seeded-hash global permutation
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || '7'), 1, 15))::BIGINT,
+        |    doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
+
+    // twin of Pipe.splitHash_(0.5/0.25/0.25, seed=42): cumulative thresholds
+    // are exact binary doubles, so the CASE literals match bit-for-bit
+    "q_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN u < 0.5 THEN 'train' WHEN u < 0.75 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || '42'), 1, 15))::BIGINT
+        |    % 1000000) / 1000000.0 AS u
+        |  FROM documents)""".stripMargin,
+
+    // twin of Dedup.dedupIncremental(bands=16, rows=2, threshold=0.5):
+    // existing = even docs, incoming = odd ∪ id-shifted clones of the evens;
+    // same 32-component minhash family and band-slice equality as
+    // q_minhash_pairs, restricted to new×old pairs
+    "q_dedup_incremental" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${MLQueries.ShinglesSql} AS sh
+         |  FROM (SELECT doc_id, ${MLQueries.NormWords} AS w FROM documents)
+         |), h AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${MLQueries.md5h60("s")}) AS hs FROM d
+         |), sig AS (
+         |  SELECT doc_id, [${MLQueries.minhashComponentsSql(32)}] AS sig FROM h
+         |), old AS (SELECT doc_id, sig FROM sig WHERE doc_id % 2 = 0),
+         |nw AS (SELECT doc_id, sig FROM sig WHERE doc_id % 2 = 1
+         |       UNION ALL SELECT doc_id + 1000000, sig FROM sig WHERE doc_id % 2 = 0),
+         |bo AS (SELECT doc_id, sig, b, sig[2*b+1 : 2*b+2] AS key
+         |  FROM old CROSS JOIN generate_series(0, 15) AS t(b)),
+         |bn AS (SELECT doc_id, sig, b, sig[2*b+1 : 2*b+2] AS key
+         |  FROM nw CROSS JOIN generate_series(0, 15) AS t(b)),
+         |cand AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid,
+         |    n.sig AS nsig, o.sig AS osig
+         |  FROM bn n JOIN bo o ON n.b = o.b AND n.key = o.key),
+         |est AS (SELECT nid, oid,
+         |    CAST(len(list_filter(generate_series(1, 32), i -> nsig[i] = osig[i])) AS DOUBLE) / 32.0 AS est
+         |  FROM cand),
+         |best AS (SELECT nid, min(oid) AS noid FROM est WHERE est >= 0.5 GROUP BY nid),
+         |bestv AS (SELECT b.nid, b.noid, e.est FROM best b
+         |  JOIN est e ON e.nid = b.nid AND e.oid = b.noid),
+         |fps AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |oldfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+         |newfp AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1
+         |          UNION ALL SELECT doc_id + 1000000, fp FROM fps WHERE doc_id % 2 = 0)
+         |SELECT n.doc_id,
+         |  (n.fp IN (SELECT fp FROM oldfp)) AS is_exact,
+         |  v.noid AS near_id, v.est AS est_jaccard
+         |FROM newfp n LEFT JOIN bestv v ON v.nid = n.doc_id""".stripMargin,
 
     // twin of Pipe.sampleStratified_(rates en/de/zh, default 0.25, seed 42)
     "q_sample_stratified" ->

@@ -175,4 +175,42 @@ class ClusterRankSpec extends SparkSpec {
       .orderBy("rank").limit(10).select("doc_id").as[Long].collect().toSeq
     assert(got == naive)
   }
+
+  test("lmAvgProb matches an independent in-JVM oracle and ranks text sanely") {
+    def md5h60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val buckets = 64
+    // 10 docs over a tiny repeating vocabulary + 1 never-repeating doc
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i + j) % 5}").mkString(" "))
+    } :+ (99L, (0 until 20).map(j => s"unique${99}x$j").mkString(" "))
+    val df = corpus.toDF("doc_id", "text")
+    val got = graft.ops.Rank.lmAvgProb(df, "text", "doc_id", buckets = buckets)
+      .select("doc_id", "n_grams", "sum_prob").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent oracle: same hashed counts, same left-fold order
+    def toks(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: String, n: Int) = { val w = toks(t); if (w.size < n) Seq.empty
+      else w.sliding(n).map(_.mkString(" ")).toSeq }
+    def bkt(g: String) = java.lang.Math.floorMod(md5h60(g), buckets.toLong)
+    val big = corpus.flatMap(c => grams(c._2, 2)).groupBy(bkt).map { case (k, v) => k -> v.size.toLong }
+    val uni = corpus.flatMap(c => grams(c._2, 1)).groupBy(bkt).map { case (k, v) => k -> v.size.toLong }
+    corpus.foreach { case (id, t) =>
+      val g2 = grams(t, 2); val ctx = toks(t).take(g2.size)
+      var sum = 0.0
+      g2.zip(ctx).foreach { case (g, c) =>
+        sum += (big.getOrElse(bkt(g), 0L) + 1).toDouble / (uni.getOrElse(bkt(c), 0L) + buckets).toDouble
+      }
+      assert(got(id)._1 == g2.size.toLong, s"doc $id n_grams")
+      assert(got(id)._2 == sum, s"doc $id sum_prob: got ${got(id)._2} want $sum")
+    }
+    // the repetitive-template docs must outscore the never-repeating doc
+    val avg = graft.ops.Rank.lmAvgProb(df, "text", "doc_id", buckets = buckets)
+      .select("doc_id", "avg_prob").as[(Long, Option[Double])].collect().toMap
+    (0 until 10).foreach(i => assert(avg(i.toLong).get > avg(99L).get))
+  }
 }

@@ -109,4 +109,38 @@ class PipePositionalSpec extends SparkSpec {
     assert(capped.count() ==
       df.sampleRate_(col("ts"), 86400, col("id"), "sqrt", 10L, Some(2L), Some(7L)).count())
   }
+
+  test("shuffle_ is a deterministic seeded permutation") {
+    val df = spark.range(500).select(col("id"))
+    val a = df.shuffle_(Seq(col("id")), seed = 7L)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // a bijection onto 0..n-1
+    assert(a.values.toSeq.sorted == (0L until 500L))
+    // replay-identical
+    val b = df.shuffle_(Seq(col("id")), seed = 7L)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // a different seed produces a different permutation (overwhelmingly)
+    val c = df.shuffle_(Seq(col("id")), seed = 8L)
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(a != c)
+    // and not the identity order
+    assert((0L until 500L).exists(i => a(i) != i))
+  }
+
+  test("splitHash_ labels are stable, exhaustive, and subset-independent") {
+    val df = spark.range(2000).select(col("id"))
+    val fr = Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25)
+    val full = df.splitHash_(fr, Seq(col("id")))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(full.values.toSet == Set("train", "valid", "test"))
+    val n = full.size.toDouble
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / n - 0.5) < 0.05)
+    assert(math.abs(counts("valid") / n - 0.25) < 0.05)
+    // membership is a pure function of the id: a half-corpus run agrees
+    val half = spark.range(1000).select(col("id")).splitHash_(fr, Seq(col("id")))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
 }

@@ -196,4 +196,48 @@ class TextDedupSpec extends SparkSpec {
       assert(c >= 0.99)
     }
   }
+
+  test("duplicatedSpans finds exactly the planted repeated passage") {
+    val passage = (0 until 10).map(i => s"dup$i").mkString(" ")
+    val df = Seq(
+      (0L, ((0 until 20).map(j => s"a$j") :+ passage).mkString(" ") + " " +
+        (0 until 10).map(j => s"b$j").mkString(" ")),
+      (1L, ((0 until 10).map(j => s"c$j") :+ passage).mkString(" ") + " " +
+        (0 until 20).map(j => s"d$j").mkString(" ")),
+      (2L, (0 until 40).map(j => s"e$j").mkString(" "))).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", k = 5, minFreq = 2)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // passage occupies positions 20..29 in doc 0 and 10..19 in doc 1;
+    // boundary windows are unique, so the span is exactly the passage
+    assert(spans == Set((0L, 20L, 30L, 6L), (1L, 10L, 20L, 6L)))
+
+    val clean = Dedup.removeDuplicatedSpans(df, "text", "doc_id", k = 5, minFreq = 2)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(clean(0L) == ((0L, 40L, 10L,
+      ((0 until 20).map(j => s"a$j") ++ (0 until 10).map(j => s"b$j")).mkString(" "))))
+    assert(clean(1L) == ((1L, 40L, 10L,
+      ((0 until 10).map(j => s"c$j") ++ (0 until 20).map(j => s"d$j")).mkString(" "))))
+    assert(clean(2L)._3 == 0L) // untouched
+    assert(clean(2L)._4 == (0 until 40).map(j => s"e$j").mkString(" "))
+  }
+
+  test("dedupIncremental flags exact clones and near-dups vs the existing set") {
+    val near1 = docs.find(_._1 == 1L).get._2.split(" ").toSeq
+      .updated(3, "TWEAKED").mkString(" ")
+    val incoming = Seq(
+      (1000L, docs.find(_._1 == 0L).get._2), // exact clone of doc 0
+      (1001L, near1),                        // near-dup of doc 1
+      (1002L, (0 until 30).map(j => s"fresh$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(incoming, docsDf, "text", "doc_id",
+      bands = 16, rows = 2, threshold = 0.5)
+      .as[(Long, Boolean, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1000L)._2, "clone must flag is_exact")
+    assert(out(1000L)._3.contains(0L) && out(1000L)._4.contains(1.0))
+    assert(!out(1001L)._2)
+    assert(out(1001L)._3.contains(1L) && out(1001L)._4.exists(_ >= 0.5))
+    assert(!out(1002L)._2 && out(1002L)._3.isEmpty)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Syslog5424, Warc, Zeek}
+import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Robots, Syslog5424, Warc, Zeek}
 
 /** Driver-checked query catalog, part 4: the widened parser surface —
   * grok with the real pattern library, syslog RFC 5424 (incl.
@@ -142,6 +142,25 @@ object ParserQueries {
         .select(col("doc_id"), col("w.warc_type"), col("w.record_id"),
           col("w.target_uri"), col("w.warc_date"), col("w.content_type"),
           col("w.content_length"), col("w.body"))
+    }),
+
+    // --------------------------------------------- robots.txt (RFC 9309)
+    // two groups (wildcard; two stacked agents) + a comment, a blank line,
+    // and a global Sitemap — every doc yields 7 rows
+    "q_robots" -> ((s, d) => {
+      val txt = concat_ws("\n",
+        lit("# synthetic robots"),
+        lit("User-agent: *"),
+        concat(lit("Disallow: /private/"), col("doc_id")),
+        lit("Allow: /public  # open"),
+        concat(lit("User-agent: bot"), pmod(col("doc_id"), lit(5))),
+        lit("User-agent: crawler"),
+        concat(lit("Crawl-delay: "), pmod(col("doc_id"), lit(10))),
+        lit("Disallow: /tmp"),
+        lit(""),
+        concat(lit("Sitemap: https://ex.com/s"), pmod(col("doc_id"), lit(3)), lit(".xml")))
+      Robots.parse(t(s, d, "documents").select(col("doc_id"), txt.as("robots")),
+        "robots", "doc_id")
     }),
 
     "q_zeek" -> ((s, d) =>
@@ -358,6 +377,47 @@ object ParserQueries {
           |  unnest(regexp_extract_all(regexp_extract(line, '^(?:[^|]*\|){5}(.*)$', 1),
           |    concat('([\w.]+)=([^', chr(9), ']*)'), 2)) AS attr_value
           |FROM raw""".stripMargin,
+      // twin of q_robots: identical line split, comment strip, RFC 9309
+      // group windows (lag for starts, running sum for ids), rules x agents
+      "q_robots" ->
+        """WITH src AS (SELECT doc_id,
+          |  '# synthetic robots' || chr(10) ||
+          |  'User-agent: *' || chr(10) ||
+          |  'Disallow: /private/' || CAST(doc_id AS VARCHAR) || chr(10) ||
+          |  'Allow: /public  # open' || chr(10) ||
+          |  'User-agent: bot' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+          |  'User-agent: crawler' || chr(10) ||
+          |  'Crawl-delay: ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ||
+          |  'Disallow: /tmp' || chr(10) || '' || chr(10) ||
+          |  'Sitemap: https://ex.com/s' || CAST(doc_id % 3 AS VARCHAR) || '.xml' AS t
+          |  FROM documents),
+          |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS raw,
+          |    generate_subscripts(string_split(t, chr(10)), 1) - 1 AS line_no FROM src),
+          |p0 AS (SELECT doc_id, line_no,
+          |    trim(regexp_replace(raw, '#.*$', '')) AS ln FROM l),
+          |p AS (SELECT doc_id, line_no,
+          |    lower(regexp_extract(ln, '^([A-Za-z-]+)\s*:', 1)) AS field,
+          |    trim(regexp_extract(ln, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS value
+          |  FROM p0
+          |  WHERE lower(regexp_extract(ln, '^([A-Za-z-]+)\s*:', 1)) IN
+          |    ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
+          |g AS (SELECT *, CASE WHEN field = 'user-agent' AND
+          |      coalesce(lag(field = 'user-agent') OVER
+          |        (PARTITION BY doc_id ORDER BY line_no), false) = false
+          |    THEN 1 ELSE 0 END AS st FROM p),
+          |gg AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY line_no
+          |    ROWS UNBOUNDED PRECEDING) AS group_id FROM g),
+          |a AS (SELECT doc_id, group_id, value AS agent FROM gg WHERE field = 'user-agent'),
+          |r AS (SELECT doc_id, group_id, field AS rule, value,
+          |    CAST(line_no AS BIGINT) AS line_no
+          |  FROM gg WHERE field IN ('allow', 'disallow', 'crawl-delay') AND group_id > 0)
+          |SELECT r.doc_id, a.agent, r.rule, r.value, r.line_no
+          |FROM r JOIN a USING (doc_id, group_id)
+          |UNION ALL
+          |SELECT doc_id, NULL AS agent, 'sitemap' AS rule, value,
+          |  CAST(line_no AS BIGINT) AS line_no
+          |FROM gg WHERE field = 'sitemap'""".stripMargin,
+
       // twin of q_warc: expected fields recomputed directly per record kind
       "q_warc" ->
         """WITH req AS (SELECT doc_id,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Grok, JsonInfer, Leef, Syslog5424, Warc, Zeek}
+import graft.formats.{Cef, Grok, JsonInfer, Leef, Robots, Syslog5424, Warc, Zeek}
 
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -302,5 +302,38 @@ class FormatsSpec extends SparkSpec {
     val hdrOnly = Seq("WARC/1.0\r\nWARC-Type: metadata").toDF("b")
       .select(Warc.parse($"b").as("w")).select("w.*").head()
     assert(hdrOnly.getString(0) == "metadata" && hdrOnly.isNullAt(6))
+  }
+
+  test("robots.txt: group stacking, comments, global sitemap, longest-match") {
+    val txt = Seq(
+      "# top comment",
+      "Disallow: /orphan",          // before any group -> dropped
+      "User-agent: *",
+      "Disallow: /private",
+      "Allow: /private/ok  # inline comment",
+      "",                           // blank line does NOT break the group
+      "Disallow: /cgi",
+      "User-agent: googlebot",      // rule above closed the group -> new one
+      "User-agent: bingbot",        // stacks into the same group
+      "Crawl-delay: 5",
+      "Sitemap: https://e.x/s.xml").mkString("\n")
+    val out = Robots.parse(Seq((1L, txt)).toDF("doc_id", "robots"), "robots", "doc_id")
+      .select("agent", "rule", "value").as[(Option[String], String, String)]
+      .collect().toSet
+    assert(out == Set(
+      (Some("*"), "disallow", "/private"),
+      (Some("*"), "allow", "/private/ok"),
+      (Some("*"), "disallow", "/cgi"),
+      (Some("googlebot"), "crawl-delay", "5"),
+      (Some("bingbot"), "crawl-delay", "5"),
+      (None, "sitemap", "https://e.x/s.xml")))
+
+    // longest-match decisions, allow wins length ties, no match -> allowed
+    val rules = typedLit(Seq(("disallow", "/private"), ("allow", "/private/ok")))
+      .cast("array<struct<rule:string,value:string>>")
+    val dec = Seq("/private/x", "/private/ok/y", "/other").toDF("path")
+      .select(col("path"), Robots.isAllowed(rules, col("path")).as("a"))
+      .as[(String, Boolean)].collect().toMap
+    assert(dec == Map("/private/x" -> false, "/private/ok/y" -> true, "/other" -> true))
   }
 }

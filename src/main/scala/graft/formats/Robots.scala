@@ -45,8 +45,12 @@ object Robots {
       .filter(col("field").isin("user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("line_no"))
     val isUa = col("field") === "user-agent"
-    // a group starts at a user-agent line whose previous KEPT line was not one
-    val grouped = parsed
+    // Group membership is computed over GROUP lines only (user-agent + rules):
+    // RFC 9309 §2.2.1 says other records (Sitemap) "MUST NOT interfere" —
+    // a Sitemap line between stacked User-agent lines must not split them.
+    val groupable = parsed.filter(col("field") =!= "sitemap")
+    // a group starts at a user-agent line whose previous GROUP line was not one
+    val grouped = groupable
       .withColumn("__start",
         when(isUa && coalesce(lag(isUa, 1).over(w), lit(false)) === false, 1L)
           .otherwise(0L))
@@ -60,17 +64,20 @@ object Robots {
         col("value"), col("line_no").cast("long").as("line_no"))
     val bound = rules.join(agents, Seq(idCol, "group_id"))
       .select(col(idCol), col("agent"), col("rule"), col("value"), col("line_no"))
-    val sitemaps = grouped.filter(col("field") === "sitemap")
+    val sitemaps = parsed.filter(col("field") === "sitemap")
       .select(col(idCol), lit(null).cast("string").as("agent"),
         lit("sitemap").as("rule"), col("value"), col("line_no").cast("long").as("line_no"))
     bound.unionByName(sitemaps)
   }
 
   /** Does `agent` fetching `path` pass this rule set? Longest-match wins
-    * (RFC 9309 §2.2.2), allow wins ties; no matching rule → allowed. A pure
-    * Column fold over the doc's (rule, value) rows pre-collected per agent —
-    * convenience for spot checks; bulk filtering should join on prefix
-    * buckets.
+    * (RFC 9309 §2.2.2, specificity = octet length of the pattern), allow wins
+    * ties; no matching rule → allowed. Patterns support the §2.2.3 special
+    * characters: `*` matches any byte sequence, a trailing `$` anchors the
+    * end of the path (a non-trailing `$` is literal, per the RFC's ABNF).
+    * A pure Column fold over the doc's (rule, value) rows pre-collected per
+    * agent — convenience for spot checks; bulk filtering should join on
+    * prefix buckets.
     */
   def isAllowed(rules: Column, path: Column): Column = {
     // rules: array<struct<rule:string, value:string>> for ONE (doc, agent)
@@ -78,7 +85,16 @@ object Robots {
       struct(lit(-1).as("len"), lit(true).as("allow")),
       (acc, r) => {
         val v = r.getField("value")
-        val matches = v =!= "" && startswith(path, v)
+        val anchored = endswith(v, lit("$"))
+        val pat = when(anchored, v.substr(lit(1), length(v) - 1)).otherwise(v)
+        // escape regex metachars, then turn the RFC's `*` into `.*`
+        val rx = concat(
+          lit("^"),
+          regexp_replace(
+            regexp_replace(pat, "([\\\\.\\[\\]{}()+\\-?^$|])", "\\\\$1"),
+            "\\*", ".*"),
+          when(anchored, lit("$")).otherwise(lit("")))
+        val matches = v =!= "" && regexp_like(path, rx)
         val longer = matches && length(v) > acc.getField("len")
         val tieAllow = matches && length(v) === acc.getField("len") &&
           r.getField("rule") === "allow"

@@ -24,11 +24,15 @@ object Warc {
     * strings (the `WARC/1.x` version line starts each element).
     */
   def records(blob: Column): Column =
-    filter(split(blob, "(?=WARC/1\\.[01]\\r?\\n)", -1), r => r =!= "")
+    filter(split(blob, "(?m)(?=^WARC/1\\.[01]\\r?\\n)", -1), r => r =!= "")
 
-  /** Extract one named WARC header field (case-insensitive, first match). */
+  /** Extract one named WARC header field (case-insensitive, first
+    * line-initial match — anchored so `Content-Length` never matches inside
+    * `X-Content-Length`). Callers should pass the header BLOCK (see
+    * [[parse]]) so body lines can never masquerade as headers.
+    */
   def field(rec: Column, name: String): Column = {
-    val re = "(?i)" + java.util.regex.Pattern.quote(name) + ":[ \\t]*([^\\r\\n]+)"
+    val re = "(?mi)^" + java.util.regex.Pattern.quote(name) + ":[ \\t]*([^\\r\\n]+)"
     val v = regexp_extract(rec, re, 1)
     when(v =!= "", v)
   }
@@ -39,14 +43,19 @@ object Warc {
 
   /** Standard header set as one struct:
     * `warc_type, record_id, target_uri, warc_date, content_type,
-    * content_length, body`.
+    * content_length, body`. Fields are extracted from the header block only
+    * (everything before the first blank line — `substring_index`, no regex),
+    * so a body line like `warc-type: x` can never shadow a missing header.
     */
-  def parse(rec: Column): Column = struct(
-    field(rec, "WARC-Type").as("warc_type"),
-    field(rec, "WARC-Record-ID").as("record_id"),
-    field(rec, "WARC-Target-URI").as("target_uri"),
-    field(rec, "WARC-Date").as("warc_date"),
-    field(rec, "Content-Type").as("content_type"),
-    field(rec, "Content-Length").cast("long").as("content_length"),
-    body(rec).as("body"))
+  def parse(rec: Column): Column = {
+    val hdr = substring_index(rec, "\r\n\r\n", 1)
+    struct(
+      field(hdr, "WARC-Type").as("warc_type"),
+      field(hdr, "WARC-Record-ID").as("record_id"),
+      field(hdr, "WARC-Target-URI").as("target_uri"),
+      field(hdr, "WARC-Date").as("warc_date"),
+      field(hdr, "Content-Type").as("content_type"),
+      field(hdr, "Content-Length").cast("long").as("content_length"),
+      body(rec).as("body"))
+  }
 }

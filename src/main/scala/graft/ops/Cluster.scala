@@ -82,6 +82,14 @@ object Cluster {
       round += 1
     }
     bidir.unpersist()
+    // Never return silently-wrong labels: an unconverged exit means some
+    // node still carries a non-minimal cluster_id and survivors() would keep
+    // duplicates. Dup graphs converge in single-digit rounds; hitting the
+    // bound signals an adversarial long-path graph — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(graph diameter exceeds the bound); raise maxRounds")
     labels
   }
 

@@ -382,8 +382,12 @@ object Dedup {
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
       maxFreq: Long = 1): DataFrame = {
     require(maxFreq >= 1, "maxFreq must be >= 1")
+    // coalesce: a null-text doc must still emit its row (n_lines counts the
+    // one empty line; split(NULL) would posexplode to zero rows and the doc
+    // would silently vanish from the cleaned corpus)
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("__i", "__ln")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("__i", "__ln")))
       .withColumn("__h", Text.md5h60(col("__ln")))
     val freq = lines.groupBy(col("__h")).agg(count(lit(1)).as("__freq"))
     lines.join(freq, Seq("__h"))

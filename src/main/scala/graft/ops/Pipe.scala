@@ -433,15 +433,15 @@ object Pipe {
       df.join(broadcast(lookup), key, how)
   }
 
-  /** Partition-offset literal map for [[PipeOps.enumerate_]] (outside the
-    * value class: `typedlit`'s TypeTag materialization is a nested class).
-    */
   /** Literal-map stratum-rate lookup (outside the value class — typedlit's
     * macro expands to a nested class, which AnyVal bodies forbid).
     */
   private def rateColumn(rates: Map[String, Double], default: Double, strat: Column): Column =
     coalesce(element_at(typedlit(rates), strat.cast("string")), lit(default))
 
+  /** Partition-offset literal map for [[PipeOps.enumerate_]] (outside the
+    * value class: `typedlit`'s TypeTag materialization is a nested class).
+    */
   private[graft] def offsetColumn(offsets: Map[Int, Long]): Column =
     if (offsets.isEmpty) lit(0L)
     else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))

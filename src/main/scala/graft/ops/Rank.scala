@@ -77,7 +77,7 @@ object Rank {
 
     // avgdl and the score: a pinned tree of IEEE + * / over exact integers —
     // bit-identical in any engine with IEEE doubles.
-    val avgdl = lit(n match { case 0 => 1.0; case _ => sumdl.toDouble / n.toDouble })
+    val avgdl = lit(sumdl.toDouble / n.toDouble) // n >= 1: empty corpus returned above
     val dfCol = element_at(dfMap, col("term")).cast("double")
     val idf = (lit(n.toDouble) - dfCol + lit(0.5)) / (dfCol + lit(0.5))
     val tfD = col("tf").cast("double")

@@ -404,7 +404,7 @@ object ParserQueries {
           |g AS (SELECT *, CASE WHEN field = 'user-agent' AND
           |      coalesce(lag(field = 'user-agent') OVER
           |        (PARTITION BY doc_id ORDER BY line_no), false) = false
-          |    THEN 1 ELSE 0 END AS st FROM p),
+          |    THEN 1 ELSE 0 END AS st FROM p WHERE field <> 'sitemap'),
           |gg AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY line_no
           |    ROWS UNBOUNDED PRECEDING) AS group_id FROM g),
           |a AS (SELECT doc_id, group_id, value AS agent FROM gg WHERE field = 'user-agent'),
@@ -416,7 +416,7 @@ object ParserQueries {
           |UNION ALL
           |SELECT doc_id, NULL AS agent, 'sitemap' AS rule, value,
           |  CAST(line_no AS BIGINT) AS line_no
-          |FROM gg WHERE field = 'sitemap'""".stripMargin,
+          |FROM p WHERE field = 'sitemap'""".stripMargin,
 
       // twin of q_warc: expected fields recomputed directly per record kind
       "q_warc" ->

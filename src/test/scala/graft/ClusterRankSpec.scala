@@ -35,6 +35,16 @@ class ClusterRankSpec extends SparkSpec {
     assert(Cluster.connectedComponents(edges).isEmpty)
   }
 
+  test("connectedComponents: exhausting maxRounds fails loudly, never silently wrong") {
+    // diameter 9 path with maxRounds=3: labels cannot all reach 0 — returning
+    // them would make survivors() keep duplicate docs, so it must throw
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Cluster.connectedComponents(edges, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("survivors keeps min-id per component plus isolated docs") {
     val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

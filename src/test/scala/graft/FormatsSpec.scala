@@ -302,6 +302,26 @@ class FormatsSpec extends SparkSpec {
     val hdrOnly = Seq("WARC/1.0\r\nWARC-Type: metadata").toDF("b")
       .select(Warc.parse($"b").as("w")).select("w.*").head()
     assert(hdrOnly.getString(0) == "metadata" && hdrOnly.isNullAt(6))
+
+    // framing is anchored: a mid-line "WARC/1.0" in a body must NOT split
+    val quoted = "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 21\r\n\r\n" +
+      "see WARC/1.0\n spec ok"
+    val recs = Seq(quoted).toDF("b").select(Warc.records($"b").as("r")).head().getSeq[String](0)
+    assert(recs.length == 1)
+    assert(Seq(quoted).toDF("b").select(Warc.parse($"b").getField("body")).head()
+      .getString(0) == "see WARC/1.0\n spec ok")
+
+    // header match is line-anchored: X-Content-Length must not shadow
+    // Content-Length, and a body line must not stand in for a missing header
+    val shadow = "WARC/1.0\r\nX-Content-Length: 99\r\nContent-Length: 12\r\n\r\nbody"
+    assert(Seq(shadow).toDF("b").select(Warc.field($"b", "Content-Length").cast("long"))
+      .head().getLong(0) == 12L)
+    // parse() scopes fields to the header block: a body line that looks like
+    // a header must NOT stand in for a missing one
+    val bodyTrap = "WARC/1.0\r\nContent-Length: 15\r\n\r\nwarc-type: fake"
+    val trapped = Seq(bodyTrap).toDF("b").select(Warc.parse($"b").as("w")).head()
+    assert(trapped.getStruct(0).isNullAt(0)) // warc_type stays null
+    assert(trapped.getStruct(0).getString(6) == "warc-type: fake")
   }
 
   test("robots.txt: group stacking, comments, global sitemap, longest-match") {
@@ -335,5 +355,41 @@ class FormatsSpec extends SparkSpec {
       .select(col("path"), Robots.isAllowed(rules, col("path")).as("a"))
       .as[(String, Boolean)].collect().toMap
     assert(dec == Map("/private/x" -> false, "/private/ok/y" -> true, "/other" -> true))
+  }
+
+  test("robots.txt: sitemap between stacked agents must not split the group (RFC 9309)") {
+    val txt = Seq(
+      "User-agent: a",
+      "Sitemap: https://e.x/s.xml",   // "other record" — MUST NOT interfere
+      "User-agent: b",
+      "Disallow: /x").mkString("\n")
+    val out = Robots.parse(Seq((1L, txt)).toDF("doc_id", "robots"), "robots", "doc_id")
+      .select("agent", "rule", "value").as[(Option[String], String, String)]
+      .collect().toSet
+    assert(out == Set(
+      (Some("a"), "disallow", "/x"),
+      (Some("b"), "disallow", "/x"),
+      (None, "sitemap", "https://e.x/s.xml")))
+  }
+
+  test("robots.txt: isAllowed supports RFC 9309 §2.2.3 wildcards (* and trailing $)") {
+    def decide(rs: Seq[(String, String)], paths: String*): Map[String, Boolean] = {
+      val rules = typedLit(rs).cast("array<struct<rule:string,value:string>>")
+      paths.toDF("path")
+        .select(col("path"), Robots.isAllowed(rules, col("path")).as("a"))
+        .as[(String, Boolean)].collect().toMap
+    }
+    // `*` matches any byte sequence
+    assert(decide(Seq(("disallow", "/*.php")), "/index.php", "/a/b.php", "/index.html") ==
+      Map("/index.php" -> false, "/a/b.php" -> false, "/index.html" -> true))
+    // trailing `$` anchors the end of the path
+    assert(decide(Seq(("disallow", "/*.php$")), "/x.php", "/x.php?y=1") ==
+      Map("/x.php" -> false, "/x.php?y=1" -> true))
+    // regex metachars in the pattern are literal (only * and trailing $ are special)
+    assert(decide(Seq(("disallow", "/a+b(c)")), "/a+b(c)/d", "/aab_c_") ==
+      Map("/a+b(c)/d" -> false, "/aab_c_" -> true))
+    // wildcard disallow vs longer allow: specificity is pattern octet length
+    assert(decide(Seq(("disallow", "/p/*"), ("allow", "/p/public")), "/p/public/x", "/p/q") ==
+      Map("/p/public/x" -> true, "/p/q" -> false))
   }
 }

@@ -192,13 +192,16 @@ class WebSpec extends SparkSpec {
     val df = Seq(
       (1L, "unique opening\nCopyright Example Corp\nmore prose"),
       (2L, "different start\nCopyright Example Corp"),
-      (3L, "Copyright Example Corp")
+      (3L, "Copyright Example Corp"),
+      (4L, null.asInstanceOf[String]) // tombstoned/fetch-failed doc: must NOT vanish
     ).toDF("doc_id", "text")
     val out = Dedup.dedupLines(df, "text", "doc_id", maxFreq = 1)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 4)
     assert(out(1L) == (3L, 1L, "unique opening\nmore prose"))
     assert(out(2L) == (2L, 1L, "different start"))
     assert(out(3L) == (1L, 1L, ""))
+    assert(out(4L)._1 == 1L) // the one (empty) line is counted; doc row survives
   }
 
   test("dsir: target-like docs outscore background-only docs; empty doc is null") {

@@ -102,4 +102,68 @@ object Web {
     when(scheme === "", u)
       .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
   }
+
+  /** RFC 3986 §5.3 remove_dot_segments over an absolute path, as a pure
+    * Column fold (string accumulator — `aggregate` over the `/`-split
+    * segments: `..` pops a component, `.` and empty segments collapse,
+    * anything else appends). A trailing `/`, `/.` or `/..` keeps the
+    * directory form (`…/`), matching the RFC reference algorithm; `..` at
+    * the root is a no-op. Verified against the full §5.4 example set in
+    * WebSpec.
+    */
+  private[graft] def removeDotSegments(p: Column): Column = {
+    val folded = aggregate(split(p, "/"), lit(""),
+      (acc: Column, s: Column) =>
+        when(s === "" || s === ".", acc)
+          .when(s === "..", regexp_replace(acc, "/[^/]*$", ""))
+          .otherwise(concat(acc, lit("/"), s)))
+    val dirForm = p.rlike("(/|/\\.|/\\.\\.)$")
+    when(dirForm, concat(folded, lit("/")))
+      .otherwise(when(folded === "", lit("/")).otherwise(folded))
+  }
+
+  /** Resolve an href against an absolute base URL — RFC 3986 §5.2 reference
+    * resolution for the http(s) cases a crawler meets: absolute URIs pass
+    * through (any scheme, incl. `mailto:`), protocol-relative (`//host/…`)
+    * adopts the base scheme, root-relative and path-relative merge with the
+    * base path and have dot segments removed, `?query` replaces the base
+    * query, and an empty/fragment-only href yields the base. Fragments are
+    * stripped throughout (a crawl frontier never keys on them).
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val noFrag = regexp_replace(href, "#.*$", "")
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val authority = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*(://[^/?#]*)", 1)
+    val basePath0 = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val basePath = when(basePath0 === "", lit("/")).otherwise(basePath0)
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val hPath = regexp_replace(noFrag, "\\?.*$", "")
+    val hQuery = regexp_extract(noFrag, "(\\?[^#]*)", 1)
+    when(noFrag === "", concat(scheme, authority, basePath0,
+        regexp_extract(base, "(\\?[^#]*)", 1)))
+      .when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
+      .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
+      .when(noFrag.startsWith("?"), concat(scheme, authority, basePath, noFrag))
+      .when(noFrag.startsWith("/"),
+        concat(scheme, authority, removeDotSegments(hPath), hQuery))
+      .otherwise(
+        concat(scheme, authority,
+          removeDotSegments(concat(baseDir, hPath)), hQuery))
+  }
+
+  /** Extract `<a href="…">anchor</a>` pairs from an HTML string as
+    * `array<struct<href:string, anchor:string>>` — the link-graph edge
+    * emitter ([[graft.ops.Rank.pagerank]] consumes the resolved edges).
+    * Anchors are tag-stripped and whitespace-collapsed; the regex stays in
+    * the Java∩RE2 subset (lazy quantifiers, no backreferences) so the DuckDB
+    * oracle runs the identical pattern.
+    */
+  def extractLinks(html: Column): Column = {
+    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val hrefs = regexp_extract_all(html, lit(pat), lit(1))
+    val anchors = transform(regexp_extract_all(html, lit(pat), lit(2)),
+      a => trim(regexp_replace(regexp_replace(a, "<[^>]*>", " "), "\\s+", " ")))
+    zip_with(hrefs, anchors,
+      (h, a) => struct(h.as("href"), a.as("anchor")))
+  }
 }

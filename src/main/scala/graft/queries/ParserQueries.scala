@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Robots, Syslog5424, Warc, Zeek}
+import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Robots, Sitemap, Syslog5424, Warc, Zeek}
 
 /** Driver-checked query catalog, part 4: the widened parser surface —
   * grok with the real pattern library, syslog RFC 5424 (incl.
@@ -161,6 +161,34 @@ object ParserQueries {
         concat(lit("Sitemap: https://ex.com/s"), pmod(col("doc_id"), lit(3)), lit(".xml")))
       Robots.parse(t(s, d, "documents").select(col("doc_id"), txt.as("robots")),
         "robots", "doc_id")
+    }),
+
+    // ------------------------------------------ sitemap XML (sitemaps.org)
+    // every 5th doc is a <sitemapindex>, the rest are <urlset> leaves with a
+    // full entry, a loc-only entry (whitespace + &amp; entity), and a
+    // loc-less entry that must be dropped
+    "q_sitemap" -> ((s, d) => {
+      val xml = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(
+          lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          lit("<sitemap><loc>https://"), col("source"),
+          lit("/s1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>"),
+          lit("<sitemap><loc>https://"), col("source"), lit("/s2.xml</loc></sitemap>"),
+          lit("</sitemapindex>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          lit("<url><loc>https://"), col("source"), lit("/p/"),
+          col("doc_id").cast("string"),
+          lit("</loc><lastmod>2026-03-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit("</priority></url>"),
+          lit("<url><loc> https://"), col("source"), lit("/q?a=1&amp;b=2 </loc></url>"),
+          lit("<url><changefreq>never</changefreq></url>"),
+          lit("</urlset>")))
+      Sitemap.parse(
+        t(s, d, "documents").select(col("doc_id"), xml.as("xml")), "xml", "doc_id")
     }),
 
     "q_zeek" -> ((s, d) =>
@@ -417,6 +445,27 @@ object ParserQueries {
           |SELECT doc_id, NULL AS agent, 'sitemap' AS rule, value,
           |  CAST(line_no AS BIGINT) AS line_no
           |FROM p WHERE field = 'sitemap'""".stripMargin,
+
+      // twin of q_sitemap: expected entries recomputed directly per planted
+      // kind (index docs: 2 child sitemaps; leaf docs: full + loc-only entry,
+      // the loc-less third entry never appears)
+      "q_sitemap" ->
+        """WITH e AS (SELECT * FROM (VALUES (0), (1)) AS t(entry_no))
+          |SELECT d.doc_id, CAST(e.entry_no AS BIGINT) AS entry_no,
+          |  (d.doc_id % 5 = 0) AS is_index,
+          |  CASE WHEN d.doc_id % 5 = 0 THEN 'https://' || d.source ||
+          |      CASE e.entry_no WHEN 0 THEN '/s1.xml' ELSE '/s2.xml' END
+          |    ELSE CASE e.entry_no
+          |      WHEN 0 THEN 'https://' || d.source || '/p/' || CAST(d.doc_id AS VARCHAR)
+          |      ELSE 'https://' || d.source || '/q?a=1&b=2' END END AS loc,
+          |  CASE WHEN d.doc_id % 5 = 0 AND e.entry_no = 0 THEN '2026-02-01'
+          |    WHEN d.doc_id % 5 <> 0 AND e.entry_no = 0
+          |      THEN '2026-03-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          |    END AS lastmod,
+          |  CASE WHEN d.doc_id % 5 <> 0 AND e.entry_no = 0 THEN 'daily' END AS changefreq,
+          |  CASE WHEN d.doc_id % 5 <> 0 AND e.entry_no = 0
+          |    THEN CAST('0.' || CAST(d.doc_id % 10 AS VARCHAR) AS DOUBLE) END AS priority
+          |FROM documents d CROSS JOIN e""".stripMargin,
 
       // twin of q_warc: expected fields recomputed directly per record kind
       "q_warc" ->

@@ -104,6 +104,35 @@ object WebQueries {
         Web.urlNormalize(u).as("canonical"))
     }),
 
+    // ------------------- link extraction + RFC 3986 reference resolution
+    // (the link-graph edge emitter: href/anchor pairs out of HTML, resolved
+    // against the page URL — feeds Rank.pagerank / frontier seeding). The
+    // planted page exercises every resolution branch: absolute, protocol-
+    // relative, root-relative, path-relative, ../ merge, fragment-only,
+    // foreign scheme, query-only.
+    "q_extract_links" -> ((s, d) => {
+      val base = concat(lit("https://"), col("source"), lit("/dir/sub/index.html"))
+      val html = concat(
+        lit("<html><body><p>intro</p>"),
+        lit("<a href=\"https://ext.example.org/abs\">Absolute <b>link</b></a>"),
+        lit("<a href=\"//cdn.example.net/lib\">CDN</a>"),
+        lit("<a href=\"/root/page\">Root</a>"),
+        lit("<a href=\"item/"), col("doc_id").cast("string"),
+        lit(".html\">Item "), col("doc_id").cast("string"), lit("</a>"),
+        lit("<a href=\"../up/page?x=1\">Up</a>"),
+        lit("<a href=\"#frag\">Frag</a>"),
+        lit("<a href=\"mailto:x@y.z\">Mail</a>"),
+        lit("<a href=\"?q=2\">Query</a>"),
+        lit("</body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), base.as("__base"),
+          posexplode(Web.extractLinks(html)).as(Seq("link_no", "__l")))
+        .select(col("doc_id"), col("link_no").cast("long").as("link_no"),
+          col("__l.href").as("href"),
+          Web.resolveUrl(col("__base"), col("__l.href")).as("resolved"),
+          col("__l.anchor").as("anchor"))
+    }),
+
     // -------------------------- repetition / boilerplate signals (Gopher)
     "q_repetition" -> ((s, d) => {
       val ml = concat_ws("\n", col("source"), col("lang"), col("source"),
@@ -272,6 +301,35 @@ object WebQueries {
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    // twin of q_extract_links: expected href/resolution/anchor recomputed
+    // directly per planted link kind (the q_warc pattern — the generic
+    // RFC 3986 resolver itself is pinned by WebSpec's §5.4 vector suite)
+    "q_extract_links" ->
+      """WITH L AS (SELECT * FROM (VALUES
+        |    (0, 'https://ext.example.org/abs', 'abs', 'Absolute link'),
+        |    (1, '//cdn.example.net/lib', 'cdn', 'CDN'),
+        |    (2, '/root/page', 'root', 'Root'),
+        |    (3, NULL, 'item', NULL),
+        |    (4, '../up/page?x=1', 'up', 'Up'),
+        |    (5, '#frag', 'frag', 'Frag'),
+        |    (6, 'mailto:x@y.z', 'mail', 'Mail'),
+        |    (7, '?q=2', 'query', 'Query')) AS t(link_no, href, kind, anchor))
+        |SELECT d.doc_id, CAST(l.link_no AS BIGINT) AS link_no,
+        |  coalesce(l.href, 'item/' || CAST(d.doc_id AS VARCHAR) || '.html') AS href,
+        |  CASE l.kind
+        |    WHEN 'abs' THEN 'https://ext.example.org/abs'
+        |    WHEN 'cdn' THEN 'https://cdn.example.net/lib'
+        |    WHEN 'root' THEN 'https://' || d.source || '/root/page'
+        |    WHEN 'item' THEN 'https://' || d.source || '/dir/sub/item/' ||
+        |      CAST(d.doc_id AS VARCHAR) || '.html'
+        |    WHEN 'up' THEN 'https://' || d.source || '/dir/up/page?x=1'
+        |    WHEN 'frag' THEN 'https://' || d.source || '/dir/sub/index.html'
+        |    WHEN 'mail' THEN 'mailto:x@y.z'
+        |    WHEN 'query' THEN 'https://' || d.source || '/dir/sub/index.html?q=2'
+        |  END AS resolved,
+        |  coalesce(l.anchor, 'Item ' || CAST(d.doc_id AS VARCHAR)) AS anchor
+        |FROM documents d CROSS JOIN L""".stripMargin,
 
     "q_urlfns" ->
       s"""WITH u AS (SELECT event_id, $UrlSql AS url FROM events),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Grok, JsonInfer, Leef, Robots, Syslog5424, Warc, Zeek}
+import graft.formats.{Cef, Grok, JsonInfer, Leef, Robots, Sitemap, Syslog5424, Warc, Zeek}
 
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -370,6 +370,36 @@ class FormatsSpec extends SparkSpec {
       (Some("a"), "disallow", "/x"),
       (Some("b"), "disallow", "/x"),
       (None, "sitemap", "https://e.x/s.xml")))
+  }
+
+  test("sitemap XML: urlset entries, index files, entities, missing-loc drop") {
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://e.x/a?q=1&amp;r=2</loc><lastmod>2026-01-05</lastmod>
+        |    <changefreq>daily</changefreq><priority>0.8</priority></url>
+        |  <url><loc> https://e.x/b </loc></url>
+        |  <url><priority>0.1</priority></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>https://e.x/s1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+        |  <sitemap><loc>https://e.x/s2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val out = Sitemap.parse(Seq((1L, urlset), (2L, index)).toDF("doc_id", "xml"),
+        "xml", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 4) // missing-loc entry dropped
+    val a = out((1L, 0L))
+    assert(!a.getBoolean(2) && a.getString(3) == "https://e.x/a?q=1&r=2" &&
+      a.getString(4) == "2026-01-05" && a.getString(5) == "daily" &&
+      a.getDouble(6) == 0.8)
+    val b = out((1L, 1L))
+    assert(b.getString(3) == "https://e.x/b" && b.isNullAt(4) && b.isNullAt(6))
+    assert(out((2L, 0L)).getBoolean(2) &&
+      out((2L, 0L)).getString(3) == "https://e.x/s1.xml" &&
+      out((2L, 0L)).getString(4) == "2026-02-01")
+    assert(out((2L, 1L)).getString(3) == "https://e.x/s2.xml")
   }
 
   test("robots.txt: isAllowed supports RFC 9309 §2.2.3 wildcards (* and trailing $)") {

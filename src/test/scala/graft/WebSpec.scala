@@ -240,4 +240,70 @@ class WebSpec extends SparkSpec {
       df.sampleStratified_(col("lang"), Map("en" -> 0.8, "zh" -> 0.1),
         defaultRate = 0.5, idCols = Seq(col("doc_id"))).collect().toSet)
   }
+
+  test("resolveUrl: RFC 3986 §5.4 reference-resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    // (href, expected) — §5.4.1 normal + §5.4.2 abnormal, minus the
+    // fragment-carrying outputs (fragments are stripped by design)
+    val vectors = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // abnormal (§5.4.2): .. past the root is a no-op
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      // scheme'd hrefs pass through
+      "http:g" -> "http:g",
+      "mailto:x@y.z" -> "mailto:x@y.z")
+    val got = vectors.map(_._1).toDF("href")
+      .select(col("href"), Web.resolveUrl(lit(base), col("href")).as("r"))
+      .as[(String, String)].collect().toMap
+    vectors.foreach { case (h, want) =>
+      assert(got(h) == want, s"href '$h': got '${got(h)}', want '$want'")
+    }
+  }
+
+  test("extractLinks: href/anchor pairs, nested tags, multiline, entities stay raw") {
+    val html =
+      """<html><body>
+        |<a href="/one" class="x">First <b>bold</b> link</a>
+        |<p><a id="z" href="sub/two.html">second
+        |link</a></p>
+        |<a href="#frag">frag only</a>
+        |<img src="/not-a-link.png">
+        |</body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(explode(Web.extractLinks(col("h"))).as("l"))
+      .select("l.href", "l.anchor").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("/one", "First bold link"),
+      ("sub/two.html", "second link"),
+      ("#frag", "frag only")))
+  }
 }

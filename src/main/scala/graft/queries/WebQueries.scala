@@ -133,6 +133,26 @@ object WebQueries {
           col("__l.anchor").as("anchor"))
     }),
 
+    // ------------------------ anchor-text index (incoming-link aggregation)
+    // the search-engine-style inverted view of the link graph: per resolved
+    // target, how many documents link to it and with what anchor texts —
+    // groupBy(resolved) with map-side-combinable count + collect_set
+    "q_anchor_text" -> ((s, d) => {
+      val links = queries("q_extract_links")(s, d)
+      links.groupBy(col("resolved"))
+        .agg(count(lit(1)).as("n_refs"),
+          array_join(array_sort(collect_set(col("anchor"))), "|").as("anchors"))
+    }),
+
+    // ----------------------- crawl-frontier politeness scheduling (per-host
+    // fetch slots spaced by a courtesy delay)
+    "q_frontier" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(lit("https://"), col("source"), lit("/p/"),
+            col("doc_id").cast("string")).as("url"))
+        .frontierSchedule_(col("source"), Seq(col("doc_id")), delayMs = 1500L)),
+
     // -------------------------- repetition / boilerplate signals (Gopher)
     "q_repetition" -> ((s, d) => {
       val ml = concat_ws("\n", col("source"), col("lang"), col("source"),
@@ -330,6 +350,45 @@ object WebQueries {
         |  END AS resolved,
         |  coalesce(l.anchor, 'Item ' || CAST(d.doc_id AS VARCHAR)) AS anchor
         |FROM documents d CROSS JOIN L""".stripMargin,
+
+    // twin of q_anchor_text: the q_extract_links expansion re-aggregated
+    "q_anchor_text" ->
+      """WITH L AS (SELECT * FROM (VALUES
+        |    (0, 'https://ext.example.org/abs', 'abs', 'Absolute link'),
+        |    (1, '//cdn.example.net/lib', 'cdn', 'CDN'),
+        |    (2, '/root/page', 'root', 'Root'),
+        |    (3, NULL, 'item', NULL),
+        |    (4, '../up/page?x=1', 'up', 'Up'),
+        |    (5, '#frag', 'frag', 'Frag'),
+        |    (6, 'mailto:x@y.z', 'mail', 'Mail'),
+        |    (7, '?q=2', 'query', 'Query')) AS t(link_no, href, kind, anchor)),
+        |links AS (SELECT
+        |  CASE l.kind
+        |    WHEN 'abs' THEN 'https://ext.example.org/abs'
+        |    WHEN 'cdn' THEN 'https://cdn.example.net/lib'
+        |    WHEN 'root' THEN 'https://' || d.source || '/root/page'
+        |    WHEN 'item' THEN 'https://' || d.source || '/dir/sub/item/' ||
+        |      CAST(d.doc_id AS VARCHAR) || '.html'
+        |    WHEN 'up' THEN 'https://' || d.source || '/dir/up/page?x=1'
+        |    WHEN 'frag' THEN 'https://' || d.source || '/dir/sub/index.html'
+        |    WHEN 'mail' THEN 'mailto:x@y.z'
+        |    WHEN 'query' THEN 'https://' || d.source || '/dir/sub/index.html?q=2'
+        |  END AS resolved,
+        |  coalesce(l.anchor, 'Item ' || CAST(d.doc_id AS VARCHAR)) AS anchor
+        |FROM documents d CROSS JOIN L)
+        |SELECT resolved, CAST(count(*) AS BIGINT) AS n_refs,
+        |  array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+        |FROM links GROUP BY resolved""".stripMargin,
+
+    // twin of q_frontier: per-host fetch slots via row_number
+    "q_frontier" ->
+      """SELECT doc_id, source,
+        |  'https://' || source || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) * 1500
+        |    AS BIGINT) AS not_before_ms
+        |FROM documents""".stripMargin,
 
     "q_urlfns" ->
       s"""WITH u AS (SELECT event_id, $UrlSql AS url FROM events),

@@ -143,4 +143,16 @@ class PipePositionalSpec extends SparkSpec {
       .select("id", "split").as[(Long, String)].collect().toMap
     half.foreach { case (id, sp) => assert(full(id) == sp) }
   }
+
+  test("frontierSchedule_: per-host 0-based slots in order, spaced by the delay") {
+    val urls = Seq(
+      ("a.com", 3L), ("a.com", 1L), ("a.com", 2L),
+      ("b.com", 9L)).toDF("host", "pri")
+    val out = urls.frontierSchedule_(col("host"), Seq(col("pri")), delayMs = 500L)
+      .select("host", "pri", "slot", "not_before_ms")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a.com", 1L, 0L, 0L), ("a.com", 2L, 1L, 500L), ("a.com", 3L, 2L, 1000L),
+      ("b.com", 9L, 0L, 0L)))
+  }
 }

@@ -307,7 +307,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     * replay comparison and clusters urls for scan locality.
     */
   def writeDataFiles(rows: DataFrame, schemaId: Int, buckets: Int, nTasks: Int,
-      maxRecordsPerFile: Long = 0L): Seq[DataFile] = {
+      maxRecordsPerFile: Long = 0L, bloomUrl: Boolean = false): Seq[DataFile] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId).toString
     graft.cdc.CdcApply.phase("spark-write") {
@@ -318,9 +318,22 @@ class LakeTable(val spark: SparkSession, val root: String,
       // round-robin slots are balanced.
       val n = math.max(1, nTasks)
       val bucketed = rows.withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
-      val writer = ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
+      val writer0 = ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
         .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
         .write.partitionBy("_bucket")
+      // Parquet-native bloom filter on `url` (compaction writes only — off
+      // the apply hot path): files are sorted by _urlhash, so url's per-row-
+      // group min/max string stats are useless for point lookups; the bloom
+      // lets parquet-mr skip row groups on the pushed `url = x` equality —
+      // the row-group-level complement of the manifest's file-level pruning
+      // (reference analogue: per-partition bloom synopses, synopsis.cpp).
+      // Adaptive sizing (parquet 1.16): the filter shrinks to the row group's
+      // actual NDV instead of a guessed constant.
+      val writer =
+        if (bloomUrl)
+          writer0.option("parquet.bloom.filter.enabled#url", "true")
+            .option("parquet.bloom.filter.adaptive.enabled", "true")
+        else writer0
       // target file sizing: a 10^10-event table folded to one file per bucket
       // would produce ~TB parquet files — split on a row target instead
       // (readers/pruning already handle many files per bucket)
@@ -415,7 +428,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       }
       val nTasks = math.max(1, math.min(nb, spark.sparkContext.defaultParallelism * 2))
       val newFiles = writeDataFiles(kept, snap.currentSchemaId, nb,
-        nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile)
+        nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
       return commit(snap.copy(files = newFiles, buckets = nb,
         props = snap.props - LakeTable.NeedsResolveProp))
     }
@@ -449,7 +462,8 @@ class LakeTable(val spark: SparkSession, val root: String,
       if (target.contains(-1)) math.min(snap.buckets, spark.sparkContext.defaultParallelism * 2)
       else target.size
     val newFiles = writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
-      nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile)
+      nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile,
+      bloomUrl = true)
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
     val props =
       if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp

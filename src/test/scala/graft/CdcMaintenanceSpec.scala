@@ -43,6 +43,34 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(pagesMap(table.pages()) == golden)
   }
 
+  test("compaction output carries a parquet bloom filter on url (row-group point pruning)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 6).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "b", i.toLong,
+        createBuckets = 4)
+    }
+    table.compact(maxFilesPerBucket = 1)
+    val snap = table.currentSnapshot.get
+    val f = snap.files.head
+    // a url that lives in this file (files are bucket-partitioned on urlhash)
+    val present = table.readFiles(snap, Seq(f), table.currentFileSchema(snap))
+      .select("url").head().getString(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.path), conf))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val colMeta = block.getColumns.asScala.find(_.getPath.toDotString == "url").get
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(colMeta)
+      assert(bloom != null, "compacted file must carry a url bloom filter")
+      assert(bloom.findHash(bloom.hash(Binary.fromString(present))))
+    } finally reader.close()
+  }
+
   test("needs_resolve: set by appends, cleared by full compaction; COW never sets it") {
     val mor = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

@@ -105,19 +105,26 @@ object Web {
 
   /** RFC 3986 §5.3 remove_dot_segments over an absolute path, as a pure
     * Column fold (string accumulator — `aggregate` over the `/`-split
-    * segments: `..` pops a component, `.` and empty segments collapse,
-    * anything else appends). A trailing `/`, `/.` or `/..` keeps the
-    * directory form (`…/`), matching the RFC reference algorithm; `..` at
-    * the root is a no-op. Verified against the full §5.4 example set in
+    * segments: `..` pops a component, `.` collapses, anything else —
+    * including empty segments, which §5.3 preserves ("/a//b" stays) —
+    * appends). The leading pre-slash split artifact is dropped; a trailing
+    * `/.` or `/..` keeps the directory form (`…/`), matching the RFC
+    * reference algorithm (a plain trailing `/` survives naturally as a
+    * preserved empty segment); `..` at the root is a no-op. Verified
+    * against the full §5.4 example set plus empty-segment vectors in
     * WebSpec.
     */
   private[graft] def removeDotSegments(p: Column): Column = {
-    val folded = aggregate(split(p, "/"), lit(""),
+    val segs = split(p, "/")
+    // drop split's first element — the input is an absolute path ("/…"),
+    // so segs(0) is always the empty pre-slash piece, not a real segment
+    val rest = slice(segs, lit(2), greatest(size(segs) - 1, lit(0)))
+    val folded = aggregate(rest, lit(""),
       (acc: Column, s: Column) =>
-        when(s === "" || s === ".", acc)
+        when(s === ".", acc)
           .when(s === "..", regexp_replace(acc, "/[^/]*$", ""))
           .otherwise(concat(acc, lit("/"), s)))
-    val dirForm = p.rlike("(/|/\\.|/\\.\\.)$")
+    val dirForm = p.rlike("(/\\.|/\\.\\.)$")
     when(dirForm, concat(folded, lit("/")))
       .otherwise(when(folded === "", lit("/")).otherwise(folded))
   }
@@ -139,11 +146,22 @@ object Web {
     val baseDir = regexp_replace(basePath, "[^/]*$", "")
     val hPath = regexp_replace(noFrag, "\\?.*$", "")
     val hQuery = regexp_extract(noFrag, "(\\?[^#]*)", 1)
+    // network-path reference (§5.2.2): new authority from the href, base
+    // scheme, and — like every other relative form — dot segments removed
+    // from the href's own path (empty path stays empty: "//g" → "scheme://g")
+    val netAuth = regexp_extract(noFrag, "^(//[^/?#]*)", 1)
+    val netPath = regexp_extract(noFrag, "^//[^/?#]*([^?#]*)", 1)
     when(noFrag === "", concat(scheme, authority, basePath0,
         regexp_extract(base, "(\\?[^#]*)", 1)))
       .when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
-      .when(noFrag.startsWith("//"), concat(scheme, lit(":"), noFrag))
-      .when(noFrag.startsWith("?"), concat(scheme, authority, basePath, noFrag))
+      .when(noFrag.startsWith("//"),
+        concat(scheme, lit(":"), netAuth,
+          when(netPath === "", lit("")).otherwise(removeDotSegments(netPath)),
+          hQuery))
+      // query-only href keeps the base path VERBATIM (§5.2.2: T.path =
+      // Base.path) — an empty base path stays empty, same as the
+      // empty-href branch above
+      .when(noFrag.startsWith("?"), concat(scheme, authority, basePath0, noFrag))
       .when(noFrag.startsWith("/"),
         concat(scheme, authority, removeDotSegments(hPath), hQuery))
       .otherwise(
@@ -151,16 +169,43 @@ object Web {
           removeDotSegments(concat(baseDir, hPath)), hQuery))
   }
 
-  /** Extract `<a href="…">anchor</a>` pairs from an HTML string as
+  /** HTML entity decode for attribute values — the five XML built-ins plus
+    * `&#39;`, `&amp;` last so `&amp;lt;` does not double-decode (same
+    * ordering as `Text.extractText` / `Sitemap.entityDecode`).
+    */
+  private def entityDecode(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+
+  /** Extract `<a href=…>anchor</a>` pairs from an HTML string as
     * `array<struct<href:string, anchor:string>>` — the link-graph edge
     * emitter ([[graft.ops.Rank.pagerank]] consumes the resolved edges).
-    * Anchors are tag-stripped and whitespace-collapsed; the regex stays in
-    * the Java∩RE2 subset (lazy quantifiers, no backreferences) so the DuckDB
-    * oracle runs the identical pattern.
+    *
+    * `href` must be a real attribute (whitespace-preceded, so `data-href`
+    * never matches) and may be double-quoted, single-quoted, or unquoted —
+    * all three are valid HTML and common in crawl data. Values are
+    * entity-decoded (`&amp;` is the REQUIRED encoding of `&` in valid HTML
+    * attributes, so `?a=1&amp;b=2` must resolve to `?a=1&b=2`). Anchors are
+    * tag-stripped and whitespace-collapsed. The regex stays in the Java∩RE2
+    * subset (lazy quantifiers, no backreferences or lookaround) so the
+    * DuckDB oracle can run the identical pattern.
     */
   def extractLinks(html: Column): Column = {
-    val pat = "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
-    val hrefs = regexp_extract_all(html, lit(pat), lit(1))
+    // `<a(?:\s[^>]*?)?\shref` — href needs whitespace immediately before it,
+    // either the one after `<a` or one inside the attribute run; `data-href`
+    // has `-` there and cannot match
+    val pat = "(?is)<a(?:\\s[^>]*?)?\\shref\\s*=\\s*" +
+      "(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>(.*?)</a>"
+    val hrefs = transform(regexp_extract_all(html, lit(pat), lit(1)),
+      h => entityDecode(
+        regexp_replace(h, "(?s)^\"(.*)\"$|(?s)^'(.*)'$", "$1$2")))
     val anchors = transform(regexp_extract_all(html, lit(pat), lit(2)),
       a => trim(regexp_replace(regexp_replace(a, "<[^>]*>", " "), "\\s+", " ")))
     zip_with(hrefs, anchors,

@@ -192,18 +192,29 @@ object Pipe {
       deduplicate_(groupKeys, order, n)
 
     /** Crawl-frontier politeness scheduling: within each host, queue URLs in
-      * `order` and space fetches `delayMs` apart — `slot` (0-based per-host
-      * fetch position) and `not_before_ms` (earliest fetch offset). A
-      * per-host window is semantically matched here, NOT a skew accident: a
-      * host's queue is crawled serially by definition, and real frontiers
+      * `order` and space fetches `delayMs` apart — `slotName` (0-based
+      * per-host fetch position) and `notBeforeName` (earliest fetch offset).
+      * Ties in `order` are broken by a hash of the full row, so slots are
+      * deterministic (replayable) for any input; rows identical in every
+      * column are interchangeable, so the output SET is stable even then.
+      * Output columns that already exist are an error, not a silent clobber.
+      * A per-host window is semantically matched here, NOT a skew accident:
+      * a host's queue is crawled serially by definition, and real frontiers
       * bound the per-host queue first (compose with [[taste_]] for a
       * per-host budget), so no partition exceeds the crawl budget.
       */
     def frontierSchedule_(hostCol: Column, order: Seq[Column],
-        delayMs: Long): DataFrame = {
-      val w = Window.partitionBy(hostCol).orderBy(order: _*)
-      df.withColumn("slot", row_number().over(w).cast("long") - 1L)
-        .withColumn("not_before_ms", col("slot") * lit(delayMs))
+        delayMs: Long, slotName: String = "slot",
+        notBeforeName: String = "not_before_ms"): DataFrame = {
+      Seq(slotName, notBeforeName).foreach { n =>
+        require(!df.columns.contains(n),
+          s"frontierSchedule_: output column '$n' already exists — rename it" +
+            " or pass a different slotName/notBeforeName")
+      }
+      val tiebreak = xxhash64(df.columns.map(col).toSeq: _*)
+      val w = Window.partitionBy(hostCol).orderBy(order :+ tiebreak: _*)
+      df.withColumn(slotName, row_number().over(w).cast("long") - 1L)
+        .withColumn(notBeforeName, col(slotName) * lit(delayMs))
     }
 
     /** `top field` — most frequent values (reference `top_rare.cpp:78-113`;

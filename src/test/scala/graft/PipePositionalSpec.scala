@@ -155,4 +155,24 @@ class PipePositionalSpec extends SparkSpec {
       ("a.com", 1L, 0L, 0L), ("a.com", 2L, 1L, 500L), ("a.com", 3L, 2L, 1000L),
       ("b.com", 9L, 0L, 0L)))
   }
+
+  test("frontierSchedule_: deterministic under order-key ties; clobber is an error") {
+    // three rows tie on pri — the full-row hash tiebreak must give the same
+    // slot assignment on every run / partitioning
+    val urls = Seq(
+      ("a.com", 1L, "u1"), ("a.com", 1L, "u2"), ("a.com", 1L, "u3"))
+      .toDF("host", "pri", "url")
+    def run() = urls.repartition(3)
+      .frontierSchedule_(col("host"), Seq(col("pri")), delayMs = 100L)
+      .select("url", "slot").as[(String, Long)].collect().toMap
+    val first = run()
+    assert((1 to 3).forall(_ => run() == first))
+    assert(first.values.toSet == Set(0L, 1L, 2L))
+    // existing output column name → error, not a silent overwrite
+    val ex = intercept[IllegalArgumentException] {
+      urls.withColumn("slot", lit(99L))
+        .frontierSchedule_(col("host"), Seq(col("pri")), delayMs = 100L)
+    }
+    assert(ex.getMessage.contains("slot"))
+  }
 }

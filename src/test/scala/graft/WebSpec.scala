@@ -280,7 +280,15 @@ class WebSpec extends SparkSpec {
       "g;x=1/../y" -> "http://a/b/c/y",
       // scheme'd hrefs pass through
       "http:g" -> "http:g",
-      "mailto:x@y.z" -> "mailto:x@y.z")
+      "mailto:x@y.z" -> "mailto:x@y.z",
+      // empty path segments are preserved (§5.3 only removes "." / "..")
+      "/x//y" -> "http://a/x//y",
+      "x//y" -> "http://a/b/c/x//y",
+      "/x//../y" -> "http://a/x/y",
+      // network-path references get dot-segment removal too (§5.2.2)
+      "//g/h/../i" -> "http://g/i",
+      "//g/./h" -> "http://g/h",
+      "//g/h/.." -> "http://g/")
     val got = vectors.map(_._1).toDF("href")
       .select(col("href"), Web.resolveUrl(lit(base), col("href")).as("r"))
       .as[(String, String)].collect().toMap
@@ -289,13 +297,36 @@ class WebSpec extends SparkSpec {
     }
   }
 
-  test("extractLinks: href/anchor pairs, nested tags, multiline, entities stay raw") {
+  test("resolveUrl: double-slash base paths and empty-base-path edge cases") {
+    val got = Seq(
+      ("https://h/a//b/index.html", "x"),      // '//' in the BASE dir survives
+      ("https://h/a//b/index.html", "/x//y"),  // and in the href path
+      ("http://a", "?y"),                      // query-only, empty base path
+      ("http://a", ""),                        // empty href, empty base path
+      ("http://a", "g"))                       // merge onto empty base path
+      .toDF("base", "href")
+      .select(Web.resolveUrl(col("base"), col("href")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "https://h/a//b/x",
+      "https://h/x//y",
+      "http://a?y",   // §5.2.2 keeps the base path verbatim — no phantom '/'
+      "http://a",
+      "http://a/g"))
+  }
+
+  test("extractLinks: quote styles, data-href exclusion, entity decode, nesting") {
     val html =
       """<html><body>
         |<a href="/one" class="x">First <b>bold</b> link</a>
         |<p><a id="z" href="sub/two.html">second
         |link</a></p>
         |<a href="#frag">frag only</a>
+        |<a href='/single'>single quoted</a>
+        |<a href=/unquoted>bare</a>
+        |<a data-href="/tracker" href="/real">attr suffix</a>
+        |<a data-href="/phantom">no real href</a>
+        |<a href="/p?a=1&amp;b=2">entities</a>
         |<img src="/not-a-link.png">
         |</body></html>""".stripMargin
     val out = Seq(html).toDF("h")
@@ -304,6 +335,10 @@ class WebSpec extends SparkSpec {
     assert(out == Seq(
       ("/one", "First bold link"),
       ("sub/two.html", "second link"),
-      ("#frag", "frag only")))
+      ("#frag", "frag only"),
+      ("/single", "single quoted"),
+      ("/unquoted", "bare"),
+      ("/real", "attr suffix"),        // href=, not data-href=
+      ("/p?a=1&b=2", "entities")))     // &amp; decoded; /phantom absent
   }
 }

@@ -7,7 +7,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 import graft.core.Schemas
 
@@ -295,6 +295,81 @@ class LakeTable(val spark: SparkSession, val root: String,
     val hit = readFiles(snap, files, currentFileSchema(snap))
       .filter(col("url") === lit(url))
     (if (needsResolve(snap)) resolve(hit) else hit).filter(!col("_deleted"))
+  }
+
+  /** Snapshot-diff changelog — the downstream-consumption half of CDC (the
+    * Iceberg incremental/changelog scan, Delta CDF analogue): one row per
+    * url whose LIVE state differs between two committed versions, with
+    * `change_type` ("insert" | "update" | "delete"), the user columns
+    * (post-image for insert/update, pre-image for delete), and `lsn` — the
+    * event that created the emitted state (for deletes, the tombstone's
+    * lsn while it is still retained; after tombstone GC, the pre-image's).
+    * A consumer that merges these rows into a copy of pages(fromVersion)
+    * reconverges to pages(toVersion) exactly.
+    *
+    * Scale shape: candidate urls come only from files ADDED or REMOVED
+    * between the versions, so untouched buckets are never scanned — both
+    * sides read bucket-pruned file sets, restrict to candidates with a
+    * semi join (broadcast when the change set is small), LWW-resolve, and
+    * classify with one url-keyed join that reuses the resolve's hash
+    * partitioning. A compaction inside the range adds+removes files whose
+    * row winners carry identical (_lsn, _wal_part), so it emits nothing —
+    * the changelog reflects committed DATA changes, not file layout.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val sFrom = snapshotAt(fromVersion)
+    val sTo = snapshotAt(toVersion)
+    val target = currentFileSchema(sTo) // evolution: both sides align to TO
+    val sys = Schemas.systemColumns.map(_.name).toSet
+    val userCols = target.fields.map(_.name)
+      .filterNot(c => sys.contains(c) || c == "url").toSeq
+    val outSchema = StructType(
+      StructField("change_type", StringType, nullable = false) +:
+        (target.fields.filter(f => f.name == "url" || userCols.contains(f.name))
+          :+ StructField("lsn", LongType)))
+
+    val fromPaths = sFrom.files.map(_.path).toSet
+    val toPaths = sTo.files.map(_.path).toSet
+    val added = sTo.files.filterNot(f => fromPaths.contains(f.path))
+    val removed = sFrom.files.filterNot(f => toPaths.contains(f.path))
+    if (added.isEmpty && removed.isEmpty) return emptyDf(outSchema)
+
+    // bucket pruning: only buckets that gained or lost a file can differ
+    // (bucket -1 = L0 spanning file → every bucket is a candidate)
+    val touched = (added ++ removed).map(_.bucket).toSet
+    val bucketsOpt = if (touched.contains(-1)) None else Some(touched)
+    val cand = readFiles(sTo, added, target).select("url")
+      .unionByName(readFiles(sFrom, removed, target).select("url"))
+      .distinct()
+
+    def side(snap: Snapshot, p: String): DataFrame = {
+      val raw = readFiles(snap, planFiles(snap, buckets = bucketsOpt), target)
+        .join(cand, Seq("url"), "left_semi")
+      val one = if (needsResolve(snap)) resolve(raw) else raw
+      one.select(col("url") +:
+        (userCols ++ Seq("_deleted", "_lsn", "_wal_part"))
+          .map(c => col(c).as(s"$p$c")): _*)
+    }
+    val j = side(sFrom, "pre_").join(side(sTo, "post_"), Seq("url"), "full_outer")
+
+    val preLive = coalesce(!col("pre__deleted"), lit(false))
+    val postLive = coalesce(!col("post__deleted"), lit(false))
+    val sameWinner = col("pre__lsn") === col("post__lsn") &&
+      col("pre__wal_part") === col("post__wal_part")
+    val isDelete = preLive && !postLive
+    val changed = (!preLive && postLive) || isDelete ||
+      (preLive && postLive && !sameWinner)
+    j.filter(changed)
+      .select(
+        when(isDelete, lit("delete"))
+          .when(!preLive, lit("insert"))
+          .otherwise(lit("update")).as("change_type") +:
+          col("url") +:
+          userCols.map(c =>
+            when(isDelete, col(s"pre_$c")).otherwise(col(s"post_$c")).as(c)) :+
+          coalesce(col("post__lsn"), col("pre__lsn")).as("lsn"): _*)
   }
 
   // -------------------------------------------------------------------- write

@@ -325,6 +325,31 @@ object MLQueries {
         }
         table.pages().select(col("url"), col("text"), col("lang"))
       } finally env.unpersist()
+    }),
+
+    // snapshot-diff changelog (CDC *output*: Iceberg incremental scan /
+    // Delta CDF analogue) — replay the WAL as raw MOR appends, then diff the
+    // version after batch 1 against the final version; the oracle recomputes
+    // both LWW states relationally and classifies
+    "q_cdc_changes" -> ((s, d) => {
+      val env = envelope(t(s, d, "events")).cache()
+      try {
+        val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
+        val step = math.max(1L, maxLsn / 4 + 1)
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-changes"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+        val table = new LakeTable(s, s"$work/lake")
+        var vFrom = -1L
+        (0L to maxLsn / step).foreach { b =>
+          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          CdcApply.applyBatchAppendRaw(table, batch, "q_chg", b, createBuckets = 16)
+          if (b == 1L) vFrom = table.currentSnapshot.get.version
+        }
+        val vTo = table.currentSnapshot.get.version
+        table.changes(vFrom, vTo)
+          .select(col("change_type"), col("url"), col("text"), col("lang"),
+            col("lsn"))
+      } finally env.unpersist()
     })
   )
 
@@ -647,6 +672,40 @@ object MLQueries {
       """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
         |  max_by(event_type, event_id) AS lang
         |FROM events GROUP BY 1
-        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
+
+    // twin of q_cdc_changes: LWW state at lsn < 2*step (the version after
+    // batch 1; step mirrors the Spark-side maxLsn/4+1 with truncating
+    // division on non-negative lsns) vs the final LWW state, classified
+    "q_cdc_changes" ->
+      """WITH e AS (SELECT event_id AS lsn,
+        |    concat('u', CAST(user_id AS VARCHAR)) AS url,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS lang
+        |  FROM events),
+        |bnd AS (SELECT max(event_id) // 4 + 1 AS step FROM events),
+        |s1 AS (SELECT url, max_by(text, lsn) AS text, max_by(lang, lsn) AS lang,
+        |    max_by(op, lsn) AS op, max(lsn) AS lsn
+        |  FROM e, bnd WHERE lsn < 2 * step GROUP BY url),
+        |s2 AS (SELECT url, max_by(text, lsn) AS text, max_by(lang, lsn) AS lang,
+        |    max_by(op, lsn) AS op, max(lsn) AS lsn
+        |  FROM e GROUP BY url),
+        |j AS (SELECT coalesce(s1.url, s2.url) AS url,
+        |    (s1.url IS NOT NULL AND s1.op <> 'D') AS live1,
+        |    (s2.url IS NOT NULL AND s2.op <> 'D') AS live2,
+        |    s1.lsn AS lsn1, s2.lsn AS lsn2,
+        |    s1.text AS t1, s2.text AS t2, s1.lang AS g1, s2.lang AS g2
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.url = s2.url)
+        |SELECT CASE WHEN NOT live1 AND live2 THEN 'insert'
+        |            WHEN live1 AND NOT live2 THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |  url,
+        |  CASE WHEN live1 AND NOT live2 THEN t1 ELSE t2 END AS text,
+        |  CASE WHEN live1 AND NOT live2 THEN g1 ELSE g2 END AS lang,
+        |  CAST(lsn2 AS BIGINT) AS lsn
+        |FROM j
+        |WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
+        |   OR (live1 AND live2 AND lsn1 <> lsn2)""".stripMargin
   )
 }

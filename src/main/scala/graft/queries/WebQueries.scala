@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Pii, Text, Web}
-import graft.ops.{Dedup, Dsir, Python, Rank}
+import graft.ops.{Bpe, Dedup, Dsir, Python, Rank}
 import graft.ops.Pipe._
 
 /** Driver-checked query catalog, part 3: URL canonicalization, repetition /
@@ -299,6 +299,12 @@ object WebQueries {
         bands = 16, rows = 2, threshold = 0.5)
     }),
 
+    // ------------------- BPE tokenizer training (distributed merge loop)
+    // 6 merges over the corpus vocabulary; the oracle unrolls the identical
+    // iteration (pair count → argmax with lexicographic tiebreak → one-pass
+    // literal replace) as a CTE chain, the q_pagerank pattern
+    "q_bpe" -> ((s, d) => Bpe.train(t(s, d, "documents"), "text", numMerges = 6)),
+
     // -------------------------------------- `python` escape hatch (§2.8)
     // the subprocess interpreter is the operator under test; the oracle
     // recomputes its arithmetic + filter relationally. A deterministic 1-in-10
@@ -509,6 +515,37 @@ object WebQueries {
          |  ON a.wh = b.wh AND a.doc_id < b.doc_id
          |  WHERE a.wh IN (SELECT wh FROM ok))
          |SELECT id_a, id_b, count(*) AS shared_windows FROM p GROUP BY id_a, id_b""".stripMargin,
+
+    // twin of Bpe.train(numMerges=6): the same merge loop unrolled — per
+    // iteration, adjacent-symbol pair counts weighted by word freq, argmax
+    // with (count desc, pair asc) tiebreak, then a one-pass literal replace
+    // on the space-guarded segmentation string (replace() scans left-to-
+    // right non-overlapping in both engines)
+    "q_bpe" -> {
+      val iters = (1 to 6).map { i =>
+        s"""p$i AS (SELECT unnest(list_transform(generate_series(1, len(sym) - 1),
+           |      j -> sym[j] || ' ' || sym[j+1])) AS pair, freq
+           |  FROM (SELECT string_split(trim(seg), ' ') AS sym, freq FROM s${i - 1})),
+           |c$i AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM p$i GROUP BY 1),
+           |b$i AS (SELECT CAST($i AS BIGINT) AS rank, pair, c FROM c$i
+           |        ORDER BY c DESC, pair LIMIT 1),
+           |s$i AS (SELECT freq, replace(seg,
+           |    ' ' || (SELECT pair FROM b$i) || ' ',
+           |    ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS seg
+           |  FROM s${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT unnest($NormToks) AS word FROM documents),
+         |w AS (SELECT word, count(*) AS freq FROM t GROUP BY 1),
+         |s0 AS (SELECT freq,
+         |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seg
+         |  FROM w),
+         |$iters
+         |SELECT rank, split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs,
+         |  c AS pair_count
+         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+         |  UNION ALL SELECT * FROM b4 UNION ALL SELECT * FROM b5
+         |  UNION ALL SELECT * FROM b6)""".stripMargin
+    },
 
     "q_python" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -71,6 +71,79 @@ class CdcMaintenanceSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("changes(): insert/update/delete classification between two versions") {
+    import java.sql.Timestamp
+    val table = new LakeTable(spark, tmpDir())
+    val ts = new Timestamp(1704067200000L)
+    def ev(op: String, lsn: Long, url: String, text: String): GenEvent =
+      GenEvent(op, lsn, (lsn % 4).toInt, url, ts,
+        if (op == "D") null else text.getBytes("UTF-8"),
+        if (op == "D") null else text, if (op == "D") null else "en", 0L)
+    CdcApply.applyBatch(table, spark.createDataset(Seq(
+      ev("I", 1, "u1", "a1"), ev("I", 2, "u2", "b1"), ev("I", 3, "u3", "c1")
+    )).toDF(), "c", 0L, createBuckets = 4)
+    val vFrom = table.currentSnapshot.get.version
+    CdcApply.applyBatch(table, spark.createDataset(Seq(
+      ev("U", 10, "u2", "b2"), ev("D", 11, "u3", null), ev("I", 12, "u4", "d1")
+    )).toDF(), "c", 1L, createBuckets = 4)
+    val vTo = table.currentSnapshot.get.version
+
+    val got = table.changes(vFrom, vTo)
+      .select("change_type", "url", "text", "lsn")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("update", "u2", "b2", 10L),
+      ("delete", "u3", "c1", 11L),   // pre-image values, tombstone lsn
+      ("insert", "u4", "d1", 12L)))  // u1 untouched → absent
+    // self-diff and the empty range are empty
+    assert(table.changes(vTo, vTo).isEmpty)
+    assert(table.changes(vFrom, vFrom).isEmpty)
+  }
+
+  test("changes(): merging the changelog onto pages(from) reconverges to pages(to)") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 3)
+    groups.zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "m", i.toLong,
+        createBuckets = 8)
+      if (i == 1) () // vMid captured below via lineage-independent snapshot read
+    }
+    val vTo = table.currentSnapshot.get.version
+    val vMid = vTo - (groups.size - 2) // version after batch 1 (one commit per batch)
+    val before = pagesMap(table.pages(table.snapshotAt(vMid)))
+    val changelog = table.changes(vMid, vTo).collect()
+    val merged = changelog.foldLeft(before) { (acc, r) =>
+      val url = r.getAs[String]("url")
+      if (r.getAs[String]("change_type") == "delete") acc - url
+      else {
+        val html = r.getAs[Array[Byte]]("html")
+        acc + (url -> (r.getAs[String]("text"), r.getAs[String]("lang"),
+          r.getAs[java.sql.Timestamp]("warc_ts").getTime,
+          if (html == null) 0 else java.util.Arrays.hashCode(html)))
+      }
+    }
+    assert(merged == pagesMap(table.pages(table.snapshotAt(vTo))))
+    // every url in the changelog actually differs between the two states
+    val after = pagesMap(table.pages(table.snapshotAt(vTo)))
+    changelog.foreach { r =>
+      val url = r.getAs[String]("url")
+      assert(before.get(url) != after.get(url), s"$url emitted but unchanged")
+    }
+  }
+
+  test("changes(): compaction inside the range emits nothing (layout, not data)") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 6).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "k", i.toLong,
+        createBuckets = 4)
+    }
+    val vBefore = table.currentSnapshot.get.version
+    table.compact(maxFilesPerBucket = 1)
+    val vAfter = table.currentSnapshot.get.version
+    assert(vAfter > vBefore)
+    assert(table.changes(vBefore, vAfter).isEmpty)
+  }
+
   test("needs_resolve: set by appends, cleared by full compaction; COW never sets it") {
     val mor = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

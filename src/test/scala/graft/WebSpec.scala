@@ -315,6 +315,25 @@ class WebSpec extends SparkSpec {
       "http://a/g"))
   }
 
+  test("Bpe.train: hand-computed merge sequence; segment applies merges in order") {
+    import graft.ops.Bpe
+    // vocab: aaab (freq 2), ab (freq 1)
+    // iter1: pairs {a a: 4, a b: 3}            → merge (a,a)  count 4
+    //        one-pass replace: "a a a b" → "aa a b" (shared-boundary defer)
+    // iter2: pairs {aa a: 2, a b: 3}           → merge (a,b)  count 3
+    // iter3: pairs {aa ab: 2}                  → merge (aa,ab) count 2
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = Bpe.train(docs, "text", numMerges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+
+    val seg = Bpe.segment(Seq("aaab", "ab", "aab").toDF("w"), "w",
+      Seq("a" -> "a", "a" -> "b", "aa" -> "ab"))
+      .select("w", "bpe_tokens").as[(String, String)].collect().toMap
+    assert(seg == Map("aaab" -> "aaab", "ab" -> "ab", "aab" -> "aa b"))
+  }
+
   test("extractLinks: quote styles, data-href exclusion, entity decode, nesting") {
     val html =
       """<html><body>

@@ -169,6 +169,26 @@ object Web {
           removeDotSegments(concat(baseDir, hPath)), hQuery))
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the canonical form
+    * web-archive CDX indexes sort and prefix-scan by (Heritrix/Common-Crawl
+    * `urlkey` convention): host lowercased, a leading `www.` stripped,
+    * labels REVERSED and comma-joined, then `)`, the lowercased path (`/`
+    * when absent), and the query with its params SORTED (so equivalent
+    * urls with permuted params collide). Prefix-scanning `com,example)`
+    * yields a whole domain — the property that makes the key the right
+    * range-partitioning key for crawl indexes at scale.
+    */
+  def surtKey(u: Column): Column = {
+    val host = regexp_replace(urlHost(u), "^www\\.", "")
+    val rev = array_join(reverse(split(host, "\\.")), ",")
+    val path = lower(urlPath(u))
+    val q = lower(urlQuery(u))
+    val qPart = when(q === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    concat(rev, lit(")"),
+      when(path === "", lit("/")).otherwise(path), qPart)
+  }
+
   /** HTML entity decode for attribute values — the five XML built-ins plus
     * `&#39;`, `&amp;` last so `&amp;lt;` does not double-decode (same
     * ordering as `Text.extractText` / `Sitemap.entityDecode`).

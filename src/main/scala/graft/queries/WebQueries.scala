@@ -299,6 +299,39 @@ object WebQueries {
         bands = 16, rows = 2, threshold = 0.5)
     }),
 
+    // ----------------------- SURT urlkey (CDX sort/prefix-scan canonical)
+    "q_surt" -> ((s, d) => {
+      val u = urlExpr
+      t(s, d, "events").select(col("event_id"), u.as("url"),
+        Web.surtKey(u).as("urlkey"))
+    }),
+
+    // ------------------- CDXJ index lines: print → parse roundtrip, with
+    // every parsed field independently re-derived by the oracle
+    "q_cdx" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit("/Docs/"),
+        col("doc_id").cast("string"), lit("?b=2&a=1"))
+      val ts14 = concat(lit("202601"),
+        lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+        lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"),
+        lit("3015"))
+      val line = graft.formats.Cdx.printCdxj(
+        url, ts14,
+        (lit(200) + pmod(col("doc_id"), lit(2))).cast("int"),
+        lit("text/html"),
+        Text.fingerprintMd5(col("text")),
+        length(col("text")).cast("long"),
+        col("doc_id") * 1024L,
+        concat(lit("crawl-"), pmod(col("doc_id"), lit(10)).cast("string"),
+          lit(".warc.gz")))
+      t(s, d, "documents").select(col("doc_id"), line.as("line"))
+        .select(col("doc_id"), col("line"),
+          graft.formats.Cdx.parseCdxj(col("line")).as("c"))
+        .select(col("doc_id"), col("line"), col("c.urlkey"), col("c.ts"),
+          col("c.url"), col("c.status"), col("c.mime"), col("c.digest"),
+          col("c.length"), col("c.offset"), col("c.filename"))
+    }),
+
     // ------------------- BPE tokenizer training (distributed merge loop)
     // 6 merges over the corpus vocabulary; the oracle unrolls the identical
     // iteration (pair count → argmax with lexicographic tiebreak → one-pass
@@ -515,6 +548,53 @@ object WebQueries {
          |  ON a.wh = b.wh AND a.doc_id < b.doc_id
          |  WHERE a.wh IN (SELECT wh FROM ok))
          |SELECT id_a, id_b, count(*) AS shared_windows FROM p GROUP BY id_a, id_b""".stripMargin,
+
+    // twin of q_surt: host/path/query via the q_urlfns regexes, then the
+    // identical reverse-join / param-sort construction
+    "q_surt" ->
+      s"""WITH u AS (SELECT event_id, $UrlSql AS url FROM events),
+         |p AS (SELECT event_id, url,
+         |  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)), '^www\\.', '') AS host,
+         |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)) AS path,
+         |  lower(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1)) AS q
+         |  FROM u)
+         |SELECT event_id, url,
+         |  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+         |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+         |  (CASE WHEN q = '' THEN '' ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+         |  AS urlkey
+         |FROM p""".stripMargin,
+
+    // twin of q_cdx: the line string and every parsed field re-derived from
+    // the documents table directly (print∘parse must equal the derivation)
+    "q_cdx" ->
+      """WITH b AS (SELECT doc_id, source, text,
+        |    'https://' || source || '/Docs/' || CAST(doc_id AS VARCHAR) || '?b=2&a=1' AS url,
+        |    '202601' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '3015' AS ts14,
+        |    CAST(200 + doc_id % 2 AS INT) AS status,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(doc_id * 1024 AS BIGINT) AS off,
+        |    'crawl-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS filename
+        |  FROM documents),
+        |k AS (SELECT *,
+        |    array_to_string(list_reverse(string_split(
+        |      regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)), '^www\.', ''), '.')), ',')
+        |    || ')' || lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1))
+        |    || '?' || array_to_string(list_sort(string_split(lower(regexp_extract(url, '^[^#]*?\?([^#]*)', 1)), '&')), '&')
+        |    AS urlkey
+        |  FROM b)
+        |SELECT doc_id,
+        |  urlkey || ' ' || ts14 || ' {"url": "' || url ||
+        |    '", "mime": "text/html", "status": "' || CAST(status AS VARCHAR) ||
+        |    '", "digest": "' || digest ||
+        |    '", "length": "' || CAST(len AS VARCHAR) ||
+        |    '", "offset": "' || CAST(off AS VARCHAR) ||
+        |    '", "filename": "' || filename || '"}' AS line,
+        |  urlkey, strptime(ts14, '%Y%m%d%H%M%S') AS ts, url, status,
+        |  'text/html' AS mime, digest, len AS length, off AS offset, filename
+        |FROM k""".stripMargin,
 
     // twin of Bpe.train(numMerges=6): the same merge loop unrolled — per
     // iteration, adjacent-symbol pair counts weighted by word freq, argmax

@@ -315,6 +315,19 @@ class WebSpec extends SparkSpec {
       "http://a/g"))
   }
 
+  test("surtKey: reversed host, www strip, lowercased path, sorted params") {
+    val vectors = Seq(
+      "https://www.Example.COM/Docs/A?b=2&a=1" -> "com,example)/docs/a?a=1&b=2",
+      "http://sub.site.co.uk/x" -> "uk,co,site,sub)/x",
+      "https://example.org" -> "org,example)/",
+      "http://www.single/?z=1&y=2&y=1" -> "single)/?y=1&y=2&z=1",
+      "https://example.net:8080/P" -> "net,example)/p")
+    val got = vectors.map(_._1).toDF("u")
+      .select(col("u"), graft.functions.Web.surtKey(col("u")).as("k"))
+      .as[(String, String)].collect().toMap
+    vectors.foreach { case (u, want) => assert(got(u) == want, u) }
+  }
+
   test("Bpe.train: hand-computed merge sequence; segment applies merges in order") {
     import graft.ops.Bpe
     // vocab: aaab (freq 2), ab (freq 1)

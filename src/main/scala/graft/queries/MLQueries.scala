@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.CdcApply
 import graft.functions.Text
 import graft.lake.LakeTable
-import graft.ops.{Chunk, Cluster, Dedup, Multimodal, Similarity}
+import graft.ops.{Chunk, Cluster, Dedup, Multimodal, Pq, Similarity}
 
 /** Driver-checked query catalog, part 2: web-scale training-data operators
   * (dedup family, similarity search, text analysis, multimodal plumbing) and
@@ -201,6 +201,15 @@ object MLQueries {
       Similarity.kmeans(t(s, d, "embeddings"), "embedding", "vec_id",
           k = 4, iterations = 3)._1
         .select(col("id").as("vec_id"), col("cluster"))),
+
+    // product quantization: per-subspace integer-kmeans codebooks (m=4,
+    // k=4, 2 rounds) + one-scan encode — codes and integer reconstruction
+    // error, all replayed relationally by the oracle
+    "q_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val books = Pq.fit(emb, "embedding", "vec_id", m = 4, k = 4, iterations = 2)
+      Pq.encode(emb, "embedding", "vec_id", books)
+    }),
 
     // ----------------------------------------------------- text analysis
     "q_text_quality" -> ((s, d) =>
@@ -424,6 +433,54 @@ object MLQueries {
          |${assign(4)}
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a4""".stripMargin
     },
+    // mirror of Pq.fit(m=4, k=4, 2 rounds) + Pq.encode: the q_kmeans
+    // unrolled-kmeans pattern replayed per SUBSPACE (embedding[lo:hi]),
+    // final assignment also carries the min distance → codes + recon_err
+    "q_pq" -> {
+      val (m, k, sub, iters) = (4, 4, 16, 2)
+      def subspace(s: Int): String = {
+        val lo = s * sub + 1
+        val hi = (s + 1) * sub
+        def assign(i: Int) =
+          s"""a${s}_$i AS (
+             |  SELECT vec_id, any_value(qv) AS qv,
+             |    (min({'d': d, 'c': cid})).c AS cluster,
+             |    (min({'d': d, 'c': cid})).d AS dist
+             |  FROM (SELECT q.vec_id, q.qv, c.cid,
+             |          list_sum(list_transform(generate_series(1, $sub),
+             |            j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS d
+             |        FROM q$s q, c${s}_${i - 1} c)
+             |  GROUP BY vec_id)""".stripMargin
+        def update(i: Int) =
+          s"""c${s}_$i AS (
+             |  SELECT c${s}_${i - 1}.cid, COALESCE(n.cv, c${s}_${i - 1}.cv) AS cv
+             |  FROM c${s}_${i - 1} LEFT JOIN (
+             |    SELECT cluster AS cid, list(mm ORDER BY j) AS cv
+             |    FROM (SELECT cluster, j, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mm
+             |          FROM (SELECT cluster, unnest(qv) AS v,
+             |                  unnest(generate_series(1, $sub)) AS j FROM a${s}_$i)
+             |          GROUP BY 1, 2)
+             |    GROUP BY 1) n ON c${s}_${i - 1}.cid = n.cid)""".stripMargin
+        val rounds = (1 to iters).map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
+        s"""q$s AS (SELECT vec_id,
+           |    list_transform(embedding[$lo:$hi],
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1024 + 4096) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |c${s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+           |       FROM (SELECT * FROM q$s ORDER BY vec_id LIMIT $k)),
+           |$rounds,
+           |${assign(iters + 1)}""".stripMargin
+      }
+      val f = iters + 1
+      s"""WITH ${(0 until m).map(subspace).mkString(",\n")}
+         |SELECT s0.vec_id,
+         |  CAST(s0.cluster AS BIGINT) AS code0, CAST(s1.cluster AS BIGINT) AS code1,
+         |  CAST(s2.cluster AS BIGINT) AS code2, CAST(s3.cluster AS BIGINT) AS code3,
+         |  CAST(s0.dist + s1.dist + s2.dist + s3.dist AS BIGINT) AS recon_err
+         |FROM a0_$f s0 JOIN a1_$f s1 USING (vec_id)
+         |  JOIN a2_$f s2 USING (vec_id) JOIN a3_$f s3 USING (vec_id)""".stripMargin
+    },
+
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |scored AS (

@@ -111,6 +111,54 @@ class ClusterRankSpec extends SparkSpec {
     assert(gotSet.size == 15 && (gotSet intersect exact).size >= 12)
   }
 
+  test("pq: codes recover planted blobs per subspace; ADC agrees with exact on reconstructions") {
+    import graft.ops.Pq
+    // 8-d vectors = 2 subspaces of 4; each half carries its own 2-blob
+    // structure so the per-subspace codebooks must separate independently
+    val n = 40
+    val vecs = (0L until n).map { i =>
+      val b0 = (i % 2).toInt          // blob in subspace 0
+      val b1 = ((i / 2) % 2).toInt    // blob in subspace 1
+      (i,
+        Seq.tabulate(4)(d => (if (b0 == 0) 1.0f else -1.0f) + d * 0.01f + (i % 5) * 0.002f) ++
+          Seq.tabulate(4)(d => (if (b1 == 0) 0.5f else 2.5f) - d * 0.01f + (i % 7) * 0.002f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Pq.fit(df, "embedding", "vec_id", m = 2, k = 2, iterations = 3)
+    val enc = Pq.encode(df, "embedding", "vec_id", books)
+    val got = enc.select("vec_id", "code0", "code1", "recon_err")
+      .as[(Long, Long, Long, Long)].collect()
+    val code0 = got.map(r => r._1 -> r._2).toMap
+    val code1 = got.map(r => r._1 -> r._3).toMap
+    // each subspace's codes split exactly along its planted blob
+    assert(vecs.forall { case (i, _) => code0(i) == code0(i % 2) })
+    assert(vecs.forall { case (i, _) => code1(i) == code1((i / 2) % 2 * 2) })
+    assert(got.forall(_._4 >= 0L))
+
+    // ADC top-k must equal brute-force integer L2 against the RECONSTRUCTED
+    // corpus (computed here scalar-side from the same codebooks)
+    val queries = df.filter(col("vec_id") < 2)
+    val adc = Pq.adcTopK(enc, queries, "embedding", "vec_id", books, k = 5)
+      .select("query_id", "corpus_id", "adist", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => Math.round(x.toDouble * 1024.0 + 4096.0)).toArray
+    val qm = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val codes = got.map(r => r._1 -> Seq(r._2, r._3)).toMap
+    def adist(q: Long, c: Long): Long =
+      (0 until 2).map { s =>
+        val qs = qm(q).slice(s * 4, s * 4 + 4)
+        val cw = books(s)(codes(c)(s).toInt)
+        qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+    (0L until 2L).foreach { q =>
+      val want = (0L until n).filter(_ != q)
+        .map(c => (c, adist(q, c))).sortBy(t => (t._2, t._1)).take(5)
+      assert(adc(q) == want, s"query $q")
+    }
+  }
+
   test("bm25: tf ordering, df discounting, length normalization") {
     val docs = Seq(
       (1L, "cat cat cat dog"),       // tf(cat)=3

@@ -58,4 +58,23 @@ object Warc {
       field(hdr, "Content-Length").cast("long").as("content_length"),
       body(rec).as("body"))
   }
+
+  /** Print a WET-style `conversion` record (the WARC *text* sidecar format
+    * Common Crawl ships as `.warc.wet.gz` — extracted plain text per page,
+    * which is exactly what an LLM-data pipeline consumes). `Content-Length`
+    * is the body's OCTET length (UTF-8 bytes, per ISO 28500), not its
+    * character count. `date` must be an ISO-8601 `…Z` string; `recordId`
+    * any RFC-2392-ish urn. Round-trips through [[records]]/[[parse]].
+    */
+  def printWet(targetUri: Column, date: Column, recordId: Column,
+      text: Column): Column =
+    concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: conversion\r\n"),
+      lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
+      lit("WARC-Date: "), date, lit("\r\n"),
+      lit("WARC-Record-ID: "), recordId, lit("\r\n"),
+      lit("Content-Type: text/plain\r\n"),
+      lit("Content-Length: "), octet_length(text).cast("string"),
+      lit("\r\n\r\n"), text)
 }

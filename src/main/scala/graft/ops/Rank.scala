@@ -208,4 +208,74 @@ object Rank {
     e2.unpersist()
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a link graph — the
+    * companion score pair to [[pageRank]]: authorities are pages good links
+    * point AT, hubs are pages that point at good authorities (crawl seeding
+    * and spam-domain triage both use the distinction).
+    *
+    * Determinism, same doctrine as [[pageRank]]: integer masses, integer
+    * sums (order-independent), and instead of the textbook L2 normalization
+    * (float, order-sensitive) each half-step rescales by the TRUNCATING
+    * integer factor `max(mass) div initMass` (floored at 1) — a monotone
+    * per-round rescale that bounds masses near `initMass · max-degree`
+    * (no overflow at any graph scale) without changing the ranking, and
+    * reproduces bit-for-bit in any engine with integer division. The scale
+    * factor enters the plan as a broadcast 1-row aggregate, not a driver
+    * collect.
+    *
+    * Plan shape: edges deduped + persisted once; per half-step ONE
+    * hash-join of scores into the edge list + ONE map-side-combinable sum
+    * (hot-page in-degree skew absorbed by partial aggregation); eager
+    * localCheckpoint per round keeps the iterative plan constant-size.
+    *
+    * @return (id, hub, authority) — scaled longs.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 3,
+      initMass: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && initMass > 0)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one half-step: sum the counterpart score over `joinKey` edges into
+    // `groupKey` nodes, then rescale by max(mass) div initMass (min 1)
+    def halfStep(scores: DataFrame, scoreCol: String,
+        joinKey: String, groupKey: String): DataFrame = {
+      val contrib = e.join(
+          scores.select(col("id").as(joinKey), col(scoreCol).as("m")), joinKey)
+        .groupBy(col(groupKey).as("id")).agg(sum(col("m")).as("s"))
+      val raw = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+      val sc = raw.agg(greatest(
+        expr(s"max(s) div $initMass"), lit(1L)).as("sc"))
+      raw.crossJoin(broadcast(sc))
+        .select(col("id"), expr("s div sc").as("m"))
+    }
+
+    var scores = nodes.select(col("id"),
+      lit(initMass).as("hub"), lit(initMass).as("authority"))
+    for (_ <- 1 to iterations) {
+      // authorities from hubs (follow edges forward), hubs from NEW auths
+      val auth = halfStep(scores.select(col("id"), col("hub")), "hub", "src", "dst")
+        .withColumnRenamed("m", "authority")
+      val hub = halfStep(auth.select(col("id"), col("authority")), "authority",
+        "dst", "src").withColumnRenamed("m", "hub")
+      scores = nodes
+        .join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+          coalesce(col("authority"), lit(0L)).as("authority"))
+        .localCheckpoint(true)
+    }
+    nodes.unpersist()
+    e.unpersist()
+    scores
+  }
 }

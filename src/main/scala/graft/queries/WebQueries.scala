@@ -185,6 +185,34 @@ object WebQueries {
         .select(col("id").as("doc_id"), col("mass"))
     }),
 
+    // ------------------- WET conversion records (print → frame → parse; the
+    // CC text-sidecar format an LLM pipeline actually consumes)
+    "q_wet" -> ((s, d) => {
+      import graft.formats.Warc
+      val uri = concat(lit("https://"), col("source"), lit("/p/"),
+        col("doc_id").cast("string"))
+      val rid = concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"), lit(">"))
+      val wet = Warc.printWet(uri, lit("2026-01-15T00:00:00Z"), rid, col("text"))
+      t(s, d, "documents").select(col("doc_id"), wet.as("wet"))
+        .select(col("doc_id"), col("wet"),
+          Warc.parse(element_at(Warc.records(col("wet")), 1)).as("r"))
+        .select(col("doc_id"), col("wet"), col("r.warc_type"),
+          col("r.target_uri"), col("r.warc_date"), col("r.content_length"),
+          col("r.body"))
+    }),
+
+    // ------------------- HITS hubs/authorities over the same derived graph
+    "q_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id").cast("long").as("id"))
+      val n = docs.count() // bounded: one scalar to the driver
+      val edges = docs.select(col("id").as("src"), explode(array(
+        pmod(col("id") + 1, lit(n)),
+        pmod(col("id") * 7 + 3, lit(n)),
+        pmod(col("id") * 13 + 5, lit(n)))).as("dst"))
+      Rank.hits(edges, iterations = 3)
+        .select(col("id").as("doc_id"), col("hub"), col("authority"))
+    }),
+
     // --------------------------- exact-substring (k-token window) near-dup
     "q_window_dup" -> ((s, d) =>
       Dedup.windowDup(t(s, d, "documents"), "text", "doc_id",
@@ -512,6 +540,59 @@ object WebQueries {
          |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS mass FROM allnodes),
          |$iters
          |SELECT id AS doc_id, mass FROM pr5""".stripMargin
+    },
+
+    // twin of q_wet: the record string and every parsed field re-derived
+    // directly (print ∘ frame ∘ parse must equal the derivation);
+    // content_length is octet length per ISO 28500
+    "q_wet" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    'https://' || source || '/p/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    '<urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>' AS rid
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'WARC/1.0' || chr(13) || chr(10) ||
+        |  'WARC-Type: conversion' || chr(13) || chr(10) ||
+        |  'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |  'WARC-Date: 2026-01-15T00:00:00Z' || chr(13) || chr(10) ||
+        |  'WARC-Record-ID: ' || rid || chr(13) || chr(10) ||
+        |  'Content-Type: text/plain' || chr(13) || chr(10) ||
+        |  'Content-Length: ' || CAST(strlen(text) AS VARCHAR) ||
+        |  chr(13) || chr(10) || chr(13) || chr(10) || text AS wet,
+        |  'conversion' AS warc_type,
+        |  uri AS target_uri,
+        |  '2026-01-15T00:00:00Z' AS warc_date,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  text AS body
+        |FROM b""".stripMargin,
+
+    // twin of Rank.hits(iterations=3) on the q_pagerank edge construction:
+    // per half-step an integer sum then a truncating max-based rescale
+    "q_hits" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""ar$i AS (SELECT e.dst AS id, CAST(sum(h.m) AS BIGINT) AS s
+           |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+           |an$i AS (SELECT n.id, CAST(coalesce(ar$i.s, 0) AS BIGINT) AS s
+           |  FROM allnodes n LEFT JOIN ar$i USING (id)),
+           |a$i AS (SELECT id, CAST(s // (SELECT greatest(max(s) // 1000000, 1) FROM an$i) AS BIGINT) AS m FROM an$i),
+           |hr$i AS (SELECT e.src AS id, CAST(sum(a.m) AS BIGINT) AS s
+           |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+           |hn$i AS (SELECT n.id, CAST(coalesce(hr$i.s, 0) AS BIGINT) AS s
+           |  FROM allnodes n LEFT JOIN hr$i USING (id)),
+           |h$i AS (SELECT id, CAST(s // (SELECT greatest(max(s) // 1000000, 1) FROM hn$i) AS BIGINT) AS m FROM hn$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+         |eraw AS (
+         |  SELECT id AS src, (id + 1) % n AS dst FROM ids, nn
+         |  UNION ALL SELECT id, (id * 7 + 3) % n FROM ids, nn
+         |  UNION ALL SELECT id, (id * 13 + 5) % n FROM ids, nn),
+         |e AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+         |allnodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM allnodes),
+         |$rounds
+         |SELECT n.id AS doc_id, h3.m AS hub, a3.m AS authority
+         |FROM allnodes n JOIN h3 ON n.id = h3.id JOIN a3 ON n.id = a3.id""".stripMargin
     },
 
     "q_repetition" ->

@@ -111,6 +111,31 @@ class ClusterRankSpec extends SparkSpec {
     assert(gotSet.size == 15 && (gotSet intersect exact).size >= 12)
   }
 
+  test("hits: integer hubs/authorities match a scalar reimplementation") {
+    val edgeList = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L), (5L, 1L), (1L, 2L))
+    val got = Rank.hits(edgeList.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // scalar twin with the identical integer sum + truncating rescale
+    val nodes = edgeList.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val init = 1000000L
+    var hub = nodes.map(_ -> init).toMap
+    var auth = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 3) {
+      val araw = nodes.map(nd =>
+        nd -> edgeList.filter(_._2 == nd).map(x => hub(x._1)).sum).toMap
+      val asc = math.max(araw.values.max / init, 1L)
+      auth = araw.map { case (k, v) => k -> v / asc }
+      val hraw = nodes.map(nd =>
+        nd -> edgeList.filter(_._1 == nd).map(x => auth(x._2)).sum).toMap
+      val hsc = math.max(hraw.values.max / init, 1L)
+      hub = hraw.map { case (k, v) => k -> v / hsc }
+    }
+    nodes.foreach(nd => assert(got(nd) == (hub(nd), auth(nd)), s"node $nd"))
+    // the planted structure: node 1 is the top authority, node 0 the top hub
+    assert(auth(1L) == auth.values.max && hub(0L) == hub.values.max)
+  }
+
   test("pq: codes recover planted blobs per subspace; ADC agrees with exact on reconstructions") {
     import graft.ops.Pq
     // 8-d vectors = 2 subspaces of 4; each half carries its own 2-blob

@@ -63,6 +63,44 @@ class LakeTable(val spark: SparkSession, val root: String,
     finally in.close()
   }
 
+  // -------------------------------------------------------------------- tags
+
+  private val tagsPath = new Path(root, "tags.tsv")
+
+  /** Named snapshot refs (Iceberg tags): name → pinned version. Tagged
+    * versions are exempt from [[expireSnapshots]], so a tag is a durable
+    * time-travel anchor ("the corpus train-set cut", "pre-migration"). */
+  def tags: Map[String, Long] =
+    if (!fs.exists(tagsPath)) Map.empty
+    else readString(tagsPath).split("\n").filter(_.nonEmpty).map { l =>
+      val Array(n, v) = l.split("\t", 2); n -> v.toLong
+    }.toMap
+
+  private def writeTags(m: Map[String, Long]): Unit = {
+    val tmp = new Path(root, s"tags.tsv.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"$n\t$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(tagsPath)) fs.delete(tagsPath, false)
+    fs.rename(tmp, tagsPath)
+  }
+
+  /** Pin `name` to `version` (must be a live snapshot). Overwrites an
+    * existing tag of the same name. */
+  def tag(name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    require(fs.exists(versionPath(version)), s"no snapshot v$version to tag")
+    writeTags(tags + (name -> version))
+  }
+
+  def dropTag(name: String): Unit = writeTags(tags - name)
+
+  /** Snapshot a tag points at. */
+  def snapshotAtTag(name: String): Snapshot =
+    snapshotAt(tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name'")))
+
   def snapshotAt(version: Long): Snapshot = {
     val base = ManifestCodec.fromJson(readString(versionPath(version)))
     // Resolve the file list by folding the snapshot's manifest chain
@@ -570,7 +608,12 @@ class LakeTable(val spark: SparkSession, val root: String,
         .filter(n => n.startsWith("v") && n.endsWith(".json"))
         .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
     if (versions.isEmpty) return (0, 0)
-    val (expired, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // tagged versions are retention-exempt: keep the trailing `keepLast`
+    // plus anything a tag pins (Iceberg ref-retention semantics)
+    val tagged = tags.values.toSet
+    val (expired0, kept0) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val expired = expired0.filterNot(tagged.contains)
+    val kept = versions.filter(v => kept0.contains(v) || tagged.contains(v))
     val keptSnaps = kept.map(snapshotAt)
     val referenced: Set[String] = keptSnaps.flatMap(_.files.map(f =>
       new Path(f.path).toUri.getPath)).toSet

@@ -291,6 +291,34 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(meta.currentSnapshot.get.files.size == 40)
   }
 
+  test("tags: pin versions, survive expireSnapshots, drop re-enables expiry") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "t", i.toLong,
+        createBuckets = 8)
+    }
+    val vMid = table.currentSnapshot.get.version / 2
+    table.tag("train-cut.v1", vMid)
+    assert(table.tags == Map("train-cut.v1" -> vMid))
+    val midPages = pagesMap(table.pages(table.snapshotAtTag("train-cut.v1")))
+    // compaction + expiry: the tagged mid snapshot must survive
+    table.compact(maxFilesPerBucket = 1)
+    val (expired1, _) = table.expireSnapshots(keepLast = 1)
+    assert(expired1 > 0)
+    assert(pagesMap(table.pages(table.snapshotAtTag("train-cut.v1"))) == midPages)
+    assert(pagesMap(table.pages()) == golden) // head state intact
+    // bad inputs fail loudly
+    intercept[IllegalArgumentException](table.tag("no spaces", vMid))
+    intercept[IllegalArgumentException](table.tag("ghost", 99999L))
+    intercept[IllegalArgumentException](table.snapshotAtTag("missing"))
+    // dropping the tag lets the next expiry collect the old snapshot
+    table.dropTag("train-cut.v1")
+    assert(table.tags.isEmpty)
+    val (expired2, _) = table.expireSnapshots(keepLast = 1)
+    assert(expired2 > 0)
+    intercept[Exception](table.snapshotAt(vMid)) // version file gone
+  }
+
   test("expireSnapshots sweeps crash orphans and unreferenced files") {
     val table = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

@@ -90,6 +90,29 @@ object CdcStream {
       .start()
   }
 
+  /** Follow the table's committed versions as a CHANGE STREAM — the
+    * downstream-consumption loop over [[LakeTable.changes]] (Delta CDF /
+    * Iceberg incremental-read pattern): diff the consumer's cursor against
+    * the current head, hand the changelog to `onChanges(df, from, to)`, and
+    * return the advanced cursor (the head consumed). One poll per call
+    * (AvailableNow-style; loop for a continuous follow). No-op — cursor
+    * returned unchanged, `onChanges` not invoked — when the head hasn't
+    * advanced.
+    *
+    * Exactly-once consumption: the cursor is the consumer's checkpoint.
+    * `changes()` is a pure function of the two snapshots, so a crash before
+    * the cursor persists re-delivers the IDENTICAL changelog and any
+    * idempotent downstream sink reconverges — the same watermark discipline
+    * as the ingest side, mirrored at the output.
+    */
+  def followChanges(table: LakeTable, cursor: Long)
+      (onChanges: (DataFrame, Long, Long) => Unit): Long = {
+    val head = table.currentSnapshot.map(_.version).getOrElse(cursor)
+    if (head <= cursor) return cursor
+    onChanges(table.changes(cursor, head), cursor, head)
+    head
+  }
+
   /** Drain the WAL completely and return the number of committed batches. */
   def runToCompletion(
       spark: SparkSession,

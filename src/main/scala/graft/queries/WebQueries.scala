@@ -185,6 +185,20 @@ object WebQueries {
         .select(col("id").as("doc_id"), col("mass"))
     }),
 
+    // --------------- freshness-aware recrawl scheduling from change history
+    // (per-url change counts/cadence from the CDC event log → mean change
+    // interval → next crawl due time; all integer-epoch arithmetic)
+    "q_recrawl" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(concat(lit("u"), col("user_id").cast("string")).as("url"))
+        .agg(count(lit(1)).as("n_changes"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_deletes"),
+          min(unix_timestamp(col("ts"))).as("first_s"),
+          max(unix_timestamp(col("ts"))).as("last_s"))
+        .withColumn("mean_interval_s",
+          expr("(last_s - first_s) div greatest(n_changes - 1, 1)"))
+        .withColumn("next_due_s", col("last_s") + col("mean_interval_s"))),
+
     // ------------------- WET conversion records (print → frame → parse; the
     // CC text-sidecar format an LLM pipeline actually consumes)
     "q_wet" -> ((s, d) => {
@@ -541,6 +555,21 @@ object WebQueries {
          |$iters
          |SELECT id AS doc_id, mass FROM pr5""".stripMargin
     },
+
+    // twin of q_recrawl: identical integer-epoch arithmetic — epoch_us //
+    // 1e6 FLOORS like Spark's unix_timestamp (epoch() would round the
+    // fractional seconds through the double→BIGINT cast)
+    "q_recrawl" ->
+      """WITH a AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS url,
+        |    CAST(count(*) AS BIGINT) AS n_changes,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        |    CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS first_s,
+        |    CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS last_s
+        |  FROM events GROUP BY 1)
+        |SELECT url, n_changes, n_deletes, first_s, last_s,
+        |  (last_s - first_s) // greatest(n_changes - 1, 1) AS mean_interval_s,
+        |  last_s + (last_s - first_s) // greatest(n_changes - 1, 1) AS next_due_s
+        |FROM a""".stripMargin,
 
     // twin of q_wet: the record string and every parsed field re-derived
     // directly (print ∘ frame ∘ parse must equal the derivation);

@@ -291,6 +291,40 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(meta.currentSnapshot.get.files.size == 40)
   }
 
+  test("followChanges: cursor-driven incremental consumption reconverges downstream") {
+    val table = new LakeTable(spark, tmpDir())
+    var cursor = 0L
+    var polls = 0
+    var downstream = Map.empty[String, (String, String, Long, Int)]
+    def consume(): Unit =
+      cursor = CdcStream.followChanges(table, cursor) { (df, from, to) =>
+        assert(from < to); polls += 1
+        df.collect().foreach { r =>
+          val url = r.getAs[String]("url")
+          if (r.getAs[String]("change_type") == "delete") downstream -= url
+          else {
+            val html = r.getAs[Array[Byte]]("html")
+            downstream += url -> (r.getAs[String]("text"), r.getAs[String]("lang"),
+              r.getAs[java.sql.Timestamp]("warc_ts").getTime,
+              if (html == null) 0 else java.util.Arrays.hashCode(html))
+          }
+        }
+      }
+    consume() // nothing committed yet: no-op
+    assert(cursor == 0L && polls == 0)
+    segGroups(allEvents, 4).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "f", i.toLong,
+        createBuckets = 8)
+      if (i % 2 == 1) consume() // consume every other commit (multi-version diffs)
+    }
+    consume()
+    assert(downstream == golden) // the follower's replica converged to head
+    // head unchanged: callback not invoked, cursor stays
+    val before = (cursor, polls)
+    consume()
+    assert((cursor, polls) == before)
+  }
+
   test("tags: pin versions, survive expireSnapshots, drop re-enables expiry") {
     val table = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

@@ -263,9 +263,11 @@ object Rank {
     var scores = nodes.select(col("id"),
       lit(initMass).as("hub"), lit(initMass).as("authority"))
     for (_ <- 1 to iterations) {
-      // authorities from hubs (follow edges forward), hubs from NEW auths
+      // authorities from hubs (follow edges forward), hubs from NEW auths.
+      // auth is referenced twice (hub's input + the round's result) —
+      // checkpoint it so the half-step isn't recomputed per consumer
       val auth = halfStep(scores.select(col("id"), col("hub")), "hub", "src", "dst")
-        .withColumnRenamed("m", "authority")
+        .withColumnRenamed("m", "authority").localCheckpoint(true)
       val hub = halfStep(auth.select(col("id"), col("authority")), "authority",
         "dst", "src").withColumnRenamed("m", "hub")
       scores = nodes

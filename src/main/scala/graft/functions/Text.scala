@@ -285,6 +285,103 @@ object Text {
       .otherwise(dupChars.cast("double") / totalChars.cast("double"))
   }
 
+  // ------------------------------- published composite quality filters
+
+  /** C4 line-keep rule (Raffel et al. 2020 §2.2): a line survives iff it
+    * ends in a terminal punctuation mark (. ! ? or a closing double quote),
+    * has at least `minWords` whitespace words, and does not mention
+    * "javascript" (case-insensitive). Pure predicate over one line.
+    */
+  private def c4LineKeep(line: Column, minWords: Int): Column = {
+    val words = filter(split(trim(line), "\\s+"), w => length(w) > 0)
+    line.rlike("[.!?\"]$") && size(words) >= minWords &&
+      !lower(line).contains("javascript")
+  }
+
+  /** C4 cleaning (Raffel et al. 2020): split on newlines, keep only lines
+    * passing [[c4LineKeep]], re-join. Returns a struct with the cleaned
+    * text plus the line counts the doc-level rule needs — one pass, zero
+    * shuffle, codegen'd HOFs (the shape that survives a 100 TB scan).
+    */
+  def c4Clean(text: Column, minWords: Int = 5): Column = {
+    val lines = split(coalesce(text, lit("")), "\n")
+    val kept = filter(lines, l => c4LineKeep(l, minWords))
+    struct(
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast("long").as("kept_lines"),
+      size(lines).cast("long").as("total_lines"))
+  }
+
+  /** C4 doc-keep rule: at least `minLines` retained lines (the paper's
+    * "fewer than 3 sentences" drop, at line granularity), no "lorem ipsum",
+    * and no curly brace (code leakage). The paper's bad-words list is a
+    * deployment-supplied dictionary — compose with an `isin`/`rlike`
+    * predicate over it; not baked in here.
+    */
+  def c4Keep(text: Column, minWords: Int = 5, minLines: Int = 3): Column = {
+    val cleaned = c4Clean(text, minWords)
+    cleaned.getField("kept_lines") >= minLines &&
+      !lower(coalesce(text, lit(""))).contains("lorem ipsum") &&
+      !coalesce(text, lit("")).contains("{")
+  }
+
+  /** Gopher quality signals (Rae et al. 2021, Table A1) as one struct —
+    * word count band, mean word length band, symbol-to-word ratio (# and
+    * ellipsis), bullet-start / ellipsis-end line fractions, alphabetic-word
+    * fraction, and the "contains ≥2 required stopwords" rule. One scan,
+    * zero shuffle; compose with the repetition signals
+    * ([[topNgramFraction]]/[[dupLineFraction]]/…) for the paper's full
+    * repetition section.
+    */
+  def gopherSignals(text: Column): Column = {
+    val toks = coalesce(tokens(normalize(text)), array().cast("array<string>"))
+    val nWords = size(toks).cast("long")
+    val meanLen = when(nWords === 0L, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double")
+        / nWords.cast("double"))
+    val symbolWords = size(filter(toks,
+      w => w.contains("#") || w.contains("...") || w.contains("…")))
+    val symbolRatio = when(nWords === 0L, lit(0.0))
+      .otherwise(symbolWords.cast("double") / nWords.cast("double"))
+    val lines = split(coalesce(text, lit("")), "\n")
+    val nLines = size(lines)
+    val bulletStart = size(filter(lines,
+      l => trim(l).rlike("^([-*•])")))
+    val ellipsisEnd = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$")))
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(bulletStart.cast("double") / nLines.cast("double"))
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(ellipsisEnd.cast("double") / nLines.cast("double"))
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
+    val alphaFrac = when(nWords === 0L, lit(0.0))
+      .otherwise(alphaWords.cast("double") / nWords.cast("double"))
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(array(required.map(lit): _*),
+      s => array_contains(toks, s))).cast("long")
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"))
+  }
+
+  /** Gopher doc-keep decision over [[gopherSignals]] with the paper's
+    * published thresholds: 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10,
+    * symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis lines,
+    * ≥ 80% alphabetic words, ≥ 2 required stopwords.
+    */
+  def gopherKeep(text: Column): Column = {
+    val s = gopherSignals(text)
+    s.getField("n_words") >= 50L && s.getField("n_words") <= 100000L &&
+      s.getField("mean_word_len") >= 3.0 && s.getField("mean_word_len") <= 10.0 &&
+      s.getField("symbol_ratio") <= 0.1 &&
+      s.getField("bullet_frac") <= 0.9 &&
+      s.getField("ellipsis_frac") <= 0.3 &&
+      s.getField("alpha_frac") >= 0.8 &&
+      s.getField("stop_hits") >= 2L
+  }
+
   // ------------------------------------------------------------- vectors
 
   /** Dot product of two array<numeric> columns in double precision,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Pii, Text, Web}
-import graft.ops.{Bpe, Dedup, Dsir, Python, Rank}
+import graft.ops.{Bpe, Classify, Dedup, Dsir, Python, Rank}
 import graft.ops.Pipe._
 
 /** Driver-checked query catalog, part 3: URL canonicalization, repetition /
@@ -47,6 +47,38 @@ object WebQueries {
        |e AS (SELECT doc_id, unnest(whs) AS wh, generate_subscripts(whs, 1) - 1 AS pos FROM wins),
        |f AS (SELECT wh FROM e GROUP BY wh HAVING count(*) >= 2),
        |dup AS (SELECT doc_id, pos FROM e WHERE wh IN (SELECT wh FROM f))""".stripMargin
+
+  /** Planted multi-line page for the C4/Gopher filter queries (Spark side).
+    * Mirrored verbatim by [[PageSql]]. Line inventory: real text with a
+    * terminal period (C4-keep when long enough), a no-terminal-punct line,
+    * a bullet line, a javascript line, a clean keeper line, then three
+    * doc_id-conditional poisons (too-short line, lorem ipsum, curly brace),
+    * and an ellipsis-terminated tail line.
+    */
+  private def plantedPageCol: Column = concat(
+    col("text"), lit(".\n"),
+    lit("Click here to read more\n"),
+    lit("- bullet item "), col("doc_id").cast("string"), lit("\n"),
+    lit("This line mentions JavaScript everywhere today.\n"),
+    lit("A solid sentence with the usual words that have meaning.\n"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit("short one.\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("lorem ipsum dolor sit amet today.\n")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit("var x = {1}; call it done today.\n")).otherwise(lit("")),
+    lit("And so it continues..."))
+
+  /** The same planted page in DuckDB SQL (doc_id is non-negative, % ≡ pmod). */
+  private val PageSql =
+    """text || '.' || chr(10) ||
+      |'Click here to read more' || chr(10) ||
+      |'- bullet item ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |'This line mentions JavaScript everywhere today.' || chr(10) ||
+      |'A solid sentence with the usual words that have meaning.' || chr(10) ||
+      |(CASE WHEN doc_id % 3 = 0 THEN 'short one.' || chr(10) ELSE '' END) ||
+      |(CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END) ||
+      |(CASE WHEN doc_id % 7 = 0 THEN 'var x = {1}; call it done today.' || chr(10) ELSE '' END) ||
+      |'And so it continues...'""".stripMargin
 
   // ------------------------------------------------------- synthesized URL
 
@@ -163,6 +195,54 @@ object WebQueries {
         Text.dupNgramFraction(col("text"), 3).as("dup3_frac"),
         Text.dupLineFraction(ml).as("dup_line_frac"),
         Text.dupLineCharFraction(ml).as("dup_line_char_frac"))
+    }),
+
+    // ------------- C4 line/doc filter (Raffel 2020 §2.2) on planted pages
+    // (the corpus has no newlines, so both engines build the same multi-line
+    // page per row: real text as a terminal-punct line, then planted lines
+    // covering every rule branch — no-terminal-punct, bullet, javascript,
+    // too-few-words, conditional lorem-ipsum / curly-brace doc poisons)
+    "q_c4_filter" -> ((s, d) => {
+      val page = plantedPageCol
+      val cleaned = Text.c4Clean(page)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        cleaned.getField("clean_text").as("clean_text"),
+        cleaned.getField("kept_lines").as("kept_lines"),
+        cleaned.getField("total_lines").as("total_lines"),
+        Text.c4Keep(page).as("keep"))
+    }),
+
+    // ------- Gopher quality rules (Rae 2021 Table A1) on the same pages
+    "q_gopher_filter" -> ((s, d) => {
+      val sig = Text.gopherSignals(plantedPageCol)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        sig.getField("n_words").as("n_words"),
+        sig.getField("mean_word_len").as("mean_word_len"),
+        sig.getField("symbol_ratio").as("symbol_ratio"),
+        sig.getField("bullet_frac").as("bullet_frac"),
+        sig.getField("ellipsis_frac").as("ellipsis_frac"),
+        sig.getField("alpha_frac").as("alpha_frac"),
+        sig.getField("stop_hits").as("stop_hits"),
+        Text.gopherKeep(plantedPageCol).as("keep"))
+    }),
+
+    // ----- trainable quality classifier (hashed-bag perceptron, integer
+    // weights — fastText-style corpus filter). Labels are planted: even
+    // doc_ids get a "goodmark" tail (+1), odd get "badmark" (-1); the fit
+    // runs 2 deterministic batch rounds that the oracle replays exactly.
+    "q_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(col("text"), lit(" goodmark goodmark")))
+          .otherwise(concat(col("text"), lit(" badmark"))).as("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(-1L).as("label"))
+      val w = Classify.train(docs, "text", "label", buckets = 64, rounds = 2)
+      docs.select(col("doc_id"), col("label"),
+        Classify.scoreCol(col("text"), w, 64).as("score"),
+        Classify.predictCol(col("text"), w, 64).as("pred"))
     }),
 
     // -------------------------------- BM25 keyword ranking (ops.Rank)
@@ -645,6 +725,75 @@ object WebQueries {
          |  CASE WHEN ls.total = 0 THEN 0.0 ELSE CAST(ls.total - ls.dist AS DOUBLE) / CAST(ls.total AS DOUBLE) END AS dup_line_frac,
          |  CASE WHEN ls.totchars = 0 THEN 0.0 ELSE CAST(ls.dupchars AS DOUBLE) / CAST(ls.totchars AS DOUBLE) END AS dup_line_char_frac
          |FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) JOIN ls USING (doc_id)""".stripMargin,
+
+    // perceptron replay: w0=0 ⇒ round 1's gradient is Σ y·c over ALL docs
+    // (every doc has margin 0, hence misclassified); round 2 restricts to
+    // docs still misclassified under w1=g1. Scores are exact integer sums.
+    "q_classifier" ->
+      s"""WITH pg AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN text || ' goodmark goodmark' ELSE text || ' badmark' END AS text,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, coalesce($NormToks, []) AS w FROM pg),
+         |cnt AS (SELECT doc_id, y, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b, count(*) AS c
+         |  FROM (SELECT doc_id, y, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+         |g1 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS w FROM cnt GROUP BY b),
+         |s1 AS (SELECT c.doc_id, c.y, CAST(sum(c.c * coalesce(g1.w, 0)) AS BIGINT) AS s
+         |  FROM cnt c LEFT JOIN g1 USING (b) GROUP BY 1, 2),
+         |g2 AS (SELECT b, CAST(sum(y * c) AS BIGINT) AS g FROM cnt
+         |  WHERE doc_id IN (SELECT doc_id FROM s1 WHERE y * s <= 0) GROUP BY b),
+         |w2 AS (SELECT coalesce(g1.b, g2.b) AS b, coalesce(g1.w, 0) + coalesce(g2.g, 0) AS w
+         |  FROM g1 FULL OUTER JOIN g2 ON g1.b = g2.b),
+         |s2 AS (SELECT c.doc_id, CAST(sum(c.c * coalesce(w2.w, 0)) AS BIGINT) AS s
+         |  FROM cnt c LEFT JOIN w2 ON c.b = w2.b GROUP BY 1)
+         |SELECT p.doc_id, CAST(p.y AS BIGINT) AS label,
+         |  coalesce(s2.s, 0) AS score,
+         |  CAST(CASE WHEN coalesce(s2.s, 0) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM pg p LEFT JOIN s2 ON p.doc_id = s2.doc_id""".stripMargin,
+
+    "q_c4_filter" ->
+      s"""WITH pg AS (SELECT doc_id, $PageSql AS page FROM documents),
+         |ln AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pg),
+         |k AS (SELECT doc_id, page, lines,
+         |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+         |    AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> length(w) > 0)) >= 5
+         |    AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM ln)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+         |  CAST(len(kept) AS BIGINT) AS kept_lines,
+         |  CAST(len(lines) AS BIGINT) AS total_lines,
+         |  (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+         |    AND NOT contains(page, '{')) AS keep
+         |FROM k""".stripMargin,
+
+    "q_gopher_filter" -> {
+      val Req = "['the','be','to','of','and','that','have','with']"
+      s"""WITH pg AS (SELECT doc_id, $PageSql AS text FROM documents),
+         |toks AS (SELECT doc_id, text, coalesce($NormToks, []) AS w,
+         |  string_split(text, chr(10)) AS lines FROM pg),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(list_reduce(list_prepend(0, list_transform(w, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS mean_word_len,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS symbol_ratio,
+         |  CASE WHEN len(lines) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS bullet_frac,
+         |  CASE WHEN len(lines) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS ellipsis_frac,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS alpha_frac,
+         |  CAST(len(list_filter($Req, s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+         |  FROM toks)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |  ellipsis_frac, alpha_frac, stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |    AND stop_hits >= 2) AS keep
+         |FROM sig""".stripMargin
+    },
 
     "q_window_dup" ->
       s"""WITH toks AS (SELECT doc_id, $NormToks AS w FROM documents),

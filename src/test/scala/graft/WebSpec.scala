@@ -83,6 +83,89 @@ class WebSpec extends SparkSpec {
       .head.getDouble(0) == 0.0)
   }
 
+  test("c4Clean/c4Keep: line rules and doc poisons match the published spec") {
+    val page = Seq(
+      "Too short line.",                                          // < 5 words
+      "This is a proper sentence with enough words.",             // keep
+      "no terminal punct here at all",                            // no [.!?"]
+      "This line mentions javascript and should be dropped.",     // js
+      "Another proper sentence keeps the filter content alive.",  // keep
+      "A third proper sentence rounds out the document nicely."   // keep
+    ).mkString("\n")
+    val row = Seq(page).toDF("t")
+      .select(Text.c4Clean(col("t")).as("c"), Text.c4Keep(col("t")).as("k"))
+      .select(col("c.clean_text"), col("c.kept_lines"), col("c.total_lines"), col("k"))
+      .head
+    assert(row.getLong(1) == 3L && row.getLong(2) == 6L && row.getBoolean(3))
+    assert(row.getString(0) ==
+      Seq("This is a proper sentence with enough words.",
+        "Another proper sentence keeps the filter content alive.",
+        "A third proper sentence rounds out the document nicely.").mkString("\n"))
+    // doc-level poisons: curly brace / lorem ipsum / < 3 surviving lines
+    def keep(t: String): Boolean =
+      Seq(t).toDF("t").select(Text.c4Keep(col("t"))).head.getBoolean(0)
+    assert(!keep(page + "\nvar x = {1};"))
+    assert(!keep(page + "\nSome Lorem Ipsum filler sits here today."))
+    assert(!keep(page.linesIterator.take(3).mkString("\n"))) // only 1 keeper
+  }
+
+  test("gopherSignals/gopherKeep: each signal matches hand computation") {
+    def sig(t: String, f: String): Any =
+      Seq(t).toDF("t").select(Text.gopherSignals(col("t")).getField(f)).head.get(0)
+    assert(sig("the cat sat", "n_words") == 3L)
+    assert(sig("the cat sat", "mean_word_len") == 3.0)
+    assert(sig("a # b … c", "symbol_ratio") == 0.4)        // '#' and '…' of 5
+    assert(sig("- x\ny\n* z", "bullet_frac") == 2.0 / 3.0)
+    assert(sig("end...\nplain", "ellipsis_frac") == 0.5)
+    assert(sig("abc 123 x9", "alpha_frac") == 2.0 / 3.0)   // abc, x9
+    assert(sig("the dog and the cat have fun", "stop_hits") == 3L) // the,and,have
+    def keep(t: String): Boolean =
+      Seq(t).toDF("t").select(Text.gopherKeep(col("t"))).head.getBoolean(0)
+    // 60 plain words with ≥2 required stopwords -> passes every band
+    val good = (Seq.fill(29)("the data") :+ "and words").mkString(" ")
+    assert(keep(good))
+    assert(!keep("the data and words"))                     // < 50 words
+    assert(!keep(good + " " + Seq.fill(10)("# # # # # #").mkString(" "))) // symbols
+  }
+
+  test("Classify.train: in-JVM batch-perceptron replay matches exactly") {
+    val rows = Seq(
+      (0L, "good solid content", 1L),
+      (1L, "bad spam junk", -1L),
+      (2L, "good content again", 1L),
+      (3L, "junk spam waste", -1L))
+    val docs = rows.toDF("id", "text", "label")
+    val B = 4096
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % B
+    }
+    // scalar replay of the documented batch rule
+    var w = Map.empty[Long, Long]
+    var stop = false
+    for (_ <- 1 to 3 if !stop) {
+      val mis = rows.filter { case (_, text, y) =>
+        y * text.split(" ").map(t => w.getOrElse(bucket(t), 0L)).sum <= 0L
+      }
+      if (mis.isEmpty) stop = true
+      else {
+        val grad = mis.flatMap { case (_, text, y) => text.split(" ").map(t => bucket(t) -> y) }
+          .groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).sum }
+        w = (w.keySet ++ grad.keySet).iterator
+          .map(b => b -> (w.getOrElse(b, 0L) + grad.getOrElse(b, 0L)))
+          .filter(_._2 != 0L).toMap
+      }
+    }
+    val fitted = graft.ops.Classify.train(docs, "text", "label", buckets = B, rounds = 3)
+    assert(fitted == w)
+    // disjoint class vocab -> the fit separates the planted set
+    val preds = docs
+      .select(col("label"), graft.ops.Classify.predictCol(col("text"), fitted, B))
+      .collect()
+    assert(preds.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("windowDup finds exactly the planted shared k-token span") {
     val docs = Seq(
       (1L, "p q r s t u v"), // shares the 4-token span p q r s t with doc 2

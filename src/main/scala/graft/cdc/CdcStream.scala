@@ -104,12 +104,34 @@ object CdcStream {
     * the cursor persists re-delivers the IDENTICAL changelog and any
     * idempotent downstream sink reconverges — the same watermark discipline
     * as the ingest side, mirrored at the output.
+    *
+    * Retention interplay: `start`'s auto-maintenance runs
+    * [[LakeTable.expireSnapshots]], which can delete the snapshot a lagging
+    * cursor points at — `changes(cursor, head)` would then throw on EVERY
+    * poll with no way out. Two defenses:
+    *   - `pinTag`: after each successful delivery the consumed head is
+    *     pinned under this tag name, exempting it from expiry (Iceberg
+    *     ref-retention). A consumer that polls with the tag can lag
+    *     arbitrarily without losing its diff base.
+    *   - if the cursor version is gone anyway (an unpinned consumer
+    *     outlagged retention), the poll degrades to a RE-BOOTSTRAP: the full
+    *     live state at head is delivered as inserts
+    *     ([[LakeTable.changesBootstrap]]) with `from = -1` so the consumer
+    *     can tell — it must REPLACE its replica (truncate-and-load), not
+    *     merge: a full state as inserts cannot express deletions that
+    *     happened beyond retention. cursor = 0 (fresh consumer, version 0
+    *     expired) takes the same path.
     */
-  def followChanges(table: LakeTable, cursor: Long)
+  def followChanges(table: LakeTable, cursor: Long,
+      pinTag: Option[String] = None)
       (onChanges: (DataFrame, Long, Long) => Unit): Long = {
     val head = table.currentSnapshot.map(_.version).getOrElse(cursor)
     if (head <= cursor) return cursor
-    onChanges(table.changes(cursor, head), cursor, head)
+    val (diff, fromV) =
+      if (table.versionExists(cursor)) (table.changes(cursor, head), cursor)
+      else (table.changesBootstrap(head), -1L)
+    onChanges(diff, fromV, head)
+    pinTag.foreach(t => table.tag(t, head)) // pin AFTER the consumer returns
     head
   }
 

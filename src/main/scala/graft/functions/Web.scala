@@ -181,11 +181,21 @@ object Web {
   def surtKey(u: Column): Column = {
     val host = regexp_replace(urlHost(u), "^www\\.", "")
     val rev = array_join(reverse(split(host, "\\.")), ",")
+    // non-default explicit ports stay in the key (surt convention
+    // `net,example:8080)`): distinct origins must not collide onto one
+    // urlkey. Scheme-default ports (http:80, https:443) are dropped — the
+    // same origin with and without them IS one origin.
+    val scheme = urlScheme(u)
+    val port = urlPort(u)
+    val isDefault = (scheme === "http" && port === 80L) ||
+      (scheme === "https" && port === 443L)
+    val portPart = when(port.isNull || isDefault, lit(""))
+      .otherwise(concat(lit(":"), port.cast("string")))
     val path = lower(urlPath(u))
     val q = lower(urlQuery(u))
     val qPart = when(q === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
-    concat(rev, lit(")"),
+    concat(rev, portPart, lit(")"),
       when(path === "", lit("/")).otherwise(path), qPart)
   }
 

@@ -69,12 +69,27 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** Named snapshot refs (Iceberg tags): name → pinned version. Tagged
     * versions are exempt from [[expireSnapshots]], so a tag is a durable
-    * time-travel anchor ("the corpus train-set cut", "pre-migration"). */
-  def tags: Map[String, Long] =
-    if (!fs.exists(tagsPath)) Map.empty
-    else readString(tagsPath).split("\n").filter(_.nonEmpty).map { l =>
-      val Array(n, v) = l.split("\t", 2); n -> v.toLong
-    }.toMap
+    * time-travel anchor ("the corpus train-set cut", "pre-migration").
+    *
+    * Crash recovery: the update protocol (write tmp → delete live → rename)
+    * has a window where only the tmp exists; losing the tag set there would
+    * void the retention exemption and let expireSnapshots collect pinned
+    * snapshots. The reader closes the window by falling back to the newest
+    * tmp when the live file is absent (single-writer, like [[commit]]).
+    */
+  def tags: Map[String, Long] = {
+    val live =
+      if (fs.exists(tagsPath)) Some(tagsPath)
+      else Option(fs.globStatus(new Path(root, "tags.tsv.tmp-*")))
+        .getOrElse(Array.empty).sortBy(_.getModificationTime)
+        .lastOption.map(_.getPath)
+    live match {
+      case None => Map.empty
+      case Some(p) => readString(p).split("\n").filter(_.nonEmpty).map { l =>
+        val Array(n, v) = l.split("\t", 2); n -> v.toLong
+      }.toMap
+    }
+  }
 
   private def writeTags(m: Map[String, Long]): Unit = {
     val tmp = new Path(root, s"tags.tsv.tmp-${java.util.UUID.randomUUID()}")
@@ -83,7 +98,12 @@ class LakeTable(val spark: SparkSession, val root: String,
       .map { case (n, v) => s"$n\t$v" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(tagsPath)) fs.delete(tagsPath, false)
-    fs.rename(tmp, tagsPath)
+    if (!fs.rename(tmp, tagsPath))
+      throw new java.io.IOException(s"tag update failed: rename $tmp -> $tagsPath")
+    // success: sweep tmps orphaned by earlier crashes (they are strictly
+    // older than the state just installed; single-writer protocol)
+    Option(fs.globStatus(new Path(root, "tags.tsv.tmp-*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Pin `name` to `version` (must be a live snapshot). Overwrites an
@@ -95,6 +115,11 @@ class LakeTable(val spark: SparkSession, val root: String,
   }
 
   def dropTag(name: String): Unit = writeTags(tags - name)
+
+  /** Whether `version`'s snapshot is still live (not expired by
+    * [[expireSnapshots]]) — consumers holding version cursors
+    * ([[graft.cdc.CdcStream.followChanges]]) probe this before diffing. */
+  def versionExists(version: Long): Boolean = fs.exists(versionPath(version))
 
   /** Snapshot a tag points at. */
   def snapshotAtTag(name: String): Snapshot =
@@ -378,9 +403,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     // (bucket -1 = L0 spanning file → every bucket is a candidate)
     val touched = (added ++ removed).map(_.bucket).toSet
     val bucketsOpt = if (touched.contains(-1)) None else Some(touched)
+    // persisted: both sides semi-join against cand, and without a persist
+    // the added/removed file read + distinct shuffle would run once per
+    // side (exchange reuse is plan-shape-dependent; a cache is not).
+    // Spark's ContextCleaner reclaims the block once the returned plan is
+    // garbage-collected — same lifecycle Delta's CDF reader uses.
     val cand = readFiles(sTo, added, target).select("url")
       .unionByName(readFiles(sFrom, removed, target).select("url"))
-      .distinct()
+      .distinct().persist()
 
     def side(snap: Snapshot, p: String): DataFrame = {
       val raw = readFiles(snap, planFiles(snap, buckets = bucketsOpt), target)
@@ -408,6 +438,26 @@ class LakeTable(val spark: SparkSession, val root: String,
           userCols.map(c =>
             when(isDelete, col(s"pre_$c")).otherwise(col(s"post_$c")).as(c)) :+
           coalesce(col("post__lsn"), col("pre__lsn")).as("lsn"): _*)
+  }
+
+  /** Full live state at `toVersion` in the [[changes]] schema, every row
+    * `change_type = "insert"` — the RE-BOOTSTRAP path for a consumer whose
+    * cursor version was expired by retention (the Iceberg/Delta convention:
+    * an incremental read from beyond the retention window degrades to a full
+    * re-read). Merging these rows into ANY prior copy with an idempotent
+    * url-keyed upsert reconverges it to `pages(toVersion)` exactly.
+    */
+  def changesBootstrap(toVersion: Long): DataFrame = {
+    val sTo = snapshotAt(toVersion)
+    val target = currentFileSchema(sTo)
+    val sys = Schemas.systemColumns.map(_.name).toSet
+    val userCols = target.fields.map(_.name)
+      .filterNot(c => sys.contains(c) || c == "url").toSeq
+    val raw = scanRaw(sTo)
+    val one = if (needsResolve(sTo)) resolve(raw) else raw
+    one.filter(!col("_deleted"))
+      .select(lit("insert").as("change_type") +: col("url") +:
+        userCols.map(col) :+ col("_lsn").as("lsn"): _*)
   }
 
   // -------------------------------------------------------------------- write

@@ -51,7 +51,9 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = words
     try {
-      (1 to numMerges).foreach { rank =>
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
         val sym = split(trim(col("seg")), " ")
         val pairs = zip_with(
           slice(sym, lit(1), size(sym) - 1),
@@ -61,7 +63,8 @@ object Bpe {
           .groupBy("pair").agg(sum(col("freq")).as("c"))
           .orderBy(col("c").desc, col("pair"))
           .limit(1).collect()
-        if (best.nonEmpty) {
+        if (best.isEmpty) exhausted = true // pair supply dry: no job per leftover rank
+        else {
           val pair = best(0).getString(0)
           val cnt = best(0).getLong(1)
           val Array(l, r) = pair.split(" ", 2)
@@ -73,6 +76,7 @@ object Bpe {
           if (cur ne words) cur.unpersist()
           cur = next
         }
+        rank += 1
       }
     } finally {
       if (cur ne words) cur.unpersist()

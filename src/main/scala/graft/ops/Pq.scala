@@ -24,31 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  import Similarity.{KmeansScale, KmeansOffset}
-
-  private def quantize(vec: Column): Column =
-    transform(vec, x =>
-      round(x.cast("double") * KmeansScale.toDouble + KmeansOffset.toDouble).cast("long"))
-
-  /** Integer squared-L2 between a column slice and a literal centroid. */
-  private def sqDist(sv: Column, cent: Array[Long]): Column =
-    aggregate(zip_with(sv, typedlit(cent.toSeq), (x, y) => (x - y) * (x - y)),
-      lit(0L), (a, b) => a + b)
+  import Similarity.{quantizeVec => quantize, sqDistToLit => sqDist}
 
   /** Fit per-subspace codebooks: split `vecCol` (dim divisible by `m`) into
     * m contiguous subspaces and run the deterministic integer kmeans in
     * each. Returns m × k × (dim/m) quantized centroids.
+    *
+    * The projected input is persisted once: kmeans issues one seed collect
+    * plus one centroid-update job per round PER SUBSPACE — uncached that is
+    * m·(iterations+1) full rescans of the source (parquet at 100 TB).
     */
   def fit(df: DataFrame, vecCol: String, idCol: String, m: Int, k: Int,
       iterations: Int = 2): Array[Array[Array[Long]]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    (0 until m).map { s =>
-      val sliced = df.select(col(idCol).as("id"),
-        slice(col(vecCol), s * sub + 1, sub).as("v"))
-      Similarity.kmeans(sliced, "v", "id", k, iterations)._2
-    }.toArray
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    try {
+      val dim = base.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      (0 until m).map { s =>
+        val sliced = base.select(col("id"),
+          slice(col("v"), s * sub + 1, sub).as("v"))
+        Similarity.kmeans(sliced, "v", "id", k, iterations)._2
+      }.toArray
+    } finally base.unpersist()
   }
 
   /** Encode every vector: per subspace the argmin-distance code (tie →

@@ -197,6 +197,21 @@ object Similarity {
     *
     * @return (assignments DataFrame (id, cluster), centroids as k×dim longs)
     */
+  /** Quantize a float-vector column into the deterministic integer domain
+    * ([[KmeansScale]]/[[KmeansOffset]]) that [[kmeans]], [[graft.ops.Pq]],
+    * and their DuckDB oracles all share — ONE definition, so the
+    * bit-identical codebook/encode guarantee cannot drift between call
+    * sites. */
+  def quantizeVec(vec: Column): Column =
+    transform(vec, x =>
+      round(x.cast("double") * KmeansScale.toDouble + KmeansOffset.toDouble).cast("long"))
+
+  /** Integer squared-L2 between a quantized vector column and a literal
+    * point (centroid / codeword). */
+  def sqDistToLit(v: Column, point: Array[Long]): Column =
+    aggregate(zip_with(v, typedlit(point.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, b) => a + b)
+
   def kmeans(
       df: DataFrame,
       vecCol: String,
@@ -204,18 +219,13 @@ object Similarity {
       k: Int,
       iterations: Int = 3): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1 && iterations >= 1)
-    val qv = transform(col(vecCol), x =>
-      round(x.cast("double") * KmeansScale.toDouble + KmeansOffset.toDouble).cast("long"))
-    val pts = df.select(col(idCol).as("id"), qv.as("qv"))
+    val pts = df.select(col(idCol).as("id"), quantizeVec(col(vecCol)).as("qv"))
 
     var cents: Array[Array[Long]] = pts.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     def assigned = {
       val dists = cents.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(col("qv"), typedlit(c.toSeq),
-            (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b).as("d"),
-          lit(i).as("c"))
+        struct(sqDistToLit(col("qv"), c).as("d"), lit(i).as("c"))
       }
       pts.withColumn("cluster", array_min(array(dists: _*)).getField("c"))
     }

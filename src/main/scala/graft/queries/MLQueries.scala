@@ -299,7 +299,7 @@ object MLQueries {
     "q_cdc_lww_table" -> ((s, d) => {
       val env = envelope(t(s, d, "events")).cache()
       try {
-        val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
+        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
         val step = math.max(1L, maxLsn / 4 + 1)
         // fixed scratch path, cleared per invocation (a fresh temp dir per
         // call leaked /tmp/graft-q-cdc* dirs; the lake must outlive this
@@ -321,7 +321,7 @@ object MLQueries {
     "q_cdc_l0_table" -> ((s, d) => {
       val env = envelope(t(s, d, "events")).cache()
       try {
-        val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
+        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
         val step = math.max(1L, maxLsn / 4 + 1)
         val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-l0"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
@@ -343,7 +343,7 @@ object MLQueries {
     "q_cdc_changes" -> ((s, d) => {
       val env = envelope(t(s, d, "events")).cache()
       try {
-        val maxLsn = env.agg(max(col("lsn"))).head().getLong(0)
+        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
         val step = math.max(1L, maxLsn / 4 + 1)
         val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-changes"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
@@ -355,6 +355,9 @@ object MLQueries {
           if (b == 1L) vFrom = table.currentSnapshot.get.version
         }
         val vTo = table.currentSnapshot.get.version
+        // degenerate input (single batch): diff head against itself → empty
+        // changelog, instead of a dangling -1 version
+        if (vFrom < 0) vFrom = vTo
         table.changes(vFrom, vTo)
           .select(col("change_type"), col("url"), col("text"), col("lang"),
             col("lsn"))

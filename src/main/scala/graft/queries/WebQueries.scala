@@ -814,11 +814,17 @@ object WebQueries {
       s"""WITH u AS (SELECT event_id, $UrlSql AS url FROM events),
          |p AS (SELECT event_id, url,
          |  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)), '^www\\.', '') AS host,
+         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS port,
          |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)) AS path,
          |  lower(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1)) AS q
          |  FROM u)
          |SELECT event_id, url,
-         |  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+         |  array_to_string(list_reverse(string_split(host, '.')), ',') ||
+         |  (CASE WHEN port = ''
+         |        OR (scheme = 'http' AND CAST(port AS BIGINT) = 80)
+         |        OR (scheme = 'https' AND CAST(port AS BIGINT) = 443)
+         |     THEN '' ELSE ':' || CAST(CAST(port AS BIGINT) AS VARCHAR) END) || ')' ||
          |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
          |  (CASE WHEN q = '' THEN '' ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
          |  AS urlkey

@@ -325,6 +325,106 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert((cursor, polls) == before)
   }
 
+  test("followChanges: pinTag exempts the cursor from retention; lagging follower survives") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 6)
+    groups.take(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "fp", i.toLong,
+        createBuckets = 8)
+    }
+    var cursor = 0L
+    var sawBootstrap = false
+    var downstream = Map.empty[String, String]
+    def consume(): Unit =
+      cursor = CdcStream.followChanges(table, cursor, pinTag = Some("follower-a")) {
+        (df, from, to) =>
+          if (from < 0) sawBootstrap = true
+          df.collect().foreach { r =>
+            val url = r.getAs[String]("url")
+            if (r.getAs[String]("change_type") == "delete") downstream -= url
+            else downstream += url -> r.getAs[String]("text")
+          }
+      }
+    consume() // pins the consumed head
+    val pinned = cursor
+    // follower lags: 4 more commits + maintenance that would expire v(pinned)
+    groups.drop(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "fp", (i + 2).toLong,
+        createBuckets = 8)
+    }
+    table.expireSnapshots(keepLast = 1)
+    assert(table.versionExists(pinned), "pinned cursor version must survive expiry")
+    consume() // incremental diff, NOT a bootstrap
+    assert(!sawBootstrap)
+    assert(downstream == golden.map { case (u, (t, _, _, _)) => u -> t })
+    assert(table.tags("follower-a") == cursor) // pin advanced with the cursor
+  }
+
+  test("followChanges: expired unpinned cursor degrades to full-state re-bootstrap") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 6)
+    groups.take(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "fb", i.toLong,
+        createBuckets = 8)
+    }
+    var cursor = 0L
+    var downstream = Map.empty[String, String]
+    def consume(): Int = {
+      var bootstraps = 0
+      cursor = CdcStream.followChanges(table, cursor) { (df, from, to) =>
+        val rows = df.collect()
+        if (from < 0) { // bootstrap: REPLACE the replica (inserts-only full state)
+          bootstraps += 1
+          assert(rows.forall(_.getAs[String]("change_type") == "insert"))
+          downstream = rows.map(r =>
+            r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+        } else rows.foreach { r =>
+          val url = r.getAs[String]("url")
+          if (r.getAs[String]("change_type") == "delete") downstream -= url
+          else downstream += url -> r.getAs[String]("text")
+        }
+      }
+      bootstraps
+    }
+    assert(consume() == 0) // normal incremental poll (v0 empty-creation base)
+    val stale = cursor
+    groups.drop(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "fb", (i + 2).toLong,
+        createBuckets = 8)
+    }
+    table.expireSnapshots(keepLast = 1) // unpinned: the cursor version dies
+    assert(!table.versionExists(stale))
+    assert(consume() == 1) // degraded to bootstrap — and still reconverges
+    assert(downstream == golden.map { case (u, (t, _, _, _)) => u -> t })
+    assert(consume() == 0) // caught up: next poll is a no-op
+  }
+
+  test("tags: survive a crash between delete and rename of the tag file") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 4).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "tc", i.toLong,
+        createBuckets = 8)
+    }
+    table.tag("keep.v1", 1L)
+    table.tag("keep.v2", 2L)
+    // simulate the crash window: live file deleted, tmp of the NEXT state
+    // still present (writeTags writes tmp first, then delete+rename)
+    val root = new java.io.File(table.root)
+    val live = new java.io.File(root, "tags.tsv")
+    val tmp = new java.io.File(root, "tags.tsv.tmp-crashed")
+    java.nio.file.Files.copy(live.toPath, tmp.toPath)
+    assert(live.delete())
+    assert(table.tags == Map("keep.v1" -> 1L, "keep.v2" -> 2L)) // recovered from tmp
+    // expiry during the window still honors the pins
+    table.expireSnapshots(keepLast = 1)
+    assert(table.versionExists(1L) && table.versionExists(2L))
+    // the next successful write heals the live file and sweeps the tmp
+    val head = table.currentSnapshot.get.version
+    table.tag("keep.head", head)
+    assert(live.exists && !tmp.exists)
+    assert(table.tags == Map("keep.v1" -> 1L, "keep.v2" -> 2L, "keep.head" -> head))
+  }
+
   test("tags: pin versions, survive expireSnapshots, drop re-enables expiry") {
     val table = new LakeTable(spark, tmpDir())
     segGroups(allEvents, 8).zipWithIndex.foreach { case (g, i) =>

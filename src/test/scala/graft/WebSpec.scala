@@ -404,7 +404,12 @@ class WebSpec extends SparkSpec {
       "http://sub.site.co.uk/x" -> "uk,co,site,sub)/x",
       "https://example.org" -> "org,example)/",
       "http://www.single/?z=1&y=2&y=1" -> "single)/?y=1&y=2&z=1",
-      "https://example.net:8080/P" -> "net,example)/p")
+      // non-default ports stay in the key (distinct origins must not
+      // collide); scheme-default ports are dropped (same origin)
+      "https://example.net:8080/P" -> "net,example:8080)/p",
+      "http://example.net:443/P" -> "net,example:443)/p",
+      "https://example.net:443/P" -> "net,example)/p",
+      "http://example.net:80/P" -> "net,example)/p")
     val got = vectors.map(_._1).toDF("u")
       .select(col("u"), graft.functions.Web.surtKey(col("u")).as("k"))
       .as[(String, String)].collect().toMap

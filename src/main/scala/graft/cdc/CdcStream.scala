@@ -123,13 +123,14 @@ object CdcStream {
     *     expired) takes the same path.
     */
   def followChanges(table: LakeTable, cursor: Long,
-      pinTag: Option[String] = None)
+      pinTag: Option[String] = None, withPreimages: Boolean = false)
       (onChanges: (DataFrame, Long, Long) => Unit): Long = {
     val head = table.currentSnapshot.map(_.version).getOrElse(cursor)
     if (head <= cursor) return cursor
     val (diff, fromV) =
-      if (table.versionExists(cursor)) (table.changes(cursor, head), cursor)
-      else (table.changesBootstrap(head), -1L)
+      if (table.versionExists(cursor))
+        (table.changes(cursor, head, withPreimages), cursor)
+      else (table.changesBootstrap(head), -1L) // inserts-only: both conventions
     onChanges(diff, fromV, head)
     pinTag.foreach(t => table.tag(t, head)) // pin AFTER the consumer returns
     head

@@ -379,7 +379,20 @@ class LakeTable(val spark: SparkSession, val root: String,
     * row winners carry identical (_lsn, _wal_part), so it emits nothing —
     * the changelog reflects committed DATA changes, not file layout.
     */
-  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(fromVersion: Long, toVersion: Long): DataFrame =
+    changes(fromVersion, toVersion, withPreimages = false)
+
+  /** As [[changes]]; `withPreimages = true` switches updates to the Delta
+    * CDF convention — TWO rows per updated url, `update_preimage` (the old
+    * values, old lsn) and `update_postimage` (the new) — which is exactly
+    * what downstream incremental view maintenance needs: every delta row
+    * then carries a sign (insert/postimage +1, delete/preimage −1) and
+    * keyed sums/counts telescope without rescanning the table
+    * ([[graft.ops.MatView]]). Same single-join plan; the extra row is a
+    * per-row explode, no extra shuffle.
+    */
+  def changes(fromVersion: Long, toVersion: Long,
+      withPreimages: Boolean): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val sFrom = snapshotAt(fromVersion)
@@ -429,8 +442,9 @@ class LakeTable(val spark: SparkSession, val root: String,
     val isDelete = preLive && !postLive
     val changed = (!preLive && postLive) || isDelete ||
       (preLive && postLive && !sameWinner)
-    j.filter(changed)
-      .select(
+    val base = j.filter(changed)
+    if (!withPreimages)
+      base.select(
         when(isDelete, lit("delete"))
           .when(!preLive, lit("insert"))
           .otherwise(lit("update")).as("change_type") +:
@@ -438,6 +452,22 @@ class LakeTable(val spark: SparkSession, val root: String,
           userCols.map(c =>
             when(isDelete, col(s"pre_$c")).otherwise(col(s"post_$c")).as(c)) :+
           coalesce(col("post__lsn"), col("pre__lsn")).as("lsn"): _*)
+    else {
+      def cdcRow(tpe: String, side: String,
+          lsn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        struct(lit(tpe).as("change_type") +:
+          userCols.map(c => col(s"${side}_$c").as(c)) :+ lsn.as("lsn"): _*)
+      // delete rows keep the plain convention's lsn: the tombstone's while
+      // retained (post side), the pre-image's after tombstone GC
+      val delLsn = coalesce(col("post__lsn"), col("pre__lsn"))
+      val rows = when(isDelete, array(cdcRow("delete", "pre", delLsn)))
+        .when(!preLive, array(cdcRow("insert", "post", col("post__lsn"))))
+        .otherwise(array(cdcRow("update_preimage", "pre", col("pre__lsn")),
+          cdcRow("update_postimage", "post", col("post__lsn"))))
+      base.select(col("url"), explode(rows).as("c"))
+        .select(col("c.change_type") +: col("url") +:
+          userCols.map(c => col(s"c.$c")) :+ col("c.lsn"): _*)
+    }
   }
 
   /** Full live state at `toVersion` in the [[changes]] schema, every row

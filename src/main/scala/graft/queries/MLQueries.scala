@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.CdcApply
+import graft.cdc.{CdcApply, CdcStream}
 import graft.functions.Text
 import graft.lake.LakeTable
-import graft.ops.{Chunk, Cluster, Dedup, Multimodal, Pq, Similarity}
+import graft.ops.{Chunk, Cluster, Dedup, MatView, Multimodal, Pq, Similarity}
 
 /** Driver-checked query catalog, part 2: web-scale training-data operators
   * (dedup family, similarity search, text analysis, multimodal plumbing) and
@@ -361,6 +361,36 @@ object MLQueries {
         table.changes(vFrom, vTo)
           .select(col("change_type"), col("url"), col("text"), col("lang"),
             col("lsn"))
+      } finally env.unpersist()
+    }),
+
+    // incremental materialized view (IVM over the CDC output): replay the
+    // WAL as raw MOR appends and keep a per-lang (count, char-sum) view up
+    // to date by folding each preimage changelog delta — NEVER re-reading
+    // the table — then emit the final view; the oracle aggregates the final
+    // LWW state directly (incremental ≡ direct is the IVM invariant)
+    "q_matview" -> ((s, d) => {
+      val env = envelope(t(s, d, "events")).cache()
+      try {
+        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
+        val step = math.max(1L, maxLsn / 4 + 1)
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-matview"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+        val table = new LakeTable(s, s"$work/lake")
+        var cursor = 0L
+        var view: Option[DataFrame] = None
+        (0L to maxLsn / step).foreach { b =>
+          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          CdcApply.applyBatchAppendRaw(table, batch, "q_mv", b, createBuckets = 16)
+          cursor = CdcStream.followChanges(table, cursor, withPreimages = true) {
+            (df, _, _) =>
+              // localCheckpoint per poll: the production follower's persist
+              // step — plans don't chain across deliveries
+              view = Some(MatView.update(view, df, Seq("lang"),
+                Map("chars" -> length(col("text")))).localCheckpoint())
+          }
+        }
+        view.get.select(col("lang"), col("n"), col("chars"))
       } finally env.unpersist()
     })
   )
@@ -766,6 +796,22 @@ object MLQueries {
         |  CAST(lsn2 AS BIGINT) AS lsn
         |FROM j
         |WHERE (NOT live1 AND live2) OR (live1 AND NOT live2)
-        |   OR (live1 AND live2 AND lsn1 <> lsn2)""".stripMargin
+        |   OR (live1 AND live2 AND lsn1 <> lsn2)""".stripMargin,
+
+    // twin of q_matview: the IVM invariant — the incrementally maintained
+    // view must equal the direct aggregate over the final LWW-resolved state
+    "q_matview" ->
+      """WITH e AS (SELECT event_id AS lsn,
+        |    concat('u', CAST(user_id AS VARCHAR)) AS url,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS text,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS lang
+        |  FROM events),
+        |s AS (SELECT url, max_by(text, lsn) AS text, max_by(lang, lsn) AS lang,
+        |    max_by(op, lsn) AS op
+        |  FROM e GROUP BY url)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM s WHERE op <> 'D' GROUP BY lang""".stripMargin
   )
 }

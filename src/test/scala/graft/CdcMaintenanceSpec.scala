@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions.col
 import graft.cdc.{CdcApply, CdcStream}
 import graft.gen.{ChangeGen, GenConfig, GenEvent}
 import graft.lake.LakeTable
+import graft.ops.MatView
 
 /** Raw (LSM-style) MOR append, auto-compaction, snapshot expiry / orphan GC,
   * and the conditional-resolve flag.
@@ -323,6 +324,82 @@ class CdcMaintenanceSpec extends SparkSpec {
     val before = (cursor, polls)
     consume()
     assert((cursor, polls) == before)
+  }
+
+  test("changes withPreimages: updates split into pre/post rows matching the two states") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 8)
+    CdcApply.applyBatch(table, spark.createDataset(groups.head).toDF(), "pi", 0L,
+      createBuckets = 8)
+    val v1 = table.currentSnapshot.get.version
+    groups.tail.zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "pi", (i + 1).toLong,
+        createBuckets = 8)
+    }
+    val v2 = table.currentSnapshot.get.version
+    val plain = table.changes(v1, v2).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[String]("url"),
+        r.getAs[String]("text"), r.getAs[Long]("lsn"))).toSet
+    val pre = table.changes(v1, v2, withPreimages = true).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[String]("url"),
+        r.getAs[String]("text"), r.getAs[Long]("lsn"))).toSet
+    // inserts and deletes are identical across the two conventions
+    assert(plain.filter(t => t._1 == "insert" || t._1 == "delete") ==
+      pre.filter(t => t._1 == "insert" || t._1 == "delete"))
+    // every plain update row IS the postimage row; its url also has exactly
+    // one preimage row whose values match the v1 state
+    val updates = plain.filter(_._1 == "update")
+    assert(updates.map { case (_, u, txt, l) => ("update_postimage", u, txt, l) } ==
+      pre.filter(_._1 == "update_postimage"))
+    val preImages = pre.filter(_._1 == "update_preimage")
+    assert(preImages.map(_._2) == updates.map(_._2))
+    val state1 = pagesMap(table.pages(table.snapshotAt(v1)))
+    preImages.foreach { case (_, url, txt, _) =>
+      assert(state1(url)._1 == txt, s"preimage of $url must be the v$v1 value")
+    }
+  }
+
+  test("MatView: incremental fold over the changelog equals the direct aggregate") {
+    import org.apache.spark.sql.functions.{col, count, length, sum}
+    val table = new LakeTable(spark, tmpDir())
+    var cursor = 0L
+    var view: Option[org.apache.spark.sql.DataFrame] = None
+    segGroups(allEvents, 6).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "mv", i.toLong,
+        createBuckets = 8)
+      cursor = CdcStream.followChanges(table, cursor, withPreimages = true) {
+        (df, _, _) =>
+          view = Some(MatView.update(view, df, Seq("lang"),
+            Map("chars" -> length(col("text")))).localCheckpoint())
+      }
+    }
+    val got = view.get.collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("chars"))).toMap
+    val direct = table.pages().groupBy(col("lang"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("chars"))
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("chars"))).toMap
+    assert(got == direct)
+  }
+
+  test("MatView: a key whose live count reaches zero leaves the view") {
+    import org.apache.spark.sql.functions.{col, length}
+    import spark.implicits._
+    val ins = Seq(("insert", "u1", "aaa", "en"), ("insert", "u2", "bb", "de"))
+      .toDF("change_type", "url", "text", "lang")
+    val v1 = MatView.update(None, ins, Seq("lang"), Map("chars" -> length(col("text"))))
+    assert(v1.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("en", 1L, 3L), ("de", 1L, 2L)))
+    // update moves u1's chars; delete removes de entirely (count hits 0)
+    val d2 = Seq(
+      ("update_preimage", "u1", "aaa", "en"), ("update_postimage", "u1", "aaaaa", "en"),
+      ("delete", "u2", "bb", "de")).toDF("change_type", "url", "text", "lang")
+    val v2 = MatView.update(Some(v1), d2, Seq("lang"), Map("chars" -> length(col("text"))))
+    assert(v2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("en", 1L, 5L)))
   }
 
   test("followChanges: pinTag exempts the cursor from retention; lagging follower survives") {

@@ -296,72 +296,38 @@ object MLQueries {
 
     // The real engine end-to-end: envelope → 4 micro-batches → LakeTable
     // MERGE commits → read back the final page table.
-    "q_cdc_lww_table" -> ((s, d) => {
-      val env = envelope(t(s, d, "events")).cache()
-      try {
-        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
-        val step = math.max(1L, maxLsn / 4 + 1)
-        // fixed scratch path, cleared per invocation (a fresh temp dir per
-        // call leaked /tmp/graft-q-cdc* dirs; the lake must outlive this
-        // call's lazy read, so clean-before-build, not after)
-        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-lww"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-        val table = new LakeTable(s, s"$work/lake")
-        (0L to maxLsn / step).foreach { b =>
-          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          CdcApply.applyBatch(table, batch, "q_cdc", b, createBuckets = 16)
-        }
-        table.pages().select(col("url"), col("text"), col("lang"))
-      } finally env.unpersist()
-    }),
+    "q_cdc_lww_table" -> ((s, d) =>
+      replayLake(s, d, "graft-q-cdc-lww") { (table, batch, b) =>
+        CdcApply.applyBatch(table, batch, "q_cdc", b, createBuckets = 16)
+      }.pages().select(col("url"), col("text"), col("lang"))),
 
     // the L0 write path under the same hard oracle: spanning appends, a
     // mid-stream compaction flush (L0 → buckets), more appends, then the
     // resolve-on-read page table — final state must be mode-independent
-    "q_cdc_l0_table" -> ((s, d) => {
-      val env = envelope(t(s, d, "events")).cache()
-      try {
-        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
-        val step = math.max(1L, maxLsn / 4 + 1)
-        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-l0"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-        val table = new LakeTable(s, s"$work/lake")
-        (0L to maxLsn / step).foreach { b =>
-          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          CdcApply.applyBatchAppendRaw(table, batch, "q_cdc_l0", b, createBuckets = 16,
-            spanning = true)
-          if (b == 1L) table.compact(maxFilesPerBucket = 4) // mid-stream L0 flush
-        }
-        table.pages().select(col("url"), col("text"), col("lang"))
-      } finally env.unpersist()
-    }),
+    "q_cdc_l0_table" -> ((s, d) =>
+      replayLake(s, d, "graft-q-cdc-l0") { (table, batch, b) =>
+        CdcApply.applyBatchAppendRaw(table, batch, "q_cdc_l0", b, createBuckets = 16,
+          spanning = true)
+        if (b == 1L) table.compact(maxFilesPerBucket = 4) // mid-stream L0 flush
+      }.pages().select(col("url"), col("text"), col("lang"))),
 
     // snapshot-diff changelog (CDC *output*: Iceberg incremental scan /
     // Delta CDF analogue) — replay the WAL as raw MOR appends, then diff the
     // version after batch 1 against the final version; the oracle recomputes
     // both LWW states relationally and classifies
     "q_cdc_changes" -> ((s, d) => {
-      val env = envelope(t(s, d, "events")).cache()
-      try {
-        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
-        val step = math.max(1L, maxLsn / 4 + 1)
-        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-changes"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-        val table = new LakeTable(s, s"$work/lake")
-        var vFrom = -1L
-        (0L to maxLsn / step).foreach { b =>
-          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          CdcApply.applyBatchAppendRaw(table, batch, "q_chg", b, createBuckets = 16)
-          if (b == 1L) vFrom = table.currentSnapshot.get.version
-        }
-        val vTo = table.currentSnapshot.get.version
-        // degenerate input (single batch): diff head against itself → empty
-        // changelog, instead of a dangling -1 version
-        if (vFrom < 0) vFrom = vTo
-        table.changes(vFrom, vTo)
-          .select(col("change_type"), col("url"), col("text"), col("lang"),
-            col("lsn"))
-      } finally env.unpersist()
+      var vFrom = -1L
+      val table = replayLake(s, d, "graft-q-cdc-changes") { (table, batch, b) =>
+        CdcApply.applyBatchAppendRaw(table, batch, "q_chg", b, createBuckets = 16)
+        if (b == 1L) vFrom = table.currentSnapshot.get.version
+      }
+      val vTo = table.currentSnapshot.get.version
+      // degenerate input (single batch): diff head against itself → empty
+      // changelog, instead of a dangling -1 version
+      if (vFrom < 0) vFrom = vTo
+      table.changes(vFrom, vTo)
+        .select(col("change_type"), col("url"), col("text"), col("lang"),
+          col("lsn"))
     }),
 
     // incremental materialized view (IVM over the CDC output): replay the
@@ -370,30 +336,55 @@ object MLQueries {
     // the table — then emit the final view; the oracle aggregates the final
     // LWW state directly (incremental ≡ direct is the IVM invariant)
     "q_matview" -> ((s, d) => {
-      val env = envelope(t(s, d, "events")).cache()
-      try {
-        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
-        val step = math.max(1L, maxLsn / 4 + 1)
-        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-matview"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-        val table = new LakeTable(s, s"$work/lake")
-        var cursor = 0L
-        var view: Option[DataFrame] = None
-        (0L to maxLsn / step).foreach { b =>
-          val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          CdcApply.applyBatchAppendRaw(table, batch, "q_mv", b, createBuckets = 16)
-          cursor = CdcStream.followChanges(table, cursor, withPreimages = true) {
-            (df, _, _) =>
-              // localCheckpoint per poll: the production follower's persist
-              // step — plans don't chain across deliveries
-              view = Some(MatView.update(view, df, Seq("lang"),
-                Map("chars" -> length(col("text")))).localCheckpoint())
-          }
+      var cursor = 0L
+      var view: Option[DataFrame] = None
+      replayLake(s, d, "graft-q-matview") { (table, batch, b) =>
+        CdcApply.applyBatchAppendRaw(table, batch, "q_mv", b, createBuckets = 16)
+        cursor = CdcStream.followChanges(table, cursor, withPreimages = true) {
+          (df, _, _) =>
+            // localCheckpoint per poll: the production follower's persist
+            // step — plans don't chain across deliveries
+            view = Some(MatView.update(view, df, Seq("lang"),
+              Map("chars" -> length(col("text")))).localCheckpoint())
         }
-        view.get.select(col("lang"), col("n"), col("chars"))
-      } finally env.unpersist()
+      }
+      // no delivery at all (empty events table) → empty view, like the oracle
+      view.getOrElse(s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("chars",
+              org.apache.spark.sql.types.LongType)))))
+        .select(col("lang"), col("n"), col("chars"))
     })
   )
+
+  /** Shared scaffold for the q_cdc_* / q_matview end-to-end queries: cache
+    * the envelope, split it into ≤5 lsn-windowed micro-batches, replay them
+    * into a fresh LakeTable under a fixed scratch dir (cleared per
+    * invocation — the lake must outlive this call's lazy read, so
+    * clean-before-build, not after), and return the table. `applyBatch`
+    * owns the apply mode and any per-batch hook.
+    */
+  private def replayLake(s: SparkSession, d: String, scratchName: String)
+      (applyBatch: (LakeTable, DataFrame, Long) => Unit): LakeTable = {
+    val env = envelope(t(s, d, "events")).cache()
+    try {
+      val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
+      val step = math.max(1L, maxLsn / 4 + 1)
+      val work = s"${System.getProperty("java.io.tmpdir")}/$scratchName"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      val table = new LakeTable(s, s"$work/lake")
+      (0L to maxLsn / step).foreach { b =>
+        val batch = env.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+        applyBatch(table, batch, b)
+      }
+      table
+    } finally env.unpersist()
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->

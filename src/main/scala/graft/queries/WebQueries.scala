@@ -822,9 +822,9 @@ object WebQueries {
          |SELECT event_id, url,
          |  array_to_string(list_reverse(string_split(host, '.')), ',') ||
          |  (CASE WHEN port = ''
-         |        OR (scheme = 'http' AND CAST(port AS BIGINT) = 80)
-         |        OR (scheme = 'https' AND CAST(port AS BIGINT) = 443)
-         |     THEN '' ELSE ':' || CAST(CAST(port AS BIGINT) AS VARCHAR) END) || ')' ||
+         |        OR (scheme = 'http' AND TRY_CAST(port AS BIGINT) = 80)
+         |        OR (scheme = 'https' AND TRY_CAST(port AS BIGINT) = 443)
+         |     THEN '' ELSE ':' || CAST(TRY_CAST(port AS BIGINT) AS VARCHAR) END) || ')' ||
          |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
          |  (CASE WHEN q = '' THEN '' ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
          |  AS urlkey

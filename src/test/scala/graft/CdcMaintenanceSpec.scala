@@ -402,6 +402,32 @@ class CdcMaintenanceSpec extends SparkSpec {
       Set(("en", 1L, 5L)))
   }
 
+  test("MatView: NULL keys fold into one group; NULL sums count as zero; plain updates rejected") {
+    import org.apache.spark.sql.functions.{col, length}
+    val ins = Seq(("insert", "u1", "aa", null: String), ("insert", "u2", null: String, null: String))
+      .toDF("change_type", "url", "text", "lang")
+    val v1 = MatView.update(None, ins, Seq("lang"), Map("chars" -> length(col("text"))))
+      .localCheckpoint()
+    // one NULL-key group (not two), null text contributed 0 chars
+    assert(v1.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((null, 2L, 2L)))
+    // a second delivery must MERGE into the NULL-key row (null-safe join),
+    // and a delete retracts from it
+    val d2 = Seq(("insert", "u3", "bbb", null: String), ("delete", "u2", null: String, null: String))
+      .toDF("change_type", "url", "text", "lang")
+    val v2 = MatView.update(Some(v1), d2, Seq("lang"), Map("chars" -> length(col("text"))))
+    assert(v2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((null, 2L, 5L)))
+    // plain (non-preimage) changelog rows have no sign — fail fast, not drift
+    val plain = Seq(("update", "u1", "cc", null: String))
+      .toDF("change_type", "url", "text", "lang")
+    val ex = intercept[Exception](
+      MatView.update(Some(v1), plain, Seq("lang"),
+        Map("chars" -> length(col("text")))).collect())
+    assert(ex.getMessage.contains("preimage") ||
+      Option(ex.getCause).exists(_.getMessage.contains("preimage")))
+  }
+
   test("followChanges: pinTag exempts the cursor from retention; lagging follower survives") {
     val table = new LakeTable(spark, tmpDir())
     val groups = segGroups(allEvents, 6)

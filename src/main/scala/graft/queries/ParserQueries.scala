@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.formats.{Cef, Codec, Grok, JsonInfer, JsonStreams, Leef, Robots, Sitemap, Syslog5424, Warc, Zeek}
+import graft.formats.{Bitz, Cef, Codec, Feather, Grok, JsonInfer, JsonStreams, Leef, Robots, Sitemap, Syslog5424, Warc, Zeek}
 
 /** Driver-checked query catalog, part 4: the widened parser surface —
   * grok with the real pattern library, syslog RFC 5424 (incl.
@@ -266,6 +266,28 @@ object ParserQueries {
         rt("zstd").as("zs"), rt("bz2").as("bz"))
     }),
 
+    // ------------------------------- feather / bitz (§2.6 Arrow at-rest/wire)
+    // write → read must be the identity on typed columns; the oracle is the
+    // source projection itself (clean-before-build scratch, as replayLake)
+    "q_feather_roundtrip" -> ((s, d) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-feather"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      val df = t(s, d, "documents").select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        (col("doc_id") % 7).cast("double").as("dbl"))
+      Feather.save(df, work)
+      Feather.load(s, work)
+    }),
+
+    "q_bitz_roundtrip" -> ((s, d) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-bitz"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      val df = t(s, d, "events").select(col("event_id"), col("event_type"),
+        col("user_id"))
+      Bitz.save(df, work, batchRows = 4096)
+      Bitz.load(s, work)
+    }),
+
     // -------------------------------------- JSON-dialect streams (read_gelf)
     "q_gelf" -> ((s, d) => {
       val host = concat(lit("h"), pmod(col("user_id"), lit(50)).cast("string"))
@@ -510,6 +532,12 @@ object ParserQueries {
       "q_json_route" ->
         """SELECT event_id, event_id AS id, CAST(floor(value * 100) AS BIGINT) AS amount
           |FROM events WHERE event_type = 'purchase'""".stripMargin,
+      // feather/bitz round-trip = identity: the oracle is the projection
+      "q_feather_roundtrip" ->
+        """SELECT doc_id, text, length(text) AS len,
+          |  CAST(doc_id % 7 AS DOUBLE) AS dbl FROM documents""".stripMargin,
+      "q_bitz_roundtrip" ->
+        "SELECT event_id, event_type, user_id FROM events",
       // round-trip = identity: the oracle is the raw text column
       "q_codec_roundtrip" ->
         """SELECT doc_id, text AS gz, text AS zl, text AS lz, text AS zs, text AS bz

@@ -4,13 +4,16 @@ import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.channels.Channels
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.VectorSchemaRoot
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, GraftArrow, Row, SparkSession}
@@ -24,7 +27,9 @@ import org.apache.spark.sql.types.StructType
   * already ships read and write natively — so this engine's feather surface
   * is a thin frame around Spark's own Arrow interop (`GraftArrow`), giving
   * full type coverage (nested structs/arrays/maps, decimals, temporals) for
-  * free.
+  * free. Reads accept compressed record batches (lz4/zstd — what pyarrow
+  * and the reference's feather store emit by default) via the
+  * arrow-compression codec factory.
   *
   * Scale shape: `save` is embarrassingly parallel — one IPC file per input
   * partition, rows converted batch-at-a-time (bounded memory = one record
@@ -38,39 +43,43 @@ object Feather {
 
   /** Write `df` as one `.feather` (Arrow IPC file) per partition under
     * `dir`. Returns (path, rows) per written file — empty partitions write
-    * nothing. An action, like any sink.
+    * nothing. An action, like any sink. `codec` compresses record batches
+    * ("lz4" — pyarrow's feather default — or "zstd"; "none" for raw).
     */
-  def save(df: DataFrame, dir: String, batchRows: Int = 4096): Seq[(String, Long)] = {
-    val schema = df.schema
-    Files.createDirectories(Paths.get(dir))
-    val manifestSchema = StructType.fromDDL("path STRING, rows BIGINT")
-    df.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val pid = TaskContext.getPartitionId()
-        val path = Paths.get(dir, f"part-$pid%05d.feather")
-        val ch = Files.newByteChannel(path, StandardOpenOption.CREATE,
-          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-        var n = 0L
-        val alloc = new RootAllocator()
+  def save(df: DataFrame, dir: String, batchRows: Int = 4096,
+      codec: String = "none"): Seq[(String, Long)] = {
+    val codecType = codec match {
+      case "none" => None
+      case "lz4"  => Some(CompressionUtil.CodecType.LZ4_FRAME)
+      case "zstd" => Some(CompressionUtil.CodecType.ZSTD)
+      case other => throw new IllegalArgumentException(
+        s"unknown feather codec '$other' (have: none, lz4, zstd)")
+    }
+    savePartitions(df, dir, ".feather") { (it, schema, path) =>
+      val ch = Files.newByteChannel(path, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      var n = 0L
+      val alloc = new RootAllocator()
+      try {
+        val root = VectorSchemaRoot.create(GraftArrow.toArrowSchema(schema, "UTC"), alloc)
         try {
-          val root = VectorSchemaRoot.create(GraftArrow.toArrowSchema(schema, "UTC"), alloc)
-          try {
-            val fw = new ArrowFileWriter(root, null, ch)
-            val w = new GraftArrow.RowBatchWriter(schema, root)
-            fw.start()
-            it.grouped(batchRows).foreach { g =>
-              g.foreach(w.write)
-              w.finish(); fw.writeBatch(); w.reset()
-              n += g.size
-            }
-            fw.end(); fw.close()
-          } finally root.close()
-        } finally { alloc.close(); ch.close() }
-        Iterator(Row(path.toString, n))
-      }
-    }(Encoders.row(manifestSchema))
-      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+          val fw = codecType match {
+            case None => new ArrowFileWriter(root, null, ch)
+            case Some(ct) => new ArrowFileWriter(root, null, ch,
+              null, IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, ct)
+          }
+          val w = new GraftArrow.RowBatchWriter(schema, root)
+          fw.start()
+          it.grouped(batchRows).foreach { g =>
+            g.foreach(w.write)
+            w.finish(); fw.writeBatch(); w.reset()
+            n += g.size
+          }
+          fw.end(); fw.close()
+        } finally root.close()
+      } finally { alloc.close(); ch.close() }
+      n
+    }
   }
 
   /** Read every `.feather` file under `dir` back as a DataFrame. The schema
@@ -79,7 +88,7 @@ object Feather {
     * `binaryFile` source.
     */
   def load(spark: SparkSession, dir: String, schema: StructType = null): DataFrame = {
-    val sch = Option(schema).getOrElse(dirSchema(dir, ".feather", payloadSchema))
+    val sch = Option(schema).getOrElse(dirSchema(spark, dir, ".feather", payloadSchema))
     val bytes = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.feather").load(dir)
       .select("content")
@@ -87,13 +96,15 @@ object Feather {
   }
 
   /** Decode one Arrow IPC file payload into Rows (eager per record batch;
-    * a payload is one bounded file/frame).
+    * a payload is one bounded file/frame). Compressed record batches
+    * (lz4/zstd) decode transparently.
     */
   private[formats] def decode(payload: Array[Byte], schema: StructType): Seq[Row] = {
     val alloc = new RootAllocator()
     try {
       val rdr = new ArrowFileReader(
-        new SeekableReadChannel(new ByteArrayReadableSeekableByteChannel(payload)), alloc)
+        new SeekableReadChannel(new ByteArrayReadableSeekableByteChannel(payload)),
+        alloc, CommonsCompressionFactory.INSTANCE)
       try {
         val root = rdr.getVectorSchemaRoot
         val out = ArrayBuffer.empty[Row]
@@ -108,41 +119,54 @@ object Feather {
     val alloc = new RootAllocator()
     try {
       val rdr = new ArrowFileReader(
-        new SeekableReadChannel(new ByteArrayReadableSeekableByteChannel(payload)), alloc)
+        new SeekableReadChannel(new ByteArrayReadableSeekableByteChannel(payload)),
+        alloc, CommonsCompressionFactory.INSTANCE)
       try GraftArrow.fromArrowSchema(rdr.getVectorSchemaRoot.getSchema)
       finally rdr.close()
     } finally alloc.close()
   }
 
-  /** Serialize rows (one record batch) to Arrow IPC *file* bytes — the bitz
-    * frame payload.
+  /** Shared per-partition sink scaffold for feather/bitz: one file per
+    * non-empty partition, deterministic names (task retries overwrite —
+    * idempotent), small (path, rows) manifest back to the driver.
     */
-  private[formats] def encodeBytes(rows: Seq[Row], schema: StructType): Array[Byte] = {
-    val out = new ByteArrayOutputStream(1 << 16)
-    val alloc = new RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(GraftArrow.toArrowSchema(schema, "UTC"), alloc)
-      try {
-        val fw = new ArrowFileWriter(root, null, Channels.newChannel(out))
-        val w = new GraftArrow.RowBatchWriter(schema, root)
-        fw.start()
-        rows.foreach(w.write)
-        w.finish(); fw.writeBatch()
-        fw.end(); fw.close()
-      } finally root.close()
-    } finally alloc.close()
-    out.toByteArray
+  private[formats] def savePartitions(df: DataFrame, dir: String, ext: String)(
+      write: (Iterator[Row], StructType, JPath) => Long): Seq[(String, Long)] = {
+    val schema = df.schema
+    Files.createDirectories(Paths.get(dir))
+    val manifestSchema = StructType.fromDDL("path STRING, rows BIGINT")
+    df.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = TaskContext.getPartitionId()
+        val path = Paths.get(dir, f"part-$pid%05d$ext")
+        val n = write(it, schema, path)
+        Iterator(Row(path.toString, n))
+      }
+    }(Encoders.row(manifestSchema))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
   }
 
-  private[formats] def dirSchema(
-      dir: String, ext: String, read: Array[Byte] => StructType): StructType = {
-    val listing = Files.list(Paths.get(dir))
-    val first =
-      try listing.filter(_.toString.endsWith(ext)).sorted().findFirst()
-      finally listing.close()
-    if (!first.isPresent)
-      throw new IllegalArgumentException(s"no *$ext files under $dir (pass a schema to load)")
-    read(Files.readAllBytes(first.get))
+  /** Infer the schema from the first `*ext` file under `dir` — resolved
+    * through the Hadoop filesystem of the session (so plain paths and
+    * `file:`/remote URIs behave exactly like the `binaryFile` read that
+    * follows).
+    */
+  private[formats] def dirSchema(spark: SparkSession, dir: String, ext: String,
+      read: Array[Byte] => StructType): StructType = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(p).filter(_.getPath.getName.endsWith(ext))
+      .sortBy(_.getPath.getName).headOption.getOrElse(
+        throw new IllegalArgumentException(s"no *$ext files under $dir (pass a schema to load)"))
+    val in = fs.open(first.getPath)
+    try {
+      val buf = new ByteArrayOutputStream(1 << 16)
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      read(buf.toByteArray)
+    } finally in.close()
   }
 }
 
@@ -155,7 +179,8 @@ object Feather {
   * byte transports — pair with the tcp/http connectors for wire transfer.
   *
   * Same scale shape as [[Feather]]: one `.bitz` file per partition on save
-  * (one frame per record batch inside it), one decode task per file on load.
+  * (one frame per record batch inside it, allocator/root amortized across
+  * frames), one decode task per file on load.
   */
 object Bitz {
 
@@ -164,13 +189,38 @@ object Bitz {
   /** Frame rows as BITZ bytes: one frame per `batchRows` record batch. */
   def encode(rows: Seq[Row], schema: StructType, batchRows: Int = 4096): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 16)
-    rows.grouped(batchRows).foreach { g =>
-      val payload = Feather.encodeBytes(g, schema)
-      out.write(Magic)
-      out.write(ByteBuffer.allocate(8).putLong(payload.length.toLong).array())
-      out.write(payload)
-    }
+    writeFrames(rows.iterator, schema, batchRows, out.write(_: Array[Byte]))
     out.toByteArray
+  }
+
+  /** Stream frames for `rows` to `sink`, reusing one allocator/root/
+    * converter across all frames (each frame is an independent IPC file
+    * payload, buffered only long enough to learn its length).
+    */
+  private def writeFrames(rows: Iterator[Row], schema: StructType, batchRows: Int,
+      sink: Array[Byte] => Unit): Long = {
+    var n = 0L
+    val alloc = new RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(GraftArrow.toArrowSchema(schema, "UTC"), alloc)
+      try {
+        val w = new GraftArrow.RowBatchWriter(schema, root)
+        rows.grouped(batchRows).foreach { g =>
+          g.foreach(w.write)
+          w.finish()
+          val buf = new ByteArrayOutputStream(1 << 16)
+          val fw = new ArrowFileWriter(root, null, Channels.newChannel(buf))
+          fw.start(); fw.writeBatch(); fw.end(); fw.close()
+          w.reset()
+          val payload = buf.toByteArray
+          sink(Magic)
+          sink(ByteBuffer.allocate(8).putLong(payload.length.toLong).array())
+          sink(payload)
+          n += g.size
+        }
+      } finally root.close()
+    } finally alloc.close()
+    n
   }
 
   /** Decode concatenated BITZ frames. Rejects bad magic / truncated frames
@@ -180,60 +230,49 @@ object Bitz {
     val out = ArrayBuffer.empty[Row]
     var off = 0
     while (off < bytes.length) {
-      if (off + 4 > bytes.length)
-        throw new IllegalArgumentException(s"unexpected BITZ magic length ${bytes.length - off}")
-      if (!java.util.Arrays.equals(bytes, off, off + 4, Magic, 0, 4))
-        throw new IllegalArgumentException("unexpected BITZ magic (expected TNZ1)")
-      if (off + 12 > bytes.length)
-        throw new IllegalArgumentException(s"unexpected BITZ header length ${bytes.length - off - 4}")
-      val len = ByteBuffer.wrap(bytes, off + 4, 8).getLong
-      if (len < 0 || off + 12 + len > bytes.length)
-        throw new IllegalArgumentException(s"unexpected message length ${bytes.length - off - 12} (expected $len)")
-      out ++= Feather.decode(java.util.Arrays.copyOfRange(bytes, off + 12, off + 12 + len.toInt), schema)
-      off += 12 + len.toInt
+      out ++= Feather.decode(nextFramePayload(bytes, off), schema)
+      off += 12 + frameLen(bytes, off).toInt
     }
     out.toSeq
   }
 
-  /** Write `df` as one `.bitz` file per partition under `dir`. */
-  def save(df: DataFrame, dir: String, batchRows: Int = 4096): Seq[(String, Long)] = {
-    val schema = df.schema
-    Files.createDirectories(Paths.get(dir))
-    val manifestSchema = StructType.fromDDL("path STRING, rows BIGINT")
-    df.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val pid = TaskContext.getPartitionId()
-        val path = Paths.get(dir, f"part-$pid%05d.bitz")
-        val ch = Files.newOutputStream(path, StandardOpenOption.CREATE,
-          StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-        var n = 0L
-        try it.grouped(batchRows).foreach { g =>
-          ch.write(encode(g, schema, batchRows))
-          n += g.size
-        } finally ch.close()
-        Iterator(Row(path.toString, n))
-      }
-    }(Encoders.row(manifestSchema))
-      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+  private def frameLen(bytes: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(bytes, off + 4, 8).getLong
+
+  /** Validate and slice the frame starting at `off` (shared by decode and
+    * schema inference — one bounds-checking path).
+    */
+  private def nextFramePayload(bytes: Array[Byte], off: Int): Array[Byte] = {
+    if (off + 4 > bytes.length)
+      throw new IllegalArgumentException(s"unexpected BITZ magic length ${bytes.length - off}")
+    if (!java.util.Arrays.equals(bytes, off, off + 4, Magic, 0, 4))
+      throw new IllegalArgumentException("unexpected BITZ magic (expected TNZ1)")
+    if (off + 12 > bytes.length)
+      throw new IllegalArgumentException(s"unexpected BITZ header length ${bytes.length - off - 4}")
+    val len = frameLen(bytes, off)
+    if (len < 0 || off + 12 + len > bytes.length)
+      throw new IllegalArgumentException(s"unexpected message length ${bytes.length - off - 12} (expected $len)")
+    java.util.Arrays.copyOfRange(bytes, off + 12, off + 12 + len.toInt)
   }
+
+  /** Write `df` as one `.bitz` file per partition under `dir`. */
+  def save(df: DataFrame, dir: String, batchRows: Int = 4096): Seq[(String, Long)] =
+    Feather.savePartitions(df, dir, ".bitz") { (it, schema, path) =>
+      val ch = Files.newOutputStream(path, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      try writeFrames(it, schema, batchRows, ch.write) finally ch.close()
+    }
 
   /** Read every `.bitz` file under `dir` back as a DataFrame (schema from
     * the first frame's footer unless given).
     */
   def load(spark: SparkSession, dir: String, schema: StructType = null): DataFrame = {
     val sch = Option(schema).getOrElse(
-      Feather.dirSchema(dir, ".bitz", b => Feather.payloadSchema(firstFramePayload(b))))
+      Feather.dirSchema(spark, dir, ".bitz",
+        b => Feather.payloadSchema(nextFramePayload(b, 0))))
     val bytes = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bitz").load(dir)
       .select("content")
     bytes.flatMap(r => decode(r.getAs[Array[Byte]](0), sch))(Encoders.row(sch))
-  }
-
-  private def firstFramePayload(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes.length < 12 || !java.util.Arrays.equals(bytes, 0, 4, Magic, 0, 4))
-      throw new IllegalArgumentException("unexpected BITZ magic (expected TNZ1)")
-    val len = ByteBuffer.wrap(bytes, 4, 8).getLong
-    java.util.Arrays.copyOfRange(bytes, 12, 12 + len.toInt)
   }
 }

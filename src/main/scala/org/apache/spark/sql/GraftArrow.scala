@@ -38,20 +38,19 @@ object GraftArrow {
     def reset(): Unit = writer.reset()
   }
 
-  /** Materialize the current record batch in `root` as external Rows (each
-    * row is copied out, so the iterator's output survives the next
-    * `loadNextBatch`).
+  /** Materialize the current record batch in `root` as external Rows —
+    * EAGERLY, all rows copied out before returning, so the result is valid
+    * after the caller's next `loadNextBatch` replaces the vectors.
     */
-  def batchRows(schema: StructType, root: VectorSchemaRoot): Iterator[Row] = {
+  def batchRows(schema: StructType, root: VectorSchemaRoot): Seq[Row] = {
     val cols: Array[ColumnVector] =
       root.getFieldVectors.toArray(Array.empty[org.apache.arrow.vector.FieldVector])
         .map(v => new ArrowColumnVector(v): ColumnVector)
     val batch = new ColumnarBatch(cols, root.getRowCount)
     val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    val out = new scala.collection.mutable.ArrayBuffer[Row](root.getRowCount)
     val it = batch.rowIterator()
-    new Iterator[Row] {
-      def hasNext: Boolean = it.hasNext
-      def next(): Row = toScala(it.next()).asInstanceOf[Row]
-    }
+    while (it.hasNext) out += toScala(it.next()).asInstanceOf[Row]
+    out.toSeq
   }
 }

@@ -98,6 +98,31 @@ class FeatherBitzSpec extends SparkSpec {
     assert(e2.getMessage.contains("message length"))
   }
 
+  test("feather reads compressed record batches (lz4 + zstd write codecs)") {
+    val df = fixture(200).repartition(2)
+    for (codec <- Seq("lz4", "zstd")) {
+      val dir = tmpDir(s"feather-$codec")
+      Feather.save(df, dir, batchRows = 64, codec = codec)
+      val back = Feather.load(spark, dir)
+      assert(back.schema === df.schema)
+      assert(canon(back) === canon(df), s"codec=$codec")
+    }
+  }
+
+  test("bitz schema inference bounds-checks the first frame") {
+    val df = fixture(5).coalesce(1)
+    val dir = tmpDir("bitz-trunc")
+    Bitz.save(df, dir)
+    // truncate the single part file mid-payload: inference must fail with the
+    // BITZ diagnostic, not an obscure Arrow footer error
+    val listing = Files.list(Paths.get(dir))
+    val f = try listing.findFirst().get finally listing.close()
+    val bytes = Files.readAllBytes(f)
+    Files.write(f, bytes.take(bytes.length / 2))
+    val e = intercept[IllegalArgumentException](Bitz.load(spark, dir).schema)
+    assert(e.getMessage.contains("message length"))
+  }
+
   test("feather files carry the ARROW1 magic (true Feather v2 / IPC file format)") {
     val dir = tmpDir("feather-magic")
     Feather.save(fixture(5).coalesce(1), dir)

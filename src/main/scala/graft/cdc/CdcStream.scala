@@ -109,10 +109,15 @@ object CdcStream {
     * [[LakeTable.expireSnapshots]], which can delete the snapshot a lagging
     * cursor points at — `changes(cursor, head)` would then throw on EVERY
     * poll with no way out. Two defenses:
-    *   - `pinTag`: after each successful delivery the consumed head is
-    *     pinned under this tag name, exempting it from expiry (Iceberg
-    *     ref-retention). A consumer that polls with the tag can lag
-    *     arbitrarily without losing its diff base.
+    *   - `pinTag`: after each delivery the consumed head is pinned under
+    *     this tag (the lag protection: the next poll's diff base survives
+    *     arbitrary lag), and the PREVIOUS base stays pinned under
+    *     `<tag>.prev` until the next poll acks it (the crash protection: a
+    *     consumer that dies between delivery and persisting cursor=head
+    *     re-polls from the old cursor, which must still exist for the
+    *     identical-redelivery contract to hold). Both exempt from expiry
+    *     (Iceberg ref-retention); at most two versions pinned per
+    *     follower.
     *   - if the cursor version is gone anyway (an unpinned consumer
     *     outlagged retention), the poll degrades to a RE-BOOTSTRAP: the full
     *     live state at head is delivered as inserts
@@ -127,12 +132,25 @@ object CdcStream {
       (onChanges: (DataFrame, Long, Long) => Unit): Long = {
     val head = table.currentSnapshot.map(_.version).getOrElse(cursor)
     if (head <= cursor) return cursor
+    val exists = table.versionExists(cursor)
     val (diff, fromV) =
-      if (table.versionExists(cursor))
-        (table.changes(cursor, head, withPreimages), cursor)
+      if (exists) (table.changes(cursor, head, withPreimages), cursor)
       else (table.changesBootstrap(head), -1L) // inserts-only: both conventions
     onChanges(diff, fromV, head)
-    pinTag.foreach(t => table.tag(t, head)) // pin AFTER the consumer returns
+    // Two pins, because two versions need protection: `head` for the LAG
+    // window (the next poll's diff base once the consumer persists
+    // cursor=head), and the OLD cursor for the CRASH window — the consumer
+    // may die between this return and persisting its cursor, and the
+    // identical-redelivery contract requires the version it will re-poll
+    // from to still exist. Pinning only head (the old behavior) un-pinned
+    // exactly that version. `<tag>.prev` advances to the new base on the
+    // NEXT poll — polling from a version is the ack that it was persisted.
+    // Prev first, so a crash between the two tag writes never leaves the
+    // re-poll base unpinned.
+    pinTag.foreach { t =>
+      table.tag(s"$t.prev", if (exists) cursor else head)
+      table.tag(t, head)
+    }
     head
   }
 

@@ -314,19 +314,20 @@ object Text {
 
   /** C4 doc-keep rule: at least `minLines` retained lines (the paper's
     * "fewer than 3 sentences" drop, at line granularity), no "lorem ipsum",
-    * and no curly brace (code leakage). The paper's bad-words list is a
+    * and no curly brace (code leakage). Takes the ALREADY-COMPUTED
+    * [[c4Clean]] struct so the line-split/filter HOF chain is evaluated
+    * once per document, not rebuilt inside the predicate (nested HOF
+    * lambdas are not reliably CSE'd). The paper's bad-words list is a
     * deployment-supplied dictionary — compose with an `isin`/`rlike`
     * predicate over it; not baked in here.
     */
-  def c4Keep(text: Column, minWords: Int = 5, minLines: Int = 3): Column = {
-    val cleaned = c4Clean(text, minWords)
+  def c4Keep(text: Column, cleaned: Column, minLines: Int = 3): Column =
     cleaned.getField("kept_lines") >= minLines &&
       !lower(coalesce(text, lit(""))).contains("lorem ipsum") &&
       !coalesce(text, lit("")).contains("{")
-  }
 
   /** Gopher quality signals (Rae et al. 2021, Table A1) as one struct —
-    * word count band, mean word length band, symbol-to-word ratio (# and
+    * word count band, mean word length band, per-symbol word ratios (hash;
     * ellipsis), bullet-start / ellipsis-end line fractions, alphabetic-word
     * fraction, and the "contains ≥2 required stopwords" rule. One scan,
     * zero shuffle; compose with the repetition signals
@@ -339,10 +340,16 @@ object Text {
     val meanLen = when(nWords === 0L, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double")
         / nWords.cast("double"))
-    val symbolWords = size(filter(toks,
-      w => w.contains("#") || w.contains("...") || w.contains("…")))
-    val symbolRatio = when(nWords === 0L, lit(0.0))
-      .otherwise(symbolWords.cast("double") / nWords.cast("double"))
+    // Rae et al. threshold each symbol's ratio SEPARATELY (drop if > 0.1
+    // "for either the hash symbol or the ellipsis") — one combined ratio
+    // would be strictly more aggressive than the published recipe
+    val hashWords = size(filter(toks, w => w.contains("#")))
+    val hashRatio = when(nWords === 0L, lit(0.0))
+      .otherwise(hashWords.cast("double") / nWords.cast("double"))
+    val ellipsisWords = size(filter(toks,
+      w => w.contains("...") || w.contains("…")))
+    val ellipsisRatio = when(nWords === 0L, lit(0.0))
+      .otherwise(ellipsisWords.cast("double") / nWords.cast("double"))
     val lines = split(coalesce(text, lit("")), "\n")
     val nLines = size(lines)
     val bulletStart = size(filter(lines,
@@ -361,26 +368,29 @@ object Text {
       s => array_contains(toks, s))).cast("long")
     struct(
       nWords.as("n_words"), meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      bulletFrac.as("bullet_frac"),
       ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
       stopHits.as("stop_hits"))
   }
 
   /** Gopher doc-keep decision over [[gopherSignals]] with the paper's
     * published thresholds: 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10,
-    * symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis lines,
-    * ≥ 80% alphabetic words, ≥ 2 required stopwords.
+    * hash ratio ≤ 0.1 AND ellipsis ratio ≤ 0.1 (each thresholded
+    * separately, per Table A1), ≤ 90% bullet lines, ≤ 30% ellipsis lines,
+    * ≥ 80% alphabetic words, ≥ 2 required stopwords. Takes the
+    * ALREADY-COMPUTED [[gopherSignals]] struct so the seven-signal
+    * expression tree is evaluated once per document.
     */
-  def gopherKeep(text: Column): Column = {
-    val s = gopherSignals(text)
+  def gopherKeep(s: Column): Column =
     s.getField("n_words") >= 50L && s.getField("n_words") <= 100000L &&
       s.getField("mean_word_len") >= 3.0 && s.getField("mean_word_len") <= 10.0 &&
-      s.getField("symbol_ratio") <= 0.1 &&
+      s.getField("hash_ratio") <= 0.1 &&
+      s.getField("ellipsis_ratio") <= 0.1 &&
       s.getField("bullet_frac") <= 0.9 &&
       s.getField("ellipsis_frac") <= 0.3 &&
       s.getField("alpha_frac") >= 0.8 &&
       s.getField("stop_hits") >= 2L
-  }
 
   // ------------------------------------------------------------- vectors
 

@@ -416,14 +416,15 @@ class LakeTable(val spark: SparkSession, val root: String,
     // (bucket -1 = L0 spanning file → every bucket is a candidate)
     val touched = (added ++ removed).map(_.bucket).toSet
     val bucketsOpt = if (touched.contains(-1)) None else Some(touched)
-    // persisted: both sides semi-join against cand, and without a persist
-    // the added/removed file read + distinct shuffle would run once per
-    // side (exchange reuse is plan-shape-dependent; a cache is not).
-    // Spark's ContextCleaner reclaims the block once the returned plan is
-    // garbage-collected — same lifecycle Delta's CDF reader uses.
+    // NOT cached: a persist here would pin an InMemoryRelation in the
+    // CacheManager with no caller-visible release (a long-running follower
+    // polling changes() would leak one per poll). Both sides semi-join
+    // against this plan, so the delta-file url read runs at most twice —
+    // column-pruned to `url` over only the range's added/removed files, the
+    // small side of the diff by construction (and the semi-join hash build
+    // dedups, so no distinct shuffle is needed at all).
     val cand = readFiles(sTo, added, target).select("url")
       .unionByName(readFiles(sFrom, removed, target).select("url"))
-      .distinct().persist()
 
     def side(snap: Snapshot, p: String): DataFrame = {
       val raw = readFiles(snap, planFiles(snap, buckets = bucketsOpt), target)

@@ -178,6 +178,21 @@ object Similarity {
   val KmeansScale = 1024L
   val KmeansOffset = 4096L
 
+  /** Quantize a float-vector column into the deterministic integer domain
+    * ([[KmeansScale]]/[[KmeansOffset]]) that [[kmeans]], [[graft.ops.Pq]],
+    * and their DuckDB oracles all share — ONE definition, so the
+    * bit-identical codebook/encode guarantee cannot drift between call
+    * sites. */
+  def quantizeVec(vec: Column): Column =
+    transform(vec, x =>
+      round(x.cast("double") * KmeansScale.toDouble + KmeansOffset.toDouble).cast("long"))
+
+  /** Integer squared-L2 between a quantized vector column and a literal
+    * point (centroid / codeword). */
+  def sqDistToLit(v: Column, point: Array[Long]): Column =
+    aggregate(zip_with(v, typedlit(point.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, b) => a + b)
+
   /** Deterministic Lloyd's k-means over an embedding column — the training
     * pass that fits [[ivfTopK]]'s `centroids` parameter (its doc promises a
     * k-means fit at production scale; this is it).
@@ -197,21 +212,6 @@ object Similarity {
     *
     * @return (assignments DataFrame (id, cluster), centroids as k×dim longs)
     */
-  /** Quantize a float-vector column into the deterministic integer domain
-    * ([[KmeansScale]]/[[KmeansOffset]]) that [[kmeans]], [[graft.ops.Pq]],
-    * and their DuckDB oracles all share — ONE definition, so the
-    * bit-identical codebook/encode guarantee cannot drift between call
-    * sites. */
-  def quantizeVec(vec: Column): Column =
-    transform(vec, x =>
-      round(x.cast("double") * KmeansScale.toDouble + KmeansOffset.toDouble).cast("long"))
-
-  /** Integer squared-L2 between a quantized vector column and a literal
-    * point (centroid / codeword). */
-  def sqDistToLit(v: Column, point: Array[Long]): Column =
-    aggregate(zip_with(v, typedlit(point.toSeq), (x, y) => (x - y) * (x - y)),
-      lit(0L), (a, b) => a + b)
-
   def kmeans(
       df: DataFrame,
       vecCol: String,

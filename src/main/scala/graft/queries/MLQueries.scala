@@ -341,10 +341,14 @@ object MLQueries {
       replayLake(s, d, "graft-q-matview") { (table, batch, b) =>
         CdcApply.applyBatchAppendRaw(table, batch, "q_mv", b, createBuckets = 16)
         cursor = CdcStream.followChanges(table, cursor, withPreimages = true) {
-          (df, _, _) =>
+          (df, from, _) =>
+            // from < 0 signals a re-bootstrap (full state as inserts): the
+            // view must be REBUILT from None, never merged into — folding a
+            // bootstrap into an existing aggregate double-counts everything
+            val base = if (from < 0) None else view
             // localCheckpoint per poll: the production follower's persist
             // step — plans don't chain across deliveries
-            view = Some(MatView.update(view, df, Seq("lang"),
+            view = Some(MatView.update(base, df, Seq("lang"),
               Map("chars" -> length(col("text")))).localCheckpoint())
         }
       }

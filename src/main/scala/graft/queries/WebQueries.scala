@@ -210,7 +210,7 @@ object WebQueries {
         cleaned.getField("clean_text").as("clean_text"),
         cleaned.getField("kept_lines").as("kept_lines"),
         cleaned.getField("total_lines").as("total_lines"),
-        Text.c4Keep(page).as("keep"))
+        Text.c4Keep(page, cleaned).as("keep"))
     }),
 
     // ------- Gopher quality rules (Rae 2021 Table A1) on the same pages
@@ -220,12 +220,13 @@ object WebQueries {
         col("doc_id"),
         sig.getField("n_words").as("n_words"),
         sig.getField("mean_word_len").as("mean_word_len"),
-        sig.getField("symbol_ratio").as("symbol_ratio"),
+        sig.getField("hash_ratio").as("hash_ratio"),
+        sig.getField("ellipsis_ratio").as("ellipsis_ratio"),
         sig.getField("bullet_frac").as("bullet_frac"),
         sig.getField("ellipsis_frac").as("ellipsis_frac"),
         sig.getField("alpha_frac").as("alpha_frac"),
         sig.getField("stop_hits").as("stop_hits"),
-        Text.gopherKeep(plantedPageCol).as("keep"))
+        Text.gopherKeep(sig).as("keep"))
     }),
 
     // ----- trainable quality classifier (hashed-bag perceptron, integer
@@ -776,7 +777,9 @@ object WebQueries {
          |  CASE WHEN len(w) = 0 THEN 0.0
          |    ELSE CAST(list_reduce(list_prepend(0, list_transform(w, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS mean_word_len,
          |  CASE WHEN len(w) = 0 THEN 0.0
-         |    ELSE CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...') OR contains(x, '…'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS symbol_ratio,
+         |    ELSE CAST(len(list_filter(w, x -> contains(x, '#'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS hash_ratio,
+         |  CASE WHEN len(w) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(w, x -> contains(x, '...') OR contains(x, '…'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS ellipsis_ratio,
          |  CASE WHEN len(lines) = 0 THEN 0.0
          |    ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS DOUBLE) / CAST(len(lines) AS DOUBLE) END AS bullet_frac,
          |  CASE WHEN len(lines) = 0 THEN 0.0
@@ -785,11 +788,12 @@ object WebQueries {
          |    ELSE CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS alpha_frac,
          |  CAST(len(list_filter($Req, s -> list_contains(w, s))) AS BIGINT) AS stop_hits
          |  FROM toks)
-         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-         |  ellipsis_frac, alpha_frac, stop_hits,
+         |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+         |  bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
          |  (n_words >= 50 AND n_words <= 100000
          |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+         |    AND bullet_frac <= 0.9
          |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
          |    AND stop_hits >= 2) AS keep
          |FROM sig""".stripMargin

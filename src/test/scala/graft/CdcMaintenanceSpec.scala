@@ -368,8 +368,10 @@ class CdcMaintenanceSpec extends SparkSpec {
       CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "mv", i.toLong,
         createBuckets = 8)
       cursor = CdcStream.followChanges(table, cursor, withPreimages = true) {
-        (df, _, _) =>
-          view = Some(MatView.update(view, df, Seq("lang"),
+        (df, from, _) =>
+          // bootstrap (from < 0) would mean REBUILD from None, never merge
+          val base = if (from < 0) None else view
+          view = Some(MatView.update(base, df, Seq("lang"),
             Map("chars" -> length(col("text")))).localCheckpoint())
       }
     }
@@ -461,6 +463,42 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(!sawBootstrap)
     assert(downstream == golden.map { case (u, (t, _, _, _)) => u -> t })
     assert(table.tags("follower-a") == cursor) // pin advanced with the cursor
+  }
+
+  test("followChanges: crash before cursor-persist re-polls the still-pinned old base") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 6)
+    groups.take(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "fc", i.toLong,
+        createBuckets = 8)
+    }
+    var downstream = Map.empty[String, String]
+    var sawBootstrap = false
+    def consume(from: Long): Long =
+      CdcStream.followChanges(table, from, pinTag = Some("follower-c")) {
+        (df, f, _) =>
+          if (f < 0) sawBootstrap = true
+          df.collect().foreach { r =>
+            val url = r.getAs[String]("url")
+            if (r.getAs[String]("change_type") == "delete") downstream -= url
+            else downstream += url -> r.getAs[String]("text")
+          }
+      }
+    val acked = 0L // durable cursor: the consumer never persists the next one
+    consume(acked) // delivery happens, then the consumer "crashes" —
+    downstream = Map.empty // — losing its in-memory replica progress too
+    // the world moves on: 4 more commits + retention that would collect the
+    // old base were it not pinned under follower-c.prev
+    groups.drop(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatch(table, spark.createDataset(g).toDF(), "fc", (i + 2).toLong,
+        createBuckets = 8)
+    }
+    table.expireSnapshots(keepLast = 1)
+    assert(table.versionExists(acked),
+      "the last ACKED base must survive expiry (crash-window pin)")
+    consume(acked) // restart from the durable cursor: incremental, correct
+    assert(!sawBootstrap, "re-poll from the acked base must not bootstrap")
+    assert(downstream == golden.map { case (u, (t, _, _, _)) => u -> t })
   }
 
   test("followChanges: expired unpinned cursor degrades to full-state re-bootstrap") {

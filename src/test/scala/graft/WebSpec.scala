@@ -93,7 +93,8 @@ class WebSpec extends SparkSpec {
       "A third proper sentence rounds out the document nicely."   // keep
     ).mkString("\n")
     val row = Seq(page).toDF("t")
-      .select(Text.c4Clean(col("t")).as("c"), Text.c4Keep(col("t")).as("k"))
+      .select(Text.c4Clean(col("t")).as("c"),
+        Text.c4Keep(col("t"), Text.c4Clean(col("t"))).as("k"))
       .select(col("c.clean_text"), col("c.kept_lines"), col("c.total_lines"), col("k"))
       .head
     assert(row.getLong(1) == 3L && row.getLong(2) == 6L && row.getBoolean(3))
@@ -103,7 +104,8 @@ class WebSpec extends SparkSpec {
         "A third proper sentence rounds out the document nicely.").mkString("\n"))
     // doc-level poisons: curly brace / lorem ipsum / < 3 surviving lines
     def keep(t: String): Boolean =
-      Seq(t).toDF("t").select(Text.c4Keep(col("t"))).head.getBoolean(0)
+      Seq(t).toDF("t").select(Text.c4Keep(col("t"), Text.c4Clean(col("t"))))
+        .head.getBoolean(0)
     assert(!keep(page + "\nvar x = {1};"))
     assert(!keep(page + "\nSome Lorem Ipsum filler sits here today."))
     assert(!keep(page.linesIterator.take(3).mkString("\n"))) // only 1 keeper
@@ -114,13 +116,21 @@ class WebSpec extends SparkSpec {
       Seq(t).toDF("t").select(Text.gopherSignals(col("t")).getField(f)).head.get(0)
     assert(sig("the cat sat", "n_words") == 3L)
     assert(sig("the cat sat", "mean_word_len") == 3.0)
-    assert(sig("a # b … c", "symbol_ratio") == 0.4)        // '#' and '…' of 5
+    assert(sig("a # b … c", "hash_ratio") == 0.2)          // '#' alone, of 5
+    assert(sig("a # b … c", "ellipsis_ratio") == 0.2)      // '…' alone, of 5
+    // per-symbol thresholds (Rae Table A1): 0.06 + 0.06 must PASS both
+    // ratios even though a combined ratio would read 0.12 > 0.1
+    val mixed = (Seq.fill(44)("plain") ++ Seq.fill(3)("tag#x") ++
+      Seq.fill(3)("end…")).mkString(" ")
+    assert(sig(mixed, "hash_ratio").asInstanceOf[Double] <= 0.1)
+    assert(sig(mixed, "ellipsis_ratio").asInstanceOf[Double] <= 0.1)
     assert(sig("- x\ny\n* z", "bullet_frac") == 2.0 / 3.0)
     assert(sig("end...\nplain", "ellipsis_frac") == 0.5)
     assert(sig("abc 123 x9", "alpha_frac") == 2.0 / 3.0)   // abc, x9
     assert(sig("the dog and the cat have fun", "stop_hits") == 3L) // the,and,have
     def keep(t: String): Boolean =
-      Seq(t).toDF("t").select(Text.gopherKeep(col("t"))).head.getBoolean(0)
+      Seq(t).toDF("t").select(Text.gopherKeep(Text.gopherSignals(col("t"))))
+        .head.getBoolean(0)
     // 60 plain words with ≥2 required stopwords -> passes every band
     val good = (Seq.fill(29)("the data") :+ "and words").mkString(" ")
     assert(keep(good))

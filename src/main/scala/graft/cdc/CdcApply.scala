@@ -362,6 +362,14 @@ object CdcApply {
     * file. Bucket placement is deferred wholly to compaction (the L0→L1 flush
     * of an LSM tree); until then point lookups pay a read of the un-flushed L0
     * files, bounded by the auto-compaction threshold.
+    *
+    * `stageAs = Some(wapId)` switches the final commit to
+    * [[graft.lake.LakeTable.stageCommit]] — write-audit-publish: the batch's
+    * files land invisibly, the caller audits `pages(stagedSnapshot(id))`,
+    * then `publishStaged`/`dropStaged`. A staged empty batch stages nothing
+    * and advances no watermark (replay re-delivers; idempotent). With
+    * staging, `ApplyStats.version` reports the staged BASE — nothing is
+    * committed until publish.
     */
   def applyBatchAppendRaw(
       table: LakeTable,
@@ -369,7 +377,8 @@ object CdcApply {
       queryId: String,
       batchId: Long,
       createBuckets: Int = 64,
-      spanning: Boolean = false): ApplyStats = {
+      spanning: Boolean = false,
+      stageAs: Option[String] = None): ApplyStats = {
 
     val snap0: Snapshot = phase("snapshot") { table.currentSnapshot.getOrElse {
       table.create(userSchemaOf(batch.schema), createBuckets)
@@ -413,6 +422,8 @@ object CdcApply {
     val m = phase("obs-get") { obs.get }
     val events = m("events").asInstanceOf[Long]
     if (events == 0L) {
+      if (stageAs.isDefined) // nothing to audit; leave the watermark for replay
+        return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, snap0.version)
       val s = table.commit(snap0.copy(
         watermarks = snap0.watermarks + (queryId -> batchId),
         lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
@@ -425,14 +436,17 @@ object CdcApply {
 
     val schemas =
       if (evolved) snap0.schemas + (schemaId.toString -> mergedFile.json) else snap0.schemas
-    val committed = phase("commit") { table.commit(snap0.copy(
+    val next = snap0.copy(
       currentSchemaId = schemaId,
       schemas = schemas,
       files = snap0.files ++ newFiles,
       watermarks = snap0.watermarks + (queryId -> batchId),
       lineage = snap0.lineage :+
         LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1),
-      props = snap0.props + (LakeTable.NeedsResolveProp -> "true"))) }
+      props = snap0.props + (LakeTable.NeedsResolveProp -> "true"))
+    val committed = phase("commit") {
+      stageAs.fold(table.commit(next))(id => table.stageCommit(next, id))
+    }
 
     ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
       minLsn, maxLsn, committed.version)

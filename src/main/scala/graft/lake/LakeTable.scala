@@ -665,6 +665,109 @@ class LakeTable(val spark: SparkSession, val root: String,
     commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage, props = props))
   }
 
+  // ------------------------------------------- WAP: staged commits (audit)
+
+  private val stagedDir = new Path(root, "staged")
+  private def stagedPath(id: String) = new Path(stagedDir, s"wap-$id.json")
+
+  /** Write-audit-publish, Iceberg's staged-snapshot pattern: stage the
+    * snapshot a writer WOULD commit (same contract as [[commit]]:
+    * `snap.version` = the base it was built on, `snap.files` = the full new
+    * list) under a WAP id instead of publishing it. The data files are
+    * already written; the batch is invisible to readers until
+    * [[publishStaged]]. Audit with `pages(stagedSnapshot(id))` — validate
+    * row counts, PII scans, quality gates — then publish or [[dropStaged]].
+    *
+    * The staged file stores the file list INLINE (no manifest-delta chain
+    * participation): one transient O(#files) JSON per staged batch.
+    * [[expireSnapshots]] pins both the staged base version (needed to
+    * rebase at publish) and the staged data files (they are referenced by
+    * no committed snapshot yet).
+    */
+  def stageCommit(snap: Snapshot, wapId: String): Snapshot = {
+    require(wapId.matches("[A-Za-z0-9._-]+"), s"invalid WAP id '$wapId'")
+    require(snap.version < 0 || fs.exists(versionPath(snap.version)),
+      s"staged base v${snap.version} is not a live snapshot")
+    fs.mkdirs(stagedDir)
+    val staged = snap.copy(manifests = Nil)
+    val out =
+      try fs.create(stagedPath(wapId), false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"WAP id '$wapId' already staged: ${e.getMessage}")
+      }
+    try out.write(ManifestCodec.toJson(staged).getBytes("UTF-8"))
+    finally out.close()
+    staged
+  }
+
+  def stagedIds: Seq[String] =
+    if (!fs.exists(stagedDir)) Nil
+    else fs.listStatus(stagedDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("wap-") && n.endsWith(".json"))
+      .map(_.stripPrefix("wap-").stripSuffix(".json")).toSeq.sorted
+
+  def stagedSnapshot(wapId: String): Snapshot = {
+    if (!fs.exists(stagedPath(wapId)))
+      throw new IllegalArgumentException(s"no staged commit '$wapId'")
+    ManifestCodec.fromJson(readString(stagedPath(wapId)))
+  }
+
+  /** Publish a staged commit (Iceberg cherry-pick). Fast path: the table
+    * head is still the staged base → commit as-is. If the table advanced, an
+    * APPEND-ONLY staged delta (MOR/L0 batches — no base files removed) is
+    * rebased onto the head: files appended, watermarks max-merged per query,
+    * fresh lineage entries carried over, schema additions merged with
+    * id-clash detection. A staged REWRITE (compaction/COW — removes base
+    * files) cannot be rebased mechanically and is refused for re-audit, as
+    * is any conflicting schema/bucket change.
+    */
+  def publishStaged(wapId: String): Snapshot = {
+    val staged = stagedSnapshot(wapId)
+    val head = latestVersion.getOrElse(-1L)
+    val result =
+      if (staged.version == head) commit(staged)
+      else {
+        val base = snapshotAt(staged.version)
+        val basePaths = base.files.map(_.path).toSet
+        val stagedPaths = staged.files.map(_.path).toSet
+        val added = staged.files.filterNot(f => basePaths.contains(f.path))
+        val removed = base.files.filterNot(f => stagedPaths.contains(f.path))
+        if (removed.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"staged '$wapId' rewrites ${removed.size} base file(s) but the table advanced " +
+              s"past its base v${staged.version} (head v$head) — drop and re-audit")
+        val cur = snapshotAt(head)
+        if (staged.buckets != base.buckets && staged.buckets != cur.buckets)
+          throw new java.util.ConcurrentModificationException(
+            s"staged '$wapId' changed the bucket count concurrently with another change")
+        val idClash = staged.schemas.exists { case (k, j) =>
+          cur.schemas.get(k).exists(_ != j) }
+        if (idClash)
+          throw new java.util.ConcurrentModificationException(
+            s"staged '$wapId' assigned a schema id the table meanwhile bound differently — re-audit")
+        val mergedWm = (cur.watermarks.keySet ++ staged.watermarks.keySet).map(q =>
+          q -> math.max(cur.watermarks.getOrElse(q, -1L),
+            staged.watermarks.getOrElse(q, -1L))).toMap
+        val needsResolve =
+          if (staged.props.get(LakeTable.NeedsResolveProp).contains("true"))
+            Map(LakeTable.NeedsResolveProp -> "true")
+          else Map.empty[String, String]
+        commit(cur.copy(
+          files = cur.files ++ added,
+          schemas = cur.schemas ++ staged.schemas,
+          currentSchemaId = math.max(cur.currentSchemaId, staged.currentSchemaId),
+          watermarks = mergedWm,
+          lineage = cur.lineage ++ staged.lineage.filter(_.snapshotVersion < 0),
+          props = cur.props ++ needsResolve))
+      }
+    fs.delete(stagedPath(wapId), false)
+    result
+  }
+
+  /** Abandon a staged commit: the audit failed. Its data files become
+    * orphans and the next [[expireSnapshots]] sweep collects them. */
+  def dropStaged(wapId: String): Unit = fs.delete(stagedPath(wapId), false)
+
   // ---------------------------------------------- snapshot expiry / orphan GC
 
   /** Expire old snapshots and garbage-collect data files: keep the newest
@@ -690,13 +793,18 @@ class LakeTable(val spark: SparkSession, val root: String,
         .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
     if (versions.isEmpty) return (0, 0)
     // tagged versions are retention-exempt: keep the trailing `keepLast`
-    // plus anything a tag pins (Iceberg ref-retention semantics)
-    val tagged = tags.values.toSet
+    // plus anything a tag pins (Iceberg ref-retention semantics) plus the
+    // BASE of every staged WAP commit (publishStaged rebases against it)
+    val stagedSnaps = stagedIds.map(stagedSnapshot)
+    val pinnedVs = tags.values.toSet ++
+      stagedSnaps.map(_.version).filter(_ >= 0)
     val (expired0, kept0) = versions.splitAt(math.max(0, versions.size - keepLast))
-    val expired = expired0.filterNot(tagged.contains)
-    val kept = versions.filter(v => kept0.contains(v) || tagged.contains(v))
+    val expired = expired0.filterNot(pinnedVs.contains)
+    val kept = versions.filter(v => kept0.contains(v) || pinnedVs.contains(v))
     val keptSnaps = kept.map(snapshotAt)
-    val referenced: Set[String] = keptSnaps.flatMap(_.files.map(f =>
+    // staged (not yet committed) data files are live too — the sweep must
+    // not collect a batch that is pending audit
+    val referenced: Set[String] = (keptSnaps ++ stagedSnaps).flatMap(_.files.map(f =>
       new Path(f.path).toUri.getPath)).toSet
     // GC manifest delta files referenced by no retained snapshot (incl. delta
     // files orphaned by a crash between delta write and version claim, and

@@ -301,6 +301,24 @@ object MLQueries {
         CdcApply.applyBatch(table, batch, "q_cdc", b, createBuckets = 16)
       }.pages().select(col("url"), col("text"), col("lang"))),
 
+    // WAP under the same hard oracle: batch 1 is STAGED (invisible) while
+    // batch 2 commits past it, then the audit passes and the staged batch
+    // is rebase-published — the final LWW state must be order-independent
+    "q_cdc_wap" -> ((s, d) =>
+      replayLake(s, d, "graft-q-cdc-wap") { (table, batch, b) =>
+        if (b == 1L) {
+          CdcApply.applyBatchAppendRaw(table, batch, "q_wap", b, createBuckets = 16,
+            stageAs = Some("audit-1"))
+        } else {
+          CdcApply.applyBatchAppendRaw(table, batch, "q_wap", b, createBuckets = 16)
+          if (b == 2L && table.stagedIds.contains("audit-1")) {
+            // audit: the staged snapshot must be readable and non-degenerate
+            table.pages(table.stagedSnapshot("audit-1")).count()
+            table.publishStaged("audit-1") // head moved → rebase path
+          }
+        }
+      }.pages().select(col("url"), col("text"), col("lang"))),
+
     // the L0 write path under the same hard oracle: spanning appends, a
     // mid-stream compaction flush (L0 → buckets), more appends, then the
     // resolve-on-read page table — final state must be mode-independent
@@ -754,6 +772,13 @@ object MLQueries {
         |FROM events GROUP BY 1
         |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
     "q_cdc_l0_table" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
+        |  max_by(event_type, event_id) AS lang
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
+    // WAP replay ends in the identical final state — staging is invisible
+    // to the converged result
+    "q_cdc_wap" ->
       """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
         |  max_by(event_type, event_id) AS lang
         |FROM events GROUP BY 1

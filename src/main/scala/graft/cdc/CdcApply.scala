@@ -367,9 +367,14 @@ object CdcApply {
     * [[graft.lake.LakeTable.stageCommit]] — write-audit-publish: the batch's
     * files land invisibly, the caller audits `pages(stagedSnapshot(id))`,
     * then `publishStaged`/`dropStaged`. A staged empty batch stages nothing
-    * and advances no watermark (replay re-delivers; idempotent). With
-    * staging, `ApplyStats.version` reports the staged BASE — nothing is
-    * committed until publish.
+    * and advances no watermark; replaying an already-staged batch skips
+    * idempotently (the stage is the durable record until publish/drop).
+    * Ordering rule: committing a LATER batch of the same queryId while an
+    * earlier batch is staged-unpublished is refused — it would advance the
+    * exactly-once watermark past a batch that is not durable yet. Audit a
+    * side channel under its own queryId (the multi-writer WAP pattern) to
+    * commit past a pending stage. With staging, `ApplyStats.version`
+    * reports the staged BASE — nothing is committed until publish.
     */
   def applyBatchAppendRaw(
       table: LakeTable,
@@ -385,6 +390,25 @@ object CdcApply {
     } }
     if (snap0.watermarks.get(queryId).exists(_ >= batchId))
       return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+    // staged-batch interplay (cheap: one list of an almost-always-absent dir)
+    val stagedBatches: Seq[(String, Long)] = table.stagedIds
+      .flatMap(id => table.stagedSnapshot(id).lineage
+        .filter(e => e.snapshotVersion < 0 && e.queryId == queryId)
+        .map(e => id -> e.batchId))
+    if (stageAs.exists(id => stagedBatches.exists(_._1 == id)))
+      // replay of an already-staged batch: idempotent skip (the stage IS the
+      // durable record until publish/drop)
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+    if (stageAs.isEmpty && stagedBatches.exists(_._2 < batchId))
+      // committing batch N would advance the per-query watermark past a
+      // staged-unpublished earlier batch — after a crash, replay would skip
+      // that batch forever (the watermark falsely asserts it durable).
+      // Publish or drop the stage first, or stage under a separate queryId
+      // (the multi-writer WAP pattern).
+      throw new IllegalStateException(
+        s"query '$queryId' has staged unpublished batch(es) " +
+          s"${stagedBatches.filter(_._2 < batchId).map(p => s"${p._2} (WAP '${p._1}')").mkString(", ")} " +
+          s"older than batch $batchId — publish or drop them before committing")
 
     val ev = batch.drop("seg")
 

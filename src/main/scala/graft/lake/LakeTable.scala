@@ -623,8 +623,13 @@ class LakeTable(val spark: SparkSession, val root: String,
       val nTasks = math.max(1, math.min(nb, spark.sparkContext.defaultParallelism * 2))
       val newFiles = writeDataFiles(kept, snap.currentSchemaId, nb,
         nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
-      return commit(snap.copy(files = newFiles, buckets = nb,
-        props = snap.props - LakeTable.NeedsResolveProp))
+      val rbProps = gcTombstonesBelowLsn.fold(
+        snap.props - LakeTable.NeedsResolveProp)(w =>
+        (snap.props - LakeTable.NeedsResolveProp) +
+          (LakeTable.TombstoneGcLsnProp -> math.max(w,
+            snap.props.get(LakeTable.TombstoneGcLsnProp).map(_.toLong)
+              .getOrElse(Long.MinValue)).toString))
+      return commit(snap.copy(files = newFiles, buckets = nb, props = rbProps))
     }
     val byBucket = snap.files.groupBy(_.bucket)
     val full = maxFilesPerBucket <= 1 && needsResolve(snap)
@@ -659,9 +664,14 @@ class LakeTable(val spark: SparkSession, val root: String,
       nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile,
       bloomUrl = true)
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
-    val props =
+    val props0 =
       if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp
       else snap.props
+    // record the tombstone-GC watermark: a staged (WAP) batch with updates
+    // below it could resurrect GC'd deletes — publishStaged refuses those
+    val props = gcSafe.fold(props0)(w => props0 +
+      (LakeTable.TombstoneGcLsnProp -> math.max(w,
+        props0.get(LakeTable.TombstoneGcLsnProp).map(_.toLong).getOrElse(Long.MinValue)).toString))
     commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage, props = props))
   }
 
@@ -690,13 +700,19 @@ class LakeTable(val spark: SparkSession, val root: String,
       s"staged base v${snap.version} is not a live snapshot")
     fs.mkdirs(stagedDir)
     val staged = snap.copy(manifests = Nil)
-    val out =
-      try fs.create(stagedPath(wapId), false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalArgumentException(s"WAP id '$wapId' already staged: ${e.getMessage}")
-      }
+    // tmp-then-rename: a crash mid-write must never leave a truncated
+    // wap-*.json (it would break every later expireSnapshots); the rename is
+    // also the atomic already-staged claim. Tmp names don't end in .json, so
+    // stagedIds never lists them; expiry's tmp sweep is unnecessary — a
+    // crashed tmp is inert and tiny.
+    val tmp = new Path(stagedDir, s"wap-$wapId.json.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(ManifestCodec.toJson(staged).getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(stagedPath(wapId)) || !fs.rename(tmp, stagedPath(wapId))) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(s"WAP id '$wapId' already staged")
+    }
     staged
   }
 
@@ -737,9 +753,24 @@ class LakeTable(val spark: SparkSession, val root: String,
             s"staged '$wapId' rewrites ${removed.size} base file(s) but the table advanced " +
               s"past its base v${staged.version} (head v$head) — drop and re-audit")
         val cur = snapshotAt(head)
-        if (staged.buckets != base.buckets && staged.buckets != cur.buckets)
+        // a concurrent REBUCKET changed bucket = hash % n for every row: the
+        // staged files' manifest bucket ids are stale and bucket-pruned
+        // reads would silently miss them — refuse, re-audit under the new
+        // layout
+        if (cur.buckets != base.buckets)
           throw new java.util.ConcurrentModificationException(
-            s"staged '$wapId' changed the bucket count concurrently with another change")
+            s"staged '$wapId' was bucketed under buckets=${base.buckets} but the table " +
+              s"was rebucketed to ${cur.buckets} — drop and re-audit")
+        // a concurrent compaction GC'd tombstones below this LSN: a staged
+        // update older than the fence could resurrect a GC'd delete (the
+        // delete's tombstone is gone, so LWW would pick the stale update)
+        cur.props.get(LakeTable.TombstoneGcLsnProp).map(_.toLong).foreach { fence =>
+          val oldest = added.map(_.minLsn).minOption.getOrElse(Long.MaxValue)
+          if (oldest < fence)
+            throw new java.util.ConcurrentModificationException(
+              s"staged '$wapId' carries updates at lsn $oldest below the tombstone-GC " +
+                s"fence $fence — publishing could resurrect deleted rows; drop and re-audit")
+        }
         val idClash = staged.schemas.exists { case (k, j) =>
           cur.schemas.get(k).exists(_ != j) }
         if (idClash)
@@ -760,13 +791,23 @@ class LakeTable(val spark: SparkSession, val root: String,
           lineage = cur.lineage ++ staged.lineage.filter(_.snapshotVersion < 0),
           props = cur.props ++ needsResolve))
       }
-    fs.delete(stagedPath(wapId), false)
+    if (!fs.delete(stagedPath(wapId), false))
+      throw new java.io.IOException(
+        s"published '$wapId' but failed to delete its staged file — it would pin " +
+          s"its base against expiry forever; delete ${stagedPath(wapId)} manually")
     result
   }
 
   /** Abandon a staged commit: the audit failed. Its data files become
-    * orphans and the next [[expireSnapshots]] sweep collects them. */
-  def dropStaged(wapId: String): Unit = fs.delete(stagedPath(wapId), false)
+    * orphans and the next [[expireSnapshots]] sweep collects them. Throws
+    * if no such stage exists (a typo'd id silently 'succeeding' would leave
+    * the real stage pinning its base forever). */
+  def dropStaged(wapId: String): Unit = {
+    if (!fs.exists(stagedPath(wapId)))
+      throw new IllegalArgumentException(s"no staged commit '$wapId' to drop")
+    if (!fs.delete(stagedPath(wapId), false))
+      throw new java.io.IOException(s"failed to delete staged '$wapId'")
+  }
 
   // ---------------------------------------------- snapshot expiry / orphan GC
 
@@ -877,6 +918,9 @@ object LakeTable {
     * "this table may hold multiple versions of a url; reads must resolve".
     */
   val NeedsResolveProp = "needs_resolve"
+  /** Highest LSN below which compaction has GC'd tombstones — the
+    * publish-time fence against staged batches resurrecting deletes. */
+  val TombstoneGcLsnProp = "tombstone_gc_lsn"
 
   /** File schema = user columns + system columns (`_lsn`,`_deleted`,`_urlhash`). */
   def fileSchema(userSchema: StructType): StructType =

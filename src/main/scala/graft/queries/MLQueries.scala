@@ -301,13 +301,16 @@ object MLQueries {
         CdcApply.applyBatch(table, batch, "q_cdc", b, createBuckets = 16)
       }.pages().select(col("url"), col("text"), col("lang"))),
 
-    // WAP under the same hard oracle: batch 1 is STAGED (invisible) while
-    // batch 2 commits past it, then the audit passes and the staged batch
-    // is rebase-published — the final LWW state must be order-independent
+    // WAP under the same hard oracle: batch 1 is STAGED (invisible) under
+    // its own queryId — the multi-writer pattern; committing the main
+    // query's later batches past a staged batch of the SAME query is
+    // refused — while batch 2 commits past it, then the audit passes and
+    // the staged batch is rebase-published — the final LWW state must be
+    // order-independent
     "q_cdc_wap" -> ((s, d) =>
       replayLake(s, d, "graft-q-cdc-wap") { (table, batch, b) =>
         if (b == 1L) {
-          CdcApply.applyBatchAppendRaw(table, batch, "q_wap", b, createBuckets = 16,
+          CdcApply.applyBatchAppendRaw(table, batch, "q_wap_stage", b, createBuckets = 16,
             stageAs = Some("audit-1"))
         } else {
           CdcApply.applyBatchAppendRaw(table, batch, "q_wap", b, createBuckets = 16)

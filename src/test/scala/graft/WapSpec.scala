@@ -83,7 +83,7 @@ class WapSpec extends SparkSpec {
     CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(0)).toDF(), "y", 0L,
       createBuckets = 16)
     // stage batch 1, then let batches 2..n COMMIT past it (head advances)
-    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "y", 1L,
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "y-audit", 1L,
       createBuckets = 16, stageAs = Some("lag"))
     groups.drop(2).zipWithIndex.foreach { case (g, i) =>
       CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "y", (i + 2).toLong,
@@ -93,8 +93,9 @@ class WapSpec extends SparkSpec {
     val published = table.publishStaged("lag") // rebase path
     assert(published.version == headBefore + 1)
     assert(pagesMap(table.pages()) == golden)
-    // watermark merged to the max across the staged and later batches
+    // watermarks merged: main query at its max, the staged writer's carried
     assert(table.currentSnapshot.get.watermarks("y") == groups.size - 1L)
+    assert(table.currentSnapshot.get.watermarks("y-audit") == 1L)
   }
 
   test("staged rewrite conflicts when the table advances; schema merge carries over") {
@@ -115,7 +116,7 @@ class WapSpec extends SparkSpec {
     val evolved = groups(2).map(_.copy()) // same rows; evolution comes from extra column
     val evDf = spark.createDataset(evolved).toDF()
       .withColumn("mime", org.apache.spark.sql.functions.lit("text/html"))
-    CdcApply.applyBatchAppendRaw(table, evDf, "z", 2L, createBuckets = 16,
+    CdcApply.applyBatchAppendRaw(table, evDf, "z-ev", 2L, createBuckets = 16,
       stageAs = Some("ev"))
     CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(3)).toDF(), "z", 3L,
       createBuckets = 16)
@@ -124,13 +125,63 @@ class WapSpec extends SparkSpec {
     assert(cols.contains("mime"), s"evolved column must survive publish: ${cols.mkString(",")}")
   }
 
+  test("same-query ordering: committing past a staged earlier batch is refused; staged replay skips") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 6)
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(0)).toDF(), "q", 0L,
+      createBuckets = 16)
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "q", 1L,
+      createBuckets = 16, stageAs = Some("gap"))
+    // crash-replay of the staged batch: idempotent skip, no duplicate stage
+    val again = CdcApply.applyBatchAppendRaw(table,
+      spark.createDataset(groups(1)).toDF(), "q", 1L, createBuckets = 16,
+      stageAs = Some("gap"))
+    assert(again.skipped && table.stagedIds == Seq("gap"))
+    // committing batch 2 of the SAME query would advance the watermark past
+    // the staged (not yet durable) batch 1 — refused
+    val e = intercept[IllegalStateException](
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(2)).toDF(), "q", 2L,
+        createBuckets = 16))
+    assert(e.getMessage.contains("publish or drop"))
+    // publish unblocks; the full replay then converges
+    table.publishStaged("gap")
+    groups.drop(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "q", (i + 2).toLong,
+        createBuckets = 16)
+    }
+    assert(pagesMap(table.pages()) == golden)
+  }
+
+  test("publish fences: concurrent rebucket and tombstone-GC both refuse the stage") {
+    val table = new LakeTable(spark, tmpDir())
+    val groups = segGroups(allEvents, 6)
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(0)).toDF(), "f", 0L,
+      createBuckets = 16)
+    // rebucket fence: staged under 16 buckets, table rebucketed to 8
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "f-a", 1L,
+      createBuckets = 16, stageAs = Some("rb"))
+    table.compact(rebucket = Some(8))
+    val e1 = intercept[java.util.ConcurrentModificationException](table.publishStaged("rb"))
+    assert(e1.getMessage.contains("rebucketed"))
+    table.dropStaged("rb")
+    // tombstone-GC fence: stage an old-lsn batch, GC tombstones above it
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(2)).toDF(), "f-b", 1L,
+      createBuckets = 16, stageAs = Some("gc"))
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(3)).toDF(), "f", 1L,
+      createBuckets = 16)
+    table.compact(maxFilesPerBucket = 1, gcTombstonesBelowLsn = Some(Long.MaxValue / 2))
+    val e2 = intercept[java.util.ConcurrentModificationException](table.publishStaged("gc"))
+    assert(e2.getMessage.contains("resurrect"))
+    table.dropStaged("gc")
+  }
+
   test("expiry pins the staged base so a lagging publish can still rebase") {
     val table = new LakeTable(spark, tmpDir())
     val groups = segGroups(allEvents, 6)
     CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(0)).toDF(), "p", 0L,
       createBuckets = 16)
     val baseV = table.currentSnapshot.get.version
-    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "p", 1L,
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "p-audit", 1L,
       createBuckets = 16, stageAs = Some("pin"))
     groups.drop(2).zipWithIndex.foreach { case (g, i) =>
       CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "p", (i + 2).toLong,

@@ -308,7 +308,9 @@ object CdcApply {
     val newFiles = phase("write-job") { table.writeDataFiles(observed, schemaId, snap0.buckets,
       nTasks = writeTasks(table, snap0.buckets)) }
     val raw = phase("obs-get") { rawObs.get }; val win = winObs.get
-    val events = raw("events").asInstanceOf[Long]
+    // an empty LOCAL batch (in-memory relation, zero rows) executes no
+    // observed plan, so the metrics map can be EMPTY — treat as 0 events
+    val events = raw.getOrElse("events", 0L).asInstanceOf[Long]
     if (events == 0L) {
       val s = table.commit(snap0.copy(
         watermarks = snap0.watermarks + (queryId -> batchId),
@@ -444,7 +446,9 @@ object CdcApply {
         nTasks = writeTasks(table, snap0.buckets))
     }
     val m = phase("obs-get") { obs.get }
-    val events = m("events").asInstanceOf[Long]
+    // an empty LOCAL batch (in-memory relation, zero rows) executes no
+    // observed plan, so the metrics map can be EMPTY — treat as 0 events
+    val events = m.getOrElse("events", 0L).asInstanceOf[Long]
     if (events == 0L) {
       if (stageAs.isDefined) // nothing to audit; leave the watermark for replay
         return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, snap0.version)

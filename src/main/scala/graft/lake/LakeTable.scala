@@ -157,7 +157,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     * one immutable partition synopsis per partition (`src/catalog.cpp:98-106`)
     * rather than rewriting a global file index.
     */
-  def commit(snap: Snapshot): Snapshot = {
+  def commit(snap: Snapshot): Snapshot = LakeTable.commitMutex(root).synchronized {
+    // The JVM-level per-root mutex covers SAME-PROCESS writers (two threads /
+    // two LakeTable handles): local filesystems emulate
+    // `create(overwrite=false)` with a non-atomic exists+create, so without
+    // it two in-process racers could both "win" v+1. Cross-process safety
+    // stays the filesystem's atomic-create claim (HDFS-like stores) — the
+    // same split Iceberg's HadoopTableOperations makes.
     fs.mkdirs(manifestDir)
     val parentV = latestVersion
     // Optimistic concurrency (the Iceberg commit model): the caller passes
@@ -921,6 +927,12 @@ object LakeTable {
   /** Highest LSN below which compaction has GC'd tombstones — the
     * publish-time fence against staged batches resurrecting deletes. */
   val TombstoneGcLsnProp = "tombstone_gc_lsn"
+
+  /** Per-root intra-process commit lock (see [[LakeTable.commit]]). */
+  private val commitMutexes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[lake] def commitMutex(root: String): Object =
+    commitMutexes.computeIfAbsent(root, _ => new Object)
 
   /** File schema = user columns + system columns (`_lsn`,`_deleted`,`_urlhash`). */
   def fileSchema(userSchema: StructType): StructType =

@@ -66,6 +66,22 @@ object Introspect {
         "min_lsn", "max_lsn", "snapshot_version")
   }
 
+  /** One row per named ref: tags (name → pinned version) and staged WAP
+    * commits (id → base version + pending file/row counts) — the Iceberg
+    * `refs`/metadata-table angle on [[LakeTable.tags]] and
+    * [[LakeTable.stagedIds]]. Driver-side metadata only.
+    */
+  def refs(table: LakeTable): DataFrame = {
+    import table.spark.implicits._
+    val tagRows = table.tags.toSeq.map { case (n, v) => ("tag", n, v, 0L, 0L) }
+    val stagedRows = table.stagedIds.map { id =>
+      val s = table.stagedSnapshot(id)
+      ("staged", id, s.version, s.files.size.toLong, s.files.map(_.rows).sum)
+    }
+    table.spark.createDataset(tagRows ++ stagedRows)
+      .toDF("kind", "name", "version", "files", "rows")
+  }
+
   /** Engine/runtime version row (`version.cpp:185`). */
   def version(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -86,7 +102,8 @@ object Introspect {
     val base = Seq("version" -> version(spark), "plugins" -> plugins(spark),
       "diagnostics" -> Diagnostics.df(spark))
     val tbl = table.toSeq.flatMap(t => Seq("partitions" -> partitions(t),
-      "schemas" -> schemas(t), "fields" -> fields(t), "metrics" -> metrics(t)))
+      "schemas" -> schemas(t), "fields" -> fields(t), "metrics" -> metrics(t),
+      "refs" -> refs(t)))
     (base ++ tbl).map { case (n, d) => tag(n, d) }.reduce(_ unionByName _)
   }
 

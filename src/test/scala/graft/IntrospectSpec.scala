@@ -41,6 +41,26 @@ class IntrospectSpec extends SparkSpec {
     assert(Introspect.version(spark).count() == 1)
   }
 
+  test("refs lists tags and staged WAP commits; empty on a plain table") {
+    assert(Introspect.refs(table).count() == 0)
+    val snap = table.currentSnapshot.get
+    table.tag("cut-1", snap.version)
+    val events = ChangeGen.events(spark, GenConfig(events = 1000, segmentSize = 512))
+    CdcApply.applyBatchAppendRaw(table, events.toDF(), "is-w", 0L, createBuckets = 8,
+      stageAs = Some("pending"))
+    val rows = Introspect.refs(table).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("tag", "cut-1", snap.version)))
+    assert(rows.exists { case (k, n, v) => k == "staged" && n == "pending" && v == snap.version })
+    val staged = Introspect.refs(table).filter(col("kind") === "staged").head
+    assert(staged.getAs[Long]("files") > 0 && staged.getAs[Long]("rows") > 0)
+    // show() carries the refs aspect
+    assert(Introspect.show(spark, Some(table))
+      .filter(col("aspect") === "refs").count() == rows.size)
+    table.dropStaged("pending"); table.dropTag("cut-1")
+    assert(Introspect.refs(table).count() == 0)
+  }
+
   test("ResultCache: named results with sliding read TTL and absolute write TTL") {
     var t = 0L
     val cache = new ResultCache(() => t)

@@ -47,6 +47,20 @@ object CdcStream {
     *        retained snapshot references (incl. crash orphans)
     * @param onBatch            test/metrics hook invoked after each commit
     */
+  /** `audit`: AUDITED INGEST (write-audit-publish per micro-batch; append
+    * modes `morraw`/`l0` only). Each batch lands as a STAGED commit, the
+    * predicate runs against the staged table state (`pages` over the staged
+    * snapshot — base plus only this batch's effect), and a `true` publishes
+    * while a `false` QUARANTINES: the raw batch is written to
+    * `quarantineDir/batch-<id>` (overwrite — replay-idempotent) for triage
+    * and the stage is dropped, excluding the batch from the table
+    * permanently (its watermark never advances, but later batches do — the
+    * deliberate gap IS the quarantine record's meaning). Crash-safe at
+    * every window: crash after stage → replay finds the stage pending and
+    * resumes at the audit; after publish → replay skips on the watermark;
+    * after drop → replay re-stages, re-audits, re-quarantines over the same
+    * dir.
+    */
   def start(
       spark: SparkSession,
       walDir: String,
@@ -58,13 +72,19 @@ object CdcStream {
       mode: String = "cow",
       autoCompactFilesPerBucket: Int = 0,
       expireKeepLast: Int = 0,
-      onBatch: ApplyStats => Unit = _ => ()): StreamingQuery = {
+      onBatch: ApplyStats => Unit = _ => (),
+      audit: Option[(DataFrame, ApplyStats) => Boolean] = None,
+      quarantineDir: Option[String] = None): StreamingQuery = {
+    require(audit.isEmpty || mode == "morraw" || mode == "l0",
+      s"audited ingest requires an append mode (morraw/l0), not '$mode'")
     val apply: (DataFrame, Long) => ApplyStats = mode match {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
       case "mor" => (b, id) => CdcApply.applyBatchAppend(table, b, queryId, id, createBuckets)
-      case "morraw" => (b, id) => CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets)
+      case "morraw" => (b, id) => CdcApply.applyBatchAppendRaw(table, b, queryId, id,
+        createBuckets, stageAs = audit.map(_ => s"$queryId-b$id"))
       case "l0" => (b, id) =>
-        CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets, spanning = true)
+        CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets, spanning = true,
+          stageAs = audit.map(_ => s"$queryId-b$id"))
       case other => throw new IllegalArgumentException(s"unknown CDC mode '$other'")
     }
     spark.readStream
@@ -76,7 +96,22 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(apply(batch, batchId))
+        val stats = apply(batch, batchId)
+        audit.foreach { check =>
+          val wapId = s"$queryId-b$batchId"
+          // run the gate whenever the stage is pending — including a replay
+          // that skipped the (already-staged) apply after a crash mid-audit
+          if (table.stagedIds.contains(wapId)) {
+            if (check(table.pages(table.stagedSnapshot(wapId)), stats))
+              table.publishStaged(wapId)
+            else {
+              quarantineDir.foreach(q => batch.write.mode("overwrite")
+                .parquet(s"$q/batch-$batchId"))
+              table.dropStaged(wapId)
+            }
+          }
+        }
+        onBatch(stats)
         if (autoCompactFilesPerBucket > 0) {
           val snap = table.currentSnapshot.get
           val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)

@@ -25,6 +25,46 @@ class CdcStreamSpec extends SparkSpec {
     assert(lin.map(_.events).sum >= cfg.events)
   }
 
+  test("audited ingest: rejected batch is quarantined, the rest publish and converge") {
+    import org.apache.spark.sql.functions.col
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt"); val quar = tmpDir("quar")
+    ChangeGen.writeWal(spark, cfg, wal)
+    val table = new LakeTable(spark, tmpDir("lake"))
+    var audited = 0
+    val q = CdcStream.start(spark, wal, table, ckpt, queryId = "aud",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "morraw",
+      audit = Some { (pages, stats) =>
+        audited += 1
+        // the gate sees the staged state (base + this batch only): reject
+        // batch 1, accept the rest
+        assert(pages.columns.contains("url"))
+        stats.batchId != 1L
+      },
+      quarantineDir = Some(quar))
+    q.awaitTermination()
+    assert(audited > 2)
+    // quarantine holds exactly the rejected batch's raw events; its WAL
+    // segments identify which DELIVERIES were dropped (an at-least-once
+    // duplicate of the same event arriving in another batch still applies)
+    val quarSegs = spark.read.parquet(s"$quar/batch-1")
+      .select("seg").distinct().collect().map(_.getLong(0)).toSet
+    assert(quarSegs.nonEmpty)
+    assert(table.stagedIds.isEmpty, "no stage left pending")
+    // final state = LWW over every delivery EXCEPT the quarantined segments
+    val allEvents = ChangeGen.events(spark, cfg).collect().toSeq
+    val expected = expectedMap(allEvents.filterNot(e => quarSegs.contains(e.seg)))
+    assert(pagesMap(table.pages()) == expected)
+    // the quarantined batch never advanced the watermark, later ones did
+    val lin = table.lineageLog.filter(_.queryId == "aud")
+    assert(!lin.exists(_.batchId == 1L) && lin.exists(_.batchId >= 2L))
+    // a resumed run is a no-op: nothing re-applies, state unchanged
+    val q2 = CdcStream.start(spark, wal, table, ckpt, queryId = "aud",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "morraw",
+      audit = Some((_, _) => true), quarantineDir = Some(quar))
+    q2.awaitTermination()
+    assert(pagesMap(table.pages()) == expected)
+  }
+
   test("crash mid-stream, resume from checkpoint: exactly-once convergence") {
     val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
     ChangeGen.writeWal(spark, cfg, wal)

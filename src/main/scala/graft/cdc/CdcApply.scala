@@ -7,7 +7,10 @@ import org.apache.spark.sql.types.StructType
 import graft.core.Schemas
 import graft.lake.{LakeTable, LineageEntry, Snapshot}
 
-/** Per-batch apply result (also the lineage record content). */
+/** Per-batch apply result (also the lineage record content). `quarantined`
+  * is set only by the audited-ingest gate ([[CdcStream.start]]): the batch
+  * was staged, rejected, and excluded from the table.
+  */
 case class ApplyStats(
     queryId: String,
     batchId: Long,
@@ -17,7 +20,8 @@ case class ApplyStats(
     deletes: Long,
     minLsn: Long,
     maxLsn: Long,
-    version: Long)
+    version: Long,
+    quarantined: Boolean = false)
 
 /** The MERGE INTO engine: applies one micro-batch of change events to a
   * [[LakeTable]] with last-writer-wins semantics, copy-on-write per bucket,
@@ -397,10 +401,28 @@ object CdcApply {
       .flatMap(id => table.stagedSnapshot(id).lineage
         .filter(e => e.snapshotVersion < 0 && e.queryId == queryId)
         .map(e => id -> e.batchId))
-    if (stageAs.exists(id => stagedBatches.exists(_._1 == id)))
+    val pendingStage = stageAs.filter(id => table.stagedIds.contains(id))
+    if (pendingStage.isDefined) {
       // replay of an already-staged batch: idempotent skip (the stage IS the
-      // durable record until publish/drop)
-      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+      // durable record until publish/drop) — with the batch's REAL stats
+      // reconstructed from the staged snapshot's fresh lineage entry, so an
+      // audit gate resuming after a crash sees the same numbers the first
+      // attempt did. A pending stage under this id for a DIFFERENT batch is
+      // a collision (e.g. a stale stage from an abandoned run reused with a
+      // fresh checkpoint): skipping would silently drop THIS batch's data —
+      // refuse loudly instead.
+      val id = pendingStage.get
+      val fresh = table.stagedSnapshot(id).lineage.filter(_.snapshotVersion < 0)
+      val mine = fresh.find(e => e.queryId == queryId && e.batchId == batchId)
+      if (mine.isEmpty)
+        throw new IllegalStateException(
+          s"WAP id '$id' is already staged for ${fresh.map(e => s"${e.queryId}#${e.batchId}")
+            .mkString(",")} — not query '$queryId' batch $batchId; drop the stale stage " +
+            "or choose a different id")
+      val e = mine.get
+      return ApplyStats(queryId, batchId, skipped = true, e.events, e.upserts,
+        e.deletes, e.minLsn, e.maxLsn, snap0.version)
+    }
     if (stageAs.isEmpty && stagedBatches.exists(_._2 < batchId))
       // committing batch N would advance the per-query watermark past a
       // staged-unpublished earlier batch — after a crash, replay would skip

@@ -45,21 +45,30 @@ object CdcStream {
     * @param expireKeepLast     when > 0, retain only this many snapshots after
     *        each compaction, deleting expired manifests and any data file no
     *        retained snapshot references (incl. crash orphans)
-    * @param onBatch            test/metrics hook invoked after each commit
-    */
-  /** `audit`: AUDITED INGEST (write-audit-publish per micro-batch; append
-    * modes `morraw`/`l0` only). Each batch lands as a STAGED commit, the
-    * predicate runs against the staged table state (`pages` over the staged
-    * snapshot — base plus only this batch's effect), and a `true` publishes
-    * while a `false` QUARANTINES: the raw batch is written to
-    * `quarantineDir/batch-<id>` (overwrite — replay-idempotent) for triage
-    * and the stage is dropped, excluding the batch from the table
-    * permanently (its watermark never advances, but later batches do — the
-    * deliberate gap IS the quarantine record's meaning). Crash-safe at
-    * every window: crash after stage → replay finds the stage pending and
-    * resumes at the audit; after publish → replay skips on the watermark;
-    * after drop → replay re-stages, re-audits, re-quarantines over the same
-    * dir.
+    * @param onBatch            test/metrics hook invoked after each batch:
+    *        published batches report the PUBLISHED version; a rejected batch
+    *        reports `quarantined = true` with its real counts
+    * @param audit              AUDITED INGEST (write-audit-publish per
+    *        micro-batch; append modes `morraw`/`l0` only, and requires
+    *        `quarantineDir` — rejecting with no durable record would be
+    *        silent data loss). Each batch lands as a STAGED commit under a
+    *        run-scoped WAP id (`<queryId>-b<batch>-<checkpoint hash>`, so a
+    *        stale stage from an abandoned run can never be mistaken for this
+    *        run's batch), the predicate runs against the staged table state
+    *        (`pages` over the staged snapshot — base plus only this batch's
+    *        effect) plus the batch's real ApplyStats, and `true` publishes
+    *        while `false` QUARANTINES: the raw batch is written to
+    *        `quarantineDir/batch-<id>` (overwrite — replay-idempotent) for
+    *        triage and the stage is dropped, excluding the batch from the
+    *        table permanently (its watermark never advances, but later
+    *        batches do — the deliberate gap IS the quarantine record's
+    *        meaning). Crash-safe at every window: crash after stage → replay
+    *        finds the stage pending and resumes at the audit with the SAME
+    *        stats (reconstructed from the staged lineage); after publish →
+    *        replay skips on the watermark; after drop → replay re-stages,
+    *        re-audits, re-quarantines over the same dir.
+    * @param quarantineDir      where rejected batches land, one parquet dir
+    *        per batch id
     */
   def start(
       spark: SparkSession,
@@ -77,14 +86,22 @@ object CdcStream {
       quarantineDir: Option[String] = None): StreamingQuery = {
     require(audit.isEmpty || mode == "morraw" || mode == "l0",
       s"audited ingest requires an append mode (morraw/l0), not '$mode'")
+    require(audit.isEmpty || quarantineDir.isDefined,
+      "audited ingest requires a quarantineDir — rejecting a batch with no durable record is silent data loss")
+    // run-scoped WAP id: stable across RESUMES of this checkpoint (replay
+    // finds its own pending stage), distinct across runs (a fresh checkpoint
+    // restarts batch numbering — a stale stage must not alias the new batch)
+    val runTag = java.util.UUID
+      .nameUUIDFromBytes(checkpointDir.getBytes("UTF-8")).toString.take(8)
+    def wapId(batchId: Long): String = s"$queryId-b$batchId-$runTag"
     val apply: (DataFrame, Long) => ApplyStats = mode match {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
       case "mor" => (b, id) => CdcApply.applyBatchAppend(table, b, queryId, id, createBuckets)
       case "morraw" => (b, id) => CdcApply.applyBatchAppendRaw(table, b, queryId, id,
-        createBuckets, stageAs = audit.map(_ => s"$queryId-b$id"))
+        createBuckets, stageAs = audit.map(_ => wapId(id)))
       case "l0" => (b, id) =>
         CdcApply.applyBatchAppendRaw(table, b, queryId, id, createBuckets, spanning = true,
-          stageAs = audit.map(_ => s"$queryId-b$id"))
+          stageAs = audit.map(_ => wapId(id)))
       case other => throw new IllegalArgumentException(s"unknown CDC mode '$other'")
     }
     spark.readStream
@@ -96,18 +113,21 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val stats = apply(batch, batchId)
+        var stats = apply(batch, batchId)
         audit.foreach { check =>
-          val wapId = s"$queryId-b$batchId"
+          val id = wapId(batchId)
           // run the gate whenever the stage is pending — including a replay
-          // that skipped the (already-staged) apply after a crash mid-audit
-          if (table.stagedIds.contains(wapId)) {
-            if (check(table.pages(table.stagedSnapshot(wapId)), stats))
-              table.publishStaged(wapId)
-            else {
+          // that skipped the (already-staged) apply after a crash mid-audit;
+          // the skip path reconstructed the batch's real stats for `check`
+          if (table.stagedIds.contains(id)) {
+            if (check(table.pages(table.stagedSnapshot(id)), stats)) {
+              val published = table.publishStaged(id)
+              stats = stats.copy(skipped = false, version = published.version)
+            } else {
               quarantineDir.foreach(q => batch.write.mode("overwrite")
                 .parquet(s"$q/batch-$batchId"))
-              table.dropStaged(wapId)
+              table.dropStaged(id)
+              stats = stats.copy(quarantined = true)
             }
           }
         }

@@ -31,6 +31,7 @@ class CdcStreamSpec extends SparkSpec {
     ChangeGen.writeWal(spark, cfg, wal)
     val table = new LakeTable(spark, tmpDir("lake"))
     var audited = 0
+    val reported = scala.collection.mutable.ArrayBuffer.empty[graft.cdc.ApplyStats]
     val q = CdcStream.start(spark, wal, table, ckpt, queryId = "aud",
       maxFilesPerTrigger = 4, createBuckets = 16, mode = "morraw",
       audit = Some { (pages, stats) =>
@@ -40,9 +41,16 @@ class CdcStreamSpec extends SparkSpec {
         assert(pages.columns.contains("url"))
         stats.batchId != 1L
       },
-      quarantineDir = Some(quar))
+      quarantineDir = Some(quar),
+      onBatch = reported += _)
     q.awaitTermination()
     assert(audited > 2)
+    // onBatch distinguishes outcomes: the rejected batch is flagged, the
+    // published ones carry their PUBLISHED (post-stage) versions
+    assert(reported.count(_.quarantined) == 1 &&
+      reported.find(_.quarantined).get.batchId == 1L)
+    val published = reported.filter(s => !s.quarantined && s.events > 0)
+    assert(published.forall(s => table.versionExists(s.version)))
     // quarantine holds exactly the rejected batch's raw events; its WAL
     // segments identify which DELIVERIES were dropped (an at-least-once
     // duplicate of the same event arriving in another batch still applies)
@@ -63,6 +71,38 @@ class CdcStreamSpec extends SparkSpec {
       audit = Some((_, _) => true), quarantineDir = Some(quar))
     q2.awaitTermination()
     assert(pagesMap(table.pages()) == expected)
+  }
+
+  test("audited ingest: crash mid-audit resumes at the gate with the batch's real stats") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt"); val quar = tmpDir("quar")
+    ChangeGen.writeWal(spark, cfg, wal)
+    val table = new LakeTable(spark, tmpDir("lake"))
+    // run 1: crash INSIDE the audit of batch 1 — after its stage landed,
+    // before publish/drop (the pending-stage crash window)
+    val q1 = CdcStream.start(spark, wal, table, ckpt, queryId = "ac",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "morraw",
+      audit = Some { (_, stats) =>
+        if (stats.batchId == 1L) throw new RuntimeException("injected crash")
+        true
+      }, quarantineDir = Some(quar))
+    intercept[StreamingQueryException](q1.awaitTermination())
+    assert(table.stagedIds.nonEmpty, "the crashed batch's stage must be pending")
+    // run 2 (same checkpoint): batch 1 replays, the apply skips onto the
+    // pending stage, and the gate must see the batch's REAL counts (not the
+    // zeroed skip stats) before publishing
+    val resumed = scala.collection.mutable.ArrayBuffer.empty[graft.cdc.ApplyStats]
+    val q2 = CdcStream.start(spark, wal, table, ckpt, queryId = "ac",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "morraw",
+      audit = Some { (_, stats) =>
+        if (stats.batchId == 1L) resumed += stats
+        true
+      }, quarantineDir = Some(quar))
+    q2.awaitTermination()
+    assert(resumed.exists(s => s.skipped && s.events > 0),
+      s"resumed audit saw: $resumed — the skip path must reconstruct real stats")
+    assert(table.stagedIds.isEmpty)
+    // everything ultimately published: full golden convergence
+    assert(pagesMap(table.pages()) == golden)
   }
 
   test("crash mid-stream, resume from checkpoint: exactly-once convergence") {

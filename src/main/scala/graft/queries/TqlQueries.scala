@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.tql.Tql
 
@@ -85,6 +86,30 @@ object TqlQueries {
         enrich "regions", r_regionkey=n_regionkey
         chart_bar x=r_name, nations=count(), keysum=sum(n_nationkey)
       """)
+    }),
+
+    // import/export: the store round-trip in the STRING surface — pipe the
+    // change envelope into a scratch lake, read it back LWW-resolved with
+    // time travel defaulting to head, filter + project in TQL
+    "q_tql_lake" -> ((s, d) => {
+      val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-tql-lake"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      val env = t(s, d, "events").select(
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("lsn"),
+        pmod(col("event_id"), lit(8)).cast("int").as("wal_part"),
+        concat(lit("u"), col("user_id").cast("string")).as("url"),
+        col("ts").as("warc_ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("props"))
+          .cast("binary").as("html"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("props")).as("text"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("event_type")).as("lang"))
+      Tql(s"""import "$work/lake"""")(env)
+      Tql(s"""
+        export "$work/lake"
+        where lang == "purchase"
+        select url, text, lang
+      """)(env)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -113,6 +138,13 @@ object TqlQueries {
       """SELECT r_name, count(*) AS nations, sum(n_nationkey) AS keysum
          FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
          GROUP BY 1 ORDER BY 1 LIMIT 100000""",
+    // import→export must equal the LWW winner state, filtered
+    "q_tql_lake" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url,
+        |  max_by(props, event_id) AS text, max_by(event_type, event_id) AS lang
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'
+        |   AND max_by(event_type, event_id) = 'purchase'""".stripMargin,
     "q_tql_parse" -> {
       val caseArms = graft.functions.Ocsf.classes
         .filter(c => c._2 >= 4001L && c._2 <= 4014L).toSeq.sortBy(_._2)

@@ -428,6 +428,46 @@ object Tql {
         val f = parseTopLevelField(name)
         st => st.next(st.df.withColumn(f,
           graft.formats.Codec.decompress(col(f), codec)))
+      case Ident("export") =>
+        // export "<lake root>"[, version=n][, tag="<name>"] — the
+        // reference's store read (`export` operator: catalog-pruned scan),
+        // here the lake's LWW-resolved page table; version/tag = time travel
+        val lakePath = parseStringLit("export")
+        var version: Option[Long] = None
+        var tagName: Option[String] = None
+        while (accept(",")) next() match {
+          case Ident("version") => expect("="); version = Some(parseInt().toLong)
+          case Ident("tag") => expect("="); tagName = Some(parseStringLit("export"))
+          case t => sys.error(s"tql: export does not accept option $t")
+        }
+        st => {
+          val table = new graft.lake.LakeTable(st.df.sparkSession, lakePath)
+          val snap = (version, tagName) match {
+            case (Some(v), _) => table.snapshotAt(v)
+            case (_, Some(t)) => table.snapshotAtTag(t)
+            case _ => table.currentSnapshot.getOrElse(
+              sys.error(s"tql: no lake table at $lakePath"))
+          }
+          st.next(table.pages(snap))
+        }
+      case Ident("import") =>
+        // import "<lake root>" — append the piped CHANGE EVENTS (url, lsn,
+        // op, wal_part envelope) to the lake as one committed batch (the
+        // reference's `import` store write, importer.cpp:35-106); the batch
+        // id continues the "tql-import" watermark so re-running a pipeline
+        // appends a NEW batch rather than silently replacing
+        val lakePath = parseStringLit("import")
+        st => {
+          val df = st.df
+          require(Seq("url", "lsn", "op", "wal_part").forall(df.columns.contains),
+            "tql: import requires the change-event envelope (url, lsn, op, wal_part columns)")
+          val table = new graft.lake.LakeTable(df.sparkSession, lakePath)
+          val nextBatch = table.currentSnapshot
+            .flatMap(_.watermarks.get("tql-import")).getOrElse(-1L) + 1
+          graft.cdc.CdcApply.applyBatchAppendRaw(table, df, "tql-import", nextBatch,
+            createBuckets = 16)
+          st
+        }
       case Ident("from") =>
         val path = parseStringLit("from")
         st => st.next(readPath(st.df.sparkSession, path))

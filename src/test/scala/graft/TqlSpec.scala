@@ -336,6 +336,36 @@ class TqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Tql("reverse")(df).collect())
   }
 
+  test("import/export statements: lake round-trip, watermark continuation, time travel") {
+    import spark.implicits._
+    val root = tmpDir("tql-lake")
+    val b1 = Seq(("U", 1L, 0, "u1", "one"), ("U", 2L, 0, "u2", "two"))
+      .toDF("op", "lsn", "wal_part", "url", "text")
+    Tql(s"""import "$root"""")(b1)
+    val table = new graft.lake.LakeTable(spark, root)
+    val v1 = table.currentSnapshot.get.version
+    table.tag("cut", v1)
+    // second import continues the watermark (a NEW batch, not a replay-skip)
+    val b2 = Seq(("U", 3L, 0, "u1", "one-v2"), ("D", 4L, 0, "u2", null))
+      .toDF("op", "lsn", "wal_part", "url", "text")
+    Tql(s"""import "$root"""")(b2)
+    assert(table.currentSnapshot.get.watermarks("tql-import") == 1L)
+    // head export sees the LWW result of both batches
+    val head = Tql(s"""export "$root" | select url, text | sort url""")(b1)
+    assert(head.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq("u1" -> "one-v2"))
+    // time travel: version= and tag= both read the pre-batch-2 state
+    for (opt <- Seq(s"version=$v1", """tag="cut"""")) {
+      val old = Tql(s"""export "$root", $opt | select url, text | sort url""")(b1)
+      assert(old.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq("u1" -> "one", "u2" -> "two"), s"opt=$opt")
+    }
+    // envelope contract enforced
+    val e = intercept[IllegalArgumentException](
+      Tql(s"""import "$root"""")(Seq(("u9", "x")).toDF("url", "text")))
+    assert(e.getMessage.contains("envelope"))
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

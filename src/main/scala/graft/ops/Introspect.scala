@@ -136,7 +136,7 @@ object Introspect {
         "write_kv", "write_tql",
         "compress_gzip", "compress_zlib", "compress_lz4", "compress_zstd",
         "compress_bz2", "decompress_gzip", "decompress_zlib", "decompress_lz4",
-        "decompress_zstd", "decompress_bz2")
+        "decompress_zstd", "decompress_bz2", "feather", "bitz")
         .map((_, "format", "graft.formats")) ++
       Seq("cron").map((_, "operator", "graft.streaming.Cron")) ++
       Seq("lookup_table", "lookup_table_ttl", "subnet_prefix", "bloom_filter",
@@ -153,7 +153,13 @@ object Introspect {
         ("import", "storage", "graft.lake.LakeTable"),
         ("export", "storage", "graft.lake.LakeTable"),
         ("compact", "storage", "graft.lake.LakeTable"),
-        ("cdc_apply", "storage", "graft.cdc.CdcApply"))
+        ("changes", "storage", "graft.lake.LakeTable"),
+        ("wap_stage", "storage", "graft.lake.LakeTable"),
+        ("tags", "storage", "graft.lake.LakeTable"),
+        ("cdc_apply", "storage", "graft.cdc.CdcApply"),
+        ("audited_ingest", "operator", "graft.cdc.CdcStream"),
+        ("follow_changes", "operator", "graft.cdc.CdcStream"),
+        ("matview", "operator", "graft.ops.MatView"))
     spark.createDataset(reg).toDF("name", "kind", "module")
   }
 }

@@ -18,7 +18,8 @@ object ScalingLab {
 
   case class Cfg(name: String, mode: String, buckets: Int = 64,
       maxPart: String = "128m", filesPerTrigger: Int = 48, tasksPerSlot: Int = 2,
-      openCost: String = "4194304", extraConf: Map[String, String] = Map.empty)
+      openCost: String = "4194304", extraConf: Map[String, String] = Map.empty,
+      audited: Boolean = false)
 
   val configs: Map[String, Cfg] = Seq(
     Cfg("mor", "mor"),
@@ -38,6 +39,9 @@ object ScalingLab {
       extraConf = Map("spark.io.compression.codec" -> "zstd")),
     // L0 spanning append: zero exchanges in the hot path (scan→project→write)
     Cfg("l0", "l0", tasksPerSlot = 1, openCost = "134217728"),
+    // audited ingest overhead: every batch stages + audits + publishes
+    // (two manifest writes + one staged pages() count per batch)
+    Cfg("l0-audited", "l0", tasksPerSlot = 1, openCost = "134217728", audited = true),
     // batch-size sweep for L0: serial per-batch cost is a bigger fraction now
     Cfg("l0-ft96", "l0", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 96),
     Cfg("l0-ft24", "l0", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 24),
@@ -93,7 +97,13 @@ object ScalingLab {
       val t0 = System.nanoTime()
       CdcStream.start(spark, walDir, table, s"$work/ckpt",
         maxFilesPerTrigger = cfg.filesPerTrigger, createBuckets = cfg.buckets,
-        mode = cfg.mode, onBatch = st => events += st.events).awaitTermination()
+        mode = cfg.mode, onBatch = st => events += st.events,
+        // trivial predicate: measures the GATE's protocol cost (stage +
+        // staged-snapshot read + publish) — a real audit's own query cost is
+        // the user's choice on top
+        audit = if (cfg.audited) Some((_, _) => true) else None,
+        quarantineDir = if (cfg.audited) Some(s"$work/quar") else None)
+        .awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
       rmrf(work)
       (events, secs)

@@ -106,7 +106,7 @@ object MLQueries {
   /** events table → CDC change-event envelope: key = user, lsn = event_id,
     * `error` events are deletes, everything else upserts the user's page.
     */
-  private def envelope(events: DataFrame): DataFrame =
+  private[queries] def envelope(events: DataFrame): DataFrame =
     events.select(
       when(col("event_type") === "error", "D").otherwise("U").as("op"),
       col("event_id").as("lsn"),

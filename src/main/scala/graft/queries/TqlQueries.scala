@@ -94,16 +94,7 @@ object TqlQueries {
     "q_tql_lake" -> ((s, d) => {
       val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-tql-lake"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-      val env = t(s, d, "events").select(
-        when(col("event_type") === "error", "D").otherwise("U").as("op"),
-        col("event_id").as("lsn"),
-        pmod(col("event_id"), lit(8)).cast("int").as("wal_part"),
-        concat(lit("u"), col("user_id").cast("string")).as("url"),
-        col("ts").as("warc_ts"),
-        when(col("event_type") === "error", lit(null)).otherwise(col("props"))
-          .cast("binary").as("html"),
-        when(col("event_type") === "error", lit(null)).otherwise(col("props")).as("text"),
-        when(col("event_type") === "error", lit(null)).otherwise(col("event_type")).as("lang"))
+      val env = MLQueries.envelope(t(s, d, "events")) // ONE envelope definition
       Tql(s"""import "$work/lake"""")(env)
       Tql(s"""
         export "$work/lake"

@@ -440,10 +440,15 @@ object Tql {
           case Ident("tag") => expect("="); tagName = Some(parseStringLit("export"))
           case t => sys.error(s"tql: export does not accept option $t")
         }
+        require(version.isEmpty || tagName.isEmpty,
+          "tql: export takes version= OR tag=, not both (they could name different states)")
         st => {
           val table = new graft.lake.LakeTable(st.df.sparkSession, lakePath)
           val snap = (version, tagName) match {
-            case (Some(v), _) => table.snapshotAt(v)
+            case (Some(v), _) =>
+              require(table.versionExists(v),
+                s"tql: no snapshot v$v at $lakePath (missing table, or expired by retention)")
+              table.snapshotAt(v)
             case (_, Some(t)) => table.snapshotAtTag(t)
             case _ => table.currentSnapshot.getOrElse(
               sys.error(s"tql: no lake table at $lakePath"))
@@ -462,10 +467,20 @@ object Tql {
           require(Seq("url", "lsn", "op", "wal_part").forall(df.columns.contains),
             "tql: import requires the change-event envelope (url, lsn, op, wal_part columns)")
           val table = new graft.lake.LakeTable(df.sparkSession, lakePath)
-          val nextBatch = table.currentSnapshot
-            .flatMap(_.watermarks.get("tql-import")).getOrElse(-1L) + 1
-          graft.cdc.CdcApply.applyBatchAppendRaw(table, df, "tql-import", nextBatch,
-            createBuckets = 16)
+          // OCC retry loop: a concurrent import may take this batch id (the
+          // apply then reports skipped=true — losing our data if ignored) or
+          // win the commit race; either way re-read the watermark and retry
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            require(attempts <= 20, "tql: import lost 20 consecutive commit races — aborting")
+            val nextBatch = table.currentSnapshot
+              .flatMap(_.watermarks.get("tql-import")).getOrElse(-1L) + 1
+            try done = !graft.cdc.CdcApply.applyBatchAppendRaw(table, df, "tql-import",
+              nextBatch, createBuckets = 16).skipped
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
           st
         }
       case Ident("from") =>

@@ -73,6 +73,42 @@ class CdcStreamSpec extends SparkSpec {
     assert(pagesMap(table.pages()) == expected)
   }
 
+  test("everything on: audited ingest + auto-compaction + expiry + pinned follower") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt"); val quar = tmpDir("quar")
+    ChangeGen.writeWal(spark, cfg, wal)
+    val table = new LakeTable(spark, tmpDir("lake"))
+    // downstream replica maintained by the changelog follower, polled
+    // between batches while maintenance (compaction + expiry) runs inline
+    var cursor = 0L
+    var replica = Map.empty[String, String]
+    def poll(): Unit =
+      cursor = CdcStream.followChanges(table, cursor, pinTag = Some("f")) { (df, from, _) =>
+        val rows = df.collect()
+        if (from < 0)
+          replica = rows.map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+        else rows.foreach { r =>
+          val u = r.getAs[String]("url")
+          if (r.getAs[String]("change_type") == "delete") replica -= u
+          else replica += u -> r.getAs[String]("text")
+        }
+      }
+    val q = CdcStream.start(spark, wal, table, ckpt, queryId = "all",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "morraw",
+      autoCompactFilesPerBucket = 2, expireKeepLast = 2,
+      audit = Some((_, _) => true), quarantineDir = Some(quar),
+      onBatch = _ => poll())
+    q.awaitTermination()
+    poll() // drain the final head
+    assert(table.stagedIds.isEmpty, "no stage left pending")
+    assert(pagesMap(table.pages()) == golden)
+    assert(replica == golden.map { case (u, (t, _, _, _)) => u -> t },
+      "the follower's replica must converge through compactions and expiry")
+    // auto-compaction bounded the per-bucket delta file count
+    val worst = table.currentSnapshot.get.files
+      .groupBy(_.bucket).values.map(_.size).max
+    assert(worst <= 3, s"auto-compaction bound violated: $worst files in a bucket")
+  }
+
   test("audited ingest: crash mid-audit resumes at the gate with the batch's real stats") {
     val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt"); val quar = tmpDir("quar")
     ChangeGen.writeWal(spark, cfg, wal)

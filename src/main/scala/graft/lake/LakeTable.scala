@@ -21,10 +21,14 @@ import graft.core.Schemas
   *   <root>/data/<uuid>/_bucket=<n>/part-*.parquet
   * }}}
   *
-  * Commit = `FileSystem.create(path, overwrite = false)` of the next version
-  * file — an atomic claim on HDFS-like filesystems; a concurrent writer loses
-  * with a FileAlreadyExists error and must re-plan (single-streaming-writer is
-  * the supported mode; the claim just makes corruption impossible).
+  * Commit = serialize the snapshot COMPLETELY to a tmp file, then claim the
+  * next version by `rename` — atomic and refusing an existing destination on
+  * HDFS-like filesystems; on local filesystems the per-root JVM mutex plus an
+  * exists probe cover in-process racers. A concurrent writer loses the claim
+  * (ConcurrentModificationException) and must re-read and re-plan
+  * (single-streaming-writer is the supported mode; the claim just makes
+  * corruption impossible, and a crash mid-serialization leaves only an inert
+  * tmp, never a truncated head version).
   *
   * Reference analogues: partition/catalog write path
   * (`/root/reference/libtenzir/src/importer.cpp:35-106`,
@@ -108,13 +112,17 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** Pin `name` to `version` (must be a live snapshot). Overwrites an
     * existing tag of the same name. */
-  def tag(name: String, version: Long): Unit = {
-    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
-    require(fs.exists(versionPath(version)), s"no snapshot v$version to tag")
-    writeTags(tags + (name -> version))
-  }
+  def tag(name: String, version: Long): Unit =
+    LakeTable.commitMutex(root).synchronized {
+      // read-modify-write under the per-root mutex: two in-process taggers
+      // (e.g. two followers pinning cursors) must not drop each other's pins
+      require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+      require(fs.exists(versionPath(version)), s"no snapshot v$version to tag")
+      writeTags(tags + (name -> version))
+    }
 
-  def dropTag(name: String): Unit = writeTags(tags - name)
+  def dropTag(name: String): Unit =
+    LakeTable.commitMutex(root).synchronized { writeTags(tags - name) }
 
   /** Whether `version`'s snapshot is still live (not expired by
     * [[expireSnapshots]]) — consumers holding version cursors
@@ -184,34 +192,47 @@ class LakeTable(val spark: SparkSession, val root: String,
     val oldPaths = oldFiles.map(_.path).toSet
     val added = snap.files.filterNot(f => oldPaths.contains(f.path))
     val removed = oldFiles.map(_.path).filterNot(newPaths.contains)
+    // delta names carry a random suffix so two cross-process racers from the
+    // same base can never write the same path — the loser's delta would
+    // otherwise replace the winner's AFTER the winner's version file already
+    // referenced it (silent file-list corruption); losers just leave an
+    // unreferenced delta for the manifest GC
     def writeDelta(name: String, d: ManifestDelta): String = {
-      val out = fs.create(new Path(manifestDir, name), true)
+      val out = fs.create(new Path(manifestDir, name), false)
       try out.write(ManifestCodec.deltaToJson(d).getBytes("UTF-8"))
       finally out.close()
       name
     }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val manifests =
       if (added.isEmpty && removed.isEmpty) oldManifests
       else if (oldManifests.size + 1 >= LakeTable.ManifestConsolidateEvery)
-        Seq(writeDelta(f"m-v$v%012d-full.json", ManifestDelta(snap.files, Nil)))
+        Seq(writeDelta(f"m-v$v%012d-$nonce%s-full.json", ManifestDelta(snap.files, Nil)))
       else
-        oldManifests :+ writeDelta(f"m-v$v%012d.json", ManifestDelta(added, removed))
+        oldManifests :+ writeDelta(f"m-v$v%012d-$nonce%s.json", ManifestDelta(added, removed))
     val resolved = snap.copy(
       version = v,
       parentVersion = parentV.getOrElse(-1L),
       manifests = manifests,
       lineage = snap.lineage.takeRight(lineageRetention)
         .map(le => if (le.snapshotVersion < 0) le.copy(snapshotVersion = v) else le))
-    // overwrite=false: atomic claim — the backstop for two writers that both
-    // passed the stale-base check from the SAME base (one wins the create)
-    val out =
-      try fs.create(versionPath(v), false)
-      catch { case e: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"lost commit race for v$v: ${e.getMessage}")
-      }
+    // Publish protocol: serialize COMPLETELY to a tmp file, then claim the
+    // version by RENAME — a crash or write error mid-serialization leaves
+    // only an inert tmp (swept by expireSnapshots), never a truncated head
+    // version file that would brick every subsequent read and commit. The
+    // rename is the atomic cross-process claim on HDFS-like stores (rename
+    // refuses an existing destination); on local filesystems (overwriting
+    // POSIX rename) the exists probe + the per-root JVM mutex cover
+    // same-process racers — the same split as the mutex comment above.
+    val tmp = new Path(manifestDir, f"v$v%012d.json.tmp-$nonce%s")
+    val out = fs.create(tmp, true)
     try out.write(ManifestCodec.toJson(resolved.copy(files = Nil)).getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(versionPath(v)) || !fs.rename(tmp, versionPath(v))) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"lost commit race for v$v")
+    }
     cachedSnap = Some(resolved)
     // Durable full-history lineage: one immutable delta file per commit with
     // the entries this commit added (those resolved to version v) — O(1) per
@@ -236,11 +257,8 @@ class LakeTable(val spark: SparkSession, val root: String,
   def lineageLog: Seq[LineageEntry] =
     if (!fs.exists(lineageDir)) Nil
     else fs.listStatus(lineageDir).map(_.getPath).sortBy(_.getName).toSeq.flatMap { p =>
-      val in = fs.open(p)
-      val text =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-      text.split('\n').filter(_.nonEmpty).map(ManifestCodec.lineageFromJson).toSeq
+      readString(p).split('\n').filter(_.nonEmpty)
+        .map(ManifestCodec.lineageFromJson).toSeq
     }
 
   def create(userSchema: StructType, buckets: Int): Snapshot = {
@@ -621,7 +639,10 @@ class LakeTable(val spark: SparkSession, val root: String,
       // snapshots keep their own bucket count — time travel stays correct.
       require(nb > 0, "bucket count must be positive")
       val schema = currentFileSchema(snap)
-      val in = resolve(readFiles(snap, snap.files, schema))
+      // resolve only when multi-version rows can exist — a COW/compacted
+      // table pays no no-op groupBy(url) shuffle of the full wide rows
+      val raw0 = readFiles(snap, snap.files, schema)
+      val in = if (needsResolve(snap)) resolve(raw0) else raw0
       val kept = gcTombstonesBelowLsn match {
         case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
         case None => in
@@ -653,7 +674,10 @@ class LakeTable(val spark: SparkSession, val root: String,
     // bucket's files hold ALL versions of its urls, the pre-L0 invariant).
     val gcSafe = gcTombstonesBelowLsn.filter(_ =>
       !byBucket.contains(-1) || target.size == byBucket.size)
-    val in = resolve(readFiles(snap, target.values.flatten.toSeq, schema))
+    val raw0 = readFiles(snap, target.values.flatten.toSeq, schema)
+    // same conditional-resolve as the rebucket path: single-version tables
+    // (COW mode under auto-compaction) skip the semantically-no-op LWW fold
+    val in = if (needsResolve(snap)) resolve(raw0) else raw0
     val kept = gcSafe match {
       case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
       case None => in
@@ -708,16 +732,20 @@ class LakeTable(val spark: SparkSession, val root: String,
     val staged = snap.copy(manifests = Nil)
     // tmp-then-rename: a crash mid-write must never leave a truncated
     // wap-*.json (it would break every later expireSnapshots); the rename is
-    // also the atomic already-staged claim. Tmp names don't end in .json, so
-    // stagedIds never lists them; expiry's tmp sweep is unnecessary — a
-    // crashed tmp is inert and tiny.
+    // the already-staged claim — atomic cross-process on HDFS-like stores
+    // (rename refuses an existing destination); on local filesystems
+    // (overwriting POSIX rename) the exists probe under the per-root JVM
+    // mutex covers same-process racers, the same split as [[commit]]. Tmp
+    // names don't end in .json, so stagedIds never lists them.
     val tmp = new Path(stagedDir, s"wap-$wapId.json.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(ManifestCodec.toJson(staged).getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(stagedPath(wapId)) || !fs.rename(tmp, stagedPath(wapId))) {
-      fs.delete(tmp, false)
-      throw new IllegalArgumentException(s"WAP id '$wapId' already staged")
+    LakeTable.commitMutex(root).synchronized {
+      if (fs.exists(stagedPath(wapId)) || !fs.rename(tmp, stagedPath(wapId))) {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(s"WAP id '$wapId' already staged")
+      }
     }
     staged
   }
@@ -860,6 +888,11 @@ class LakeTable(val spark: SparkSession, val root: String,
     fs.listStatus(manifestDir).map(_.getPath).filter(_.getName.startsWith("m-"))
       .filterNot(p => keptManifests.contains(p.getName))
       .foreach(p => fs.delete(p, false))
+    // sweep version tmps left by commits that crashed mid-serialization
+    // (inert but accumulating)
+    fs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.contains(".json.tmp-"))
+      .foreach(p => fs.delete(p, false))
     var deletedFiles = 0
     if (fs.exists(dataDir)) {
       // commit dirs with no referenced file go wholesale (incl. _SUCCESS and
@@ -869,7 +902,11 @@ class LakeTable(val spark: SparkSession, val root: String,
       // two for bucketed files (data/<commit>/_bucket=N/part-*); a fixed
       // two-level getParent mis-resolved L0 files to data/ itself and
       // deleted live L0 commit dirs wholesale.
-      val dataPathStr = dataDir.toUri.getPath
+      // QUALIFIED anchor: with a relative table root, dataDir.toUri.getPath
+      // would be a relative string while DataFile paths and listings are
+      // absolute — commitDirOf would then match NOTHING and the sweep would
+      // delete every live commit dir
+      val dataPathStr = fs.makeQualified(dataDir).toUri.getPath
       def commitDirOf(p: String): Option[String] = {
         var cur = new Path(p).getParent
         while (cur != null && cur.getParent != null &&

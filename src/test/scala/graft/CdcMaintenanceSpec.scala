@@ -292,6 +292,24 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(meta.currentSnapshot.get.files.size == 40)
   }
 
+  test("expireSnapshots is safe with a RELATIVE table root (qualified sweep anchor)") {
+    // regression: an unqualified sweep anchor matched nothing for relative
+    // roots and wholesale-deleted every LIVE commit dir
+    val rel = s"target/rel-lake-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val table = new LakeTable(spark, rel)
+      segGroups(allEvents, 6).take(2).zipWithIndex.foreach { case (g, i) =>
+        CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "rel", i.toLong,
+          createBuckets = 8)
+      }
+      val before = pagesMap(table.pages())
+      assert(before.nonEmpty)
+      table.expireSnapshots(keepLast = 1)
+      assert(pagesMap(table.pages()) == before,
+        "sweep must not delete live data under a relative root")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rel))
+  }
+
   test("followChanges: cursor-driven incremental consumption reconverges downstream") {
     val table = new LakeTable(spark, tmpDir())
     var cursor = 0L

@@ -103,6 +103,57 @@ object CdcApply {
   private def ordKey(isTable: Column): Column =
     struct(col("lsn"), isTable, col("wal_part"))
 
+  /** Schema-evolution preamble shared by EVERY apply mode (a drift here
+    * would silently diverge table state between modes): merge the event user
+    * schema into the table's, allocating the next schema id on evolution.
+    * @return (mergedUser, evolved, schemaId, mergedFileSchema)
+    */
+  private def evolveSchema(table: LakeTable, snap0: Snapshot, ev: DataFrame)
+      : (StructType, Boolean, Int, StructType) = {
+    val tableUser = StructType(table.currentFileSchema(snap0).fields
+      .filterNot(f => Schemas.systemColumns.exists(_.name == f.name)))
+    val mergedUser = Schemas.mergeStructs(tableUser, userSchemaOf(ev.schema))
+    val evolved = mergedUser != tableUser
+    val schemaId =
+      if (evolved) snap0.schemas.keys.map(_.toInt).max + 1 else snap0.currentSchemaId
+    (mergedUser, evolved, schemaId, LakeTable.fileSchema(mergedUser))
+  }
+
+  /** Envelope rows → file-schema rows, shared by every mode: delete ops
+    * null the payload (tombstone keeps key + LSN — deterministic content),
+    * system columns appended.
+    */
+  private def toFileRows(aligned: DataFrame, mergedUser: StructType): DataFrame = {
+    val isDel = col("op") === "D"
+    aligned.select(
+      (Seq(col("url")) ++
+        mergedUser.fields.filter(_.name != "url").map(f =>
+          when(isDel, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)) ++
+        Seq(
+          col("lsn").as("_lsn"),
+          isDel.as("_deleted"),
+          xxhash64(col("url")).as("_urlhash"),
+          col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
+  }
+
+  /** WAP ordering guard for COMMIT paths (every mode): committing batch N of
+    * a query at or past a staged-unpublished batch of the SAME query would
+    * advance the exactly-once watermark over data that is not durable yet —
+    * crash replay would then skip the staged batch forever — or double-apply
+    * a staged batch its publish later rebase-appends. Refuse until
+    * published/dropped. Cheap: one list of an almost-always-absent dir.
+    */
+  private def requireNoStagedGap(table: LakeTable, queryId: String, batchId: Long): Unit = {
+    val blocking = table.stagedIds.flatMap(id => table.stagedSnapshot(id).lineage
+      .filter(e => e.snapshotVersion < 0 && e.queryId == queryId && e.batchId <= batchId)
+      .map(e => id -> e.batchId))
+    if (blocking.nonEmpty)
+      throw new IllegalStateException(
+        s"query '$queryId' has staged unpublished batch(es) " +
+          blocking.map(p => s"${p._2} (WAP '${p._1}')").mkString(", ") +
+          s" at or before batch $batchId — publish or drop them before committing")
+  }
+
   def applyBatch(
       table: LakeTable,
       batch: DataFrame,
@@ -117,18 +168,19 @@ object CdcApply {
       table.create(userSchemaOf(batch.schema), createBuckets)
     }
     if (snap0.watermarks.get(queryId).exists(_ >= batchId))
-      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, -1, -1, snap0.version)
+    requireNoStagedGap(table, queryId, batchId)
+    // Un-flushed L0 spanning files (bucket = -1) break COW's touched-bucket
+    // arithmetic: planFiles treats them as members of EVERY bucket, so the
+    // rewrite would copy their untouched rows into bucket files while `keep`
+    // retains the spanning file — duplicating rows every batch. Flush first.
+    require(!snap0.files.exists(_.bucket < 0),
+      "table has un-flushed L0 spanning files — run compact() before copy-on-write applies")
 
     val ev = batch.drop("seg")
 
     // ------------------------------------------------------- schema evolution
-    val tableUser = StructType(table.currentFileSchema(snap0).fields
-      .filterNot(f => Schemas.systemColumns.exists(_.name == f.name)))
-    val evUser = userSchemaOf(ev.schema)
-    val mergedUser = Schemas.mergeStructs(tableUser, evUser)
-    val evolved = mergedUser != tableUser
-    val schemaId = if (evolved) snap0.schemas.keys.map(_.toInt).max + 1 else snap0.currentSchemaId
-    val mergedFile = LakeTable.fileSchema(mergedUser)
+    val (mergedUser, evolved, schemaId, mergedFile) = evolveSchema(table, snap0, ev)
 
     // ------------------------------------------------- LWW dedup within batch
     // max_by over struct: partial-aggregable → map-side combine kills hot-key
@@ -181,6 +233,11 @@ object CdcApply {
       val keyCount = deletes + upserts
       val keysRaw = winners.select(col("url"))
       val keys = if (keyCount <= BroadcastKeyLimit) broadcast(keysRaw) else keysRaw
+      // NOTE: `existing` is scanned twice in the merge job (anti + semi) —
+      // per-batch read I/O of the touched buckets doubles. Accepted as part
+      // of COW's formal demotion to the read-optimization path (BASELINE.md:
+      // write amplification, not this, caps it); a single tagged-join scan
+      // would halve the read if COW were ever promoted back.
       val untouched = existing.join(keys, Seq("url"), "left_anti")
 
       // Committed rows competing with the batch become pseudo-events.
@@ -204,17 +261,7 @@ object CdcApply {
         .agg(max_by(struct(resolvedCols.map(col).toIndexedSeq: _*), ordKey(col("is_table"))).as("w"))
         .select(col("w.*"))
 
-      // Tombstone rows keep key + LSN, null payload (deterministic content).
-      val isDel = col("op") === "D"
-      val rows = resolved.select(
-        (Seq(col("url")) ++
-          mergedUser.fields.filter(_.name != "url").map(f =>
-            when(isDel, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)) ++
-          Seq(
-            col("lsn").as("_lsn"),
-            isDel.as("_deleted"),
-            xxhash64(col("url")).as("_urlhash"),
-            col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
+      val rows = toFileRows(resolved, mergedUser)
 
       val newData = untouched.unionByName(rows)
       val newFiles = table.writeDataFiles(newData, schemaId, snap0.buckets,
@@ -266,17 +313,12 @@ object CdcApply {
       table.create(userSchemaOf(batch.schema), createBuckets)
     } }
     if (snap0.watermarks.get(queryId).exists(_ >= batchId))
-      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, -1, -1, snap0.version)
+    requireNoStagedGap(table, queryId, batchId)
 
     val ev = batch.drop("seg")
 
-    val tableUser = StructType(table.currentFileSchema(snap0).fields
-      .filterNot(f => Schemas.systemColumns.exists(_.name == f.name)))
-    val evUser = userSchemaOf(ev.schema)
-    val mergedUser = Schemas.mergeStructs(tableUser, evUser)
-    val evolved = mergedUser != tableUser
-    val schemaId = if (evolved) snap0.schemas.keys.map(_.toInt).max + 1 else snap0.currentSchemaId
-    val mergedFile = LakeTable.fileSchema(mergedUser)
+    val (mergedUser, evolved, schemaId, mergedFile) = evolveSchema(table, snap0, ev)
 
     // LWW winners within the batch (map-side combine absorbs hot keys), then
     // straight to file-schema rows — no table read, no join. Raw-batch
@@ -292,16 +334,7 @@ object CdcApply {
         .select(col("w.*")),
       mergedUser)
 
-    val isDel = col("op") === "D"
-    val rows = winners.select(
-      (Seq(col("url")) ++
-        mergedUser.fields.filter(_.name != "url").map(f =>
-          when(isDel, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)) ++
-        Seq(
-          col("lsn").as("_lsn"),
-          isDel.as("_deleted"),
-          xxhash64(col("url")).as("_urlhash"),
-          col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
+    val rows = toFileRows(winners, mergedUser)
 
     // winner bookkeeping rides in the write job itself
     val winObs = org.apache.spark.sql.Observation(s"cdc-win-$queryId-$batchId")
@@ -394,13 +427,11 @@ object CdcApply {
     val snap0: Snapshot = phase("snapshot") { table.currentSnapshot.getOrElse {
       table.create(userSchemaOf(batch.schema), createBuckets)
     } }
-    if (snap0.watermarks.get(queryId).exists(_ >= batchId))
-      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, 0, 0, snap0.version)
-    // staged-batch interplay (cheap: one list of an almost-always-absent dir)
-    val stagedBatches: Seq[(String, Long)] = table.stagedIds
-      .flatMap(id => table.stagedSnapshot(id).lineage
-        .filter(e => e.snapshotVersion < 0 && e.queryId == queryId)
-        .map(e => id -> e.batchId))
+    // Pending-stage reconstruction runs BEFORE the watermark skip: a later
+    // out-of-order publish on the same query can max-merge the watermark
+    // past a batch whose own stage is still pending — the replay must still
+    // surface that batch's REAL stats to a resuming audit gate, not the
+    // zeroed skip shape.
     val pendingStage = stageAs.filter(id => table.stagedIds.contains(id))
     if (pendingStage.isDefined) {
       // replay of an already-staged batch: idempotent skip (the stage IS the
@@ -411,50 +442,27 @@ object CdcApply {
       // a collision (e.g. a stale stage from an abandoned run reused with a
       // fresh checkpoint): skipping would silently drop THIS batch's data —
       // refuse loudly instead.
-      val id = pendingStage.get
-      val fresh = table.stagedSnapshot(id).lineage.filter(_.snapshotVersion < 0)
+      val fresh = table.stagedSnapshot(pendingStage.get).lineage
+        .filter(_.snapshotVersion < 0)
       val mine = fresh.find(e => e.queryId == queryId && e.batchId == batchId)
       if (mine.isEmpty)
         throw new IllegalStateException(
-          s"WAP id '$id' is already staged for ${fresh.map(e => s"${e.queryId}#${e.batchId}")
-            .mkString(",")} — not query '$queryId' batch $batchId; drop the stale stage " +
-            "or choose a different id")
+          s"WAP id '${pendingStage.get}' is already staged for " +
+            s"${fresh.map(e => s"${e.queryId}#${e.batchId}").mkString(",")} — not query " +
+            s"'$queryId' batch $batchId; drop the stale stage or choose a different id")
       val e = mine.get
       return ApplyStats(queryId, batchId, skipped = true, e.events, e.upserts,
         e.deletes, e.minLsn, e.maxLsn, snap0.version)
     }
-    if (stageAs.isEmpty && stagedBatches.exists(_._2 < batchId))
-      // committing batch N would advance the per-query watermark past a
-      // staged-unpublished earlier batch — after a crash, replay would skip
-      // that batch forever (the watermark falsely asserts it durable).
-      // Publish or drop the stage first, or stage under a separate queryId
-      // (the multi-writer WAP pattern).
-      throw new IllegalStateException(
-        s"query '$queryId' has staged unpublished batch(es) " +
-          s"${stagedBatches.filter(_._2 < batchId).map(p => s"${p._2} (WAP '${p._1}')").mkString(", ")} " +
-          s"older than batch $batchId — publish or drop them before committing")
+    if (snap0.watermarks.get(queryId).exists(_ >= batchId))
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, -1, -1, snap0.version)
+    if (stageAs.isEmpty) requireNoStagedGap(table, queryId, batchId)
 
     val ev = batch.drop("seg")
 
-    val tableUser = StructType(table.currentFileSchema(snap0).fields
-      .filterNot(f => Schemas.systemColumns.exists(_.name == f.name)))
-    val evUser = userSchemaOf(ev.schema)
-    val mergedUser = Schemas.mergeStructs(tableUser, evUser)
-    val evolved = mergedUser != tableUser
-    val schemaId = if (evolved) snap0.schemas.keys.map(_.toInt).max + 1 else snap0.currentSchemaId
-    val mergedFile = LakeTable.fileSchema(mergedUser)
+    val (mergedUser, evolved, schemaId, mergedFile) = evolveSchema(table, snap0, ev)
 
-    val aligned = alignUser(ev, mergedUser)
-    val isDel = col("op") === "D"
-    val rows = aligned.select(
-      (Seq(col("url")) ++
-        mergedUser.fields.filter(_.name != "url").map(f =>
-          when(isDel, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)) ++
-        Seq(
-          col("lsn").as("_lsn"),
-          isDel.as("_deleted"),
-          xxhash64(col("url")).as("_urlhash"),
-          col("wal_part").cast("int").as("_wal_part"))).toIndexedSeq: _*)
+    val rows = toFileRows(alignUser(ev, mergedUser), mergedUser)
 
     val obs = org.apache.spark.sql.Observation(s"cdc-raw-$queryId-$batchId")
     val observed = rows.observe(obs,

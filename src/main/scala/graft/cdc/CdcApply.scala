@@ -141,7 +141,10 @@ object CdcApply {
     * advance the exactly-once watermark over data that is not durable yet —
     * crash replay would then skip the staged batch forever — or double-apply
     * a staged batch its publish later rebase-appends. Refuse until
-    * published/dropped. Cheap: one list of an almost-always-absent dir.
+    * published/dropped. Cost: one list of an almost-always-absent dir per
+    * batch; WHILE a stage pends (transient by design) each pending staged
+    * snapshot's inline JSON is parsed per batch to read its lineage tail —
+    * accepted, since pending stages are audit-scoped and short-lived.
     */
   private def requireNoStagedGap(table: LakeTable, queryId: String, batchId: Long): Unit = {
     val blocking = table.stagedIds.flatMap(id => table.stagedSnapshot(id).lineage

@@ -67,6 +67,31 @@ class LakeTable(val spark: SparkSession, val root: String,
     finally in.close()
   }
 
+  /** Serialize-completely-then-claim-by-rename, the ONE publish protocol for
+    * version files and staged commits: content is durable before the claim
+    * (a crash leaves an inert tmp, never a truncated destination), and the
+    * rename is the atomic claim on HDFS-like stores (it refuses an existing
+    * destination); on local filesystems (overwriting POSIX rename) the
+    * exists probe under the caller-held per-root mutex covers in-process
+    * racers. Calls `onLoss` (then throws its result) if the destination
+    * exists or the rename fails.
+    */
+  private def claimByRename(tmp: Path, dst: Path, bytes: Array[Byte],
+      onLoss: => Exception): Unit = {
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
+    finally out.close()
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw onLoss
+    }
+  }
+
+  /** LWW-resolve only when the snapshot can hold multi-version rows — the
+    * single definition of the conditional every read path shares. */
+  private def resolveIfNeeded(snap: Snapshot, df: DataFrame): DataFrame =
+    if (needsResolve(snap)) resolve(df) else df
+
   // -------------------------------------------------------------------- tags
 
   private val tagsPath = new Path(root, "tags.tsv")
@@ -224,15 +249,9 @@ class LakeTable(val spark: SparkSession, val root: String,
     // refuses an existing destination); on local filesystems (overwriting
     // POSIX rename) the exists probe + the per-root JVM mutex cover
     // same-process racers — the same split as the mutex comment above.
-    val tmp = new Path(manifestDir, f"v$v%012d.json.tmp-$nonce%s")
-    val out = fs.create(tmp, true)
-    try out.write(ManifestCodec.toJson(resolved.copy(files = Nil)).getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(versionPath(v)) || !fs.rename(tmp, versionPath(v))) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"lost commit race for v$v")
-    }
+    claimByRename(new Path(manifestDir, f"v$v%012d.json.tmp-$nonce%s"),
+      versionPath(v), ManifestCodec.toJson(resolved.copy(files = Nil)).getBytes("UTF-8"),
+      new java.util.ConcurrentModificationException(s"lost commit race for v$v"))
     cachedSnap = Some(resolved)
     // Durable full-history lineage: one immutable delta file per commit with
     // the entries this commit added (those resolved to version v) — O(1) per
@@ -346,7 +365,7 @@ class LakeTable(val spark: SparkSession, val root: String,
   def pages(snap: Snapshot): DataFrame = {
     val sys = Schemas.systemColumns.map(_.name).toSet
     val raw = scanRaw(snap)
-    val one = if (needsResolve(snap)) resolve(raw) else raw
+    val one = resolveIfNeeded(snap, raw)
     val live = one.filter(!col("_deleted"))
     live.select(live.columns.filterNot(sys.contains).map(col).toIndexedSeq: _*)
   }
@@ -381,7 +400,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     val files = planFiles(snap, buckets = Some(Set(b)), urlHash = Some(h))
     val hit = readFiles(snap, files, currentFileSchema(snap))
       .filter(col("url") === lit(url))
-    (if (needsResolve(snap)) resolve(hit) else hit).filter(!col("_deleted"))
+    resolveIfNeeded(snap, hit).filter(!col("_deleted"))
   }
 
   /** Snapshot-diff changelog — the downstream-consumption half of CDC (the
@@ -453,7 +472,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     def side(snap: Snapshot, p: String): DataFrame = {
       val raw = readFiles(snap, planFiles(snap, buckets = bucketsOpt), target)
         .join(cand, Seq("url"), "left_semi")
-      val one = if (needsResolve(snap)) resolve(raw) else raw
+      val one = resolveIfNeeded(snap, raw)
       one.select(col("url") +:
         (userCols ++ Seq("_deleted", "_lsn", "_wal_part"))
           .map(c => col(c).as(s"$p$c")): _*)
@@ -642,7 +661,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       // resolve only when multi-version rows can exist — a COW/compacted
       // table pays no no-op groupBy(url) shuffle of the full wide rows
       val raw0 = readFiles(snap, snap.files, schema)
-      val in = if (needsResolve(snap)) resolve(raw0) else raw0
+      val in = resolveIfNeeded(snap, raw0)
       val kept = gcTombstonesBelowLsn match {
         case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
         case None => in
@@ -677,7 +696,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     val raw0 = readFiles(snap, target.values.flatten.toSeq, schema)
     // same conditional-resolve as the rebucket path: single-version tables
     // (COW mode under auto-compaction) skip the semantically-no-op LWW fold
-    val in = if (needsResolve(snap)) resolve(raw0) else raw0
+    val in = resolveIfNeeded(snap, raw0)
     val kept = gcSafe match {
       case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
       case None => in
@@ -737,15 +756,11 @@ class LakeTable(val spark: SparkSession, val root: String,
     // (overwriting POSIX rename) the exists probe under the per-root JVM
     // mutex covers same-process racers, the same split as [[commit]]. Tmp
     // names don't end in .json, so stagedIds never lists them.
-    val tmp = new Path(stagedDir, s"wap-$wapId.json.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(ManifestCodec.toJson(staged).getBytes("UTF-8"))
-    finally out.close()
     LakeTable.commitMutex(root).synchronized {
-      if (fs.exists(stagedPath(wapId)) || !fs.rename(tmp, stagedPath(wapId))) {
-        fs.delete(tmp, false)
-        throw new IllegalArgumentException(s"WAP id '$wapId' already staged")
-      }
+      claimByRename(
+        new Path(stagedDir, s"wap-$wapId.json.tmp-${java.util.UUID.randomUUID()}"),
+        stagedPath(wapId), ManifestCodec.toJson(staged).getBytes("UTF-8"),
+        new IllegalArgumentException(s"WAP id '$wapId' already staged"))
     }
     staged
   }
@@ -888,11 +903,17 @@ class LakeTable(val spark: SparkSession, val root: String,
     fs.listStatus(manifestDir).map(_.getPath).filter(_.getName.startsWith("m-"))
       .filterNot(p => keptManifests.contains(p.getName))
       .foreach(p => fs.delete(p, false))
-    // sweep version tmps left by commits that crashed mid-serialization
-    // (inert but accumulating)
-    fs.listStatus(manifestDir).map(_.getPath)
-      .filter(_.getName.contains(".json.tmp-"))
-      .foreach(p => fs.delete(p, false))
+    // sweep tmps left by commits/stages that crashed mid-serialization
+    // (inert but accumulating) — under the commit mutex, so the sweep can
+    // never delete the tmp of an IN-FLIGHT in-process commit between its
+    // write and its rename (which would fail that commit with a spurious
+    // lost-race error)
+    LakeTable.commitMutex(root).synchronized {
+      (fs.listStatus(manifestDir) ++
+        (if (fs.exists(stagedDir)) fs.listStatus(stagedDir) else Array.empty))
+        .map(_.getPath).filter(_.getName.contains(".json.tmp-"))
+        .foreach(p => fs.delete(p, false))
+    }
     var deletedFiles = 0
     if (fs.exists(dataDir)) {
       // commit dirs with no referenced file go wholesale (incl. _SUCCESS and

@@ -94,7 +94,7 @@ object MiscQueries {
   val oracleSql: Map[String, String] = Map(
     "q_chart" ->
       """SELECT date_trunc('day', ts) AS ts,
-        |  sum(CAST(floor(value) AS BIGINT)) AS total, count(*) AS n
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1 LIMIT 100000""".stripMargin,
 
     "q_decapsulate" ->

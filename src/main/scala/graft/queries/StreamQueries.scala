@@ -130,7 +130,7 @@ object StreamQueries {
       s"""SELECT ${bucketSql(21600)} AS w_start,
          |  ${bucketSql(21600, -21600)} AS w_end,
          |  event_type, count(*) AS n,
-         |  sum(CAST(floor(value) AS BIGINT)) AS total
+         |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
          |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     // start = 6h-bucket - k*6h for k in 0..3 (24h length / 6h slide):
@@ -144,7 +144,7 @@ object StreamQueries {
          |    - k * 21600) * 1000000) AS w_start,
          |  make_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
          |    - k * 21600 + 86400) * 1000000) AS w_end,
-         |  count(*) AS n, sum(CAST(floor(value) AS BIGINT)) AS total
+         |  count(*) AS n, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
          |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_window_session" ->

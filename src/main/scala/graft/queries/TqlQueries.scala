@@ -126,7 +126,7 @@ object TqlQueries {
       """SELECT c_custkey, upper(c_name) AS name, c_custkey * 2 + 1 AS key2
          FROM customer WHERE c_acctbal >= 0.0 AND contains(c_name, '1')""",
     "q_tql_pipeline" ->
-      """SELECT r_name, count(*) AS nations, sum(n_nationkey) AS keysum
+      """SELECT r_name, count(*) AS nations, CAST(sum(n_nationkey) AS BIGINT) AS keysum
          FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
          GROUP BY 1 ORDER BY 1 LIMIT 100000""",
     // import→export must equal the LWW winner state, filtered

@@ -48,6 +48,17 @@ def main():
             continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
+            # DuckDB-side result schema BEFORE pandas degrades it: a bare
+            # sum(BIGINT) yields HUGEINT, which fetchdf silently converts to
+            # float64 — the exact class the driver's strict hash gate fails
+            # on (r2: q_chart, q_window_*, q_tql_pipeline). Fail loudly here.
+            desc = con.execute("DESCRIBE " + oracle[name]).fetchdf()
+            huge = [f"{r['column_name']}:{r['column_type']}"
+                    for _, r in desc.iterrows()
+                    if "HUGEINT" in str(r["column_type"]).upper()]
+            if huge:
+                results[name] = f"ORACLE_HUGEINT {huge} (wrap with CAST(... AS BIGINT))"
+                continue
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {str(e)[:120]}"; continue
         # strict tz-awareness compare BEFORE canon erases it: the driver's
@@ -58,6 +69,21 @@ def main():
         gt, et = tzmap(got), tzmap(exp)
         if gt != et:
             results[name] = f"SCHEMA_TZ got={gt} exp={et}"; continue
+        # numeric-kind strictness BEFORE canon: integer on one side and
+        # float on the other means a type was laundered somewhere (pandas
+        # degrading HUGEINT, or a genuine Spark/oracle type mismatch) — the
+        # driver hashes typed values, so this must FAIL, not fall into the
+        # tolerant float branch (r1: tz_localize; r2: HUGEINT — same class).
+        kinds = []
+        for c in sorted(set(got.columns) & set(exp.columns)):
+            gi = pd.api.types.is_integer_dtype(got[c])
+            gf = pd.api.types.is_float_dtype(got[c])
+            ei = pd.api.types.is_integer_dtype(exp[c])
+            ef = pd.api.types.is_float_dtype(exp[c])
+            if (gi and ef) or (gf and ei):
+                kinds.append(f"{c}: got={got[c].dtype} exp={exp[c].dtype}")
+        if kinds:
+            results[name] = "DTYPE_KIND " + "; ".join(kinds); continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"COLUMNS got={list(g.columns)} exp={list(e.columns)}"; continue

@@ -4,7 +4,6 @@ import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 import java.nio.channels.Channels
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -55,9 +54,8 @@ object Feather {
       case other => throw new IllegalArgumentException(
         s"unknown feather codec '$other' (have: none, lz4, zstd)")
     }
-    savePartitions(df, dir, ".feather") { (it, schema, path) =>
-      val ch = Files.newByteChannel(path, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    savePartitions(df, dir, ".feather") { (it, schema, os) =>
+      val ch = Channels.newChannel(os)
       var n = 0L
       val alloc = new RootAllocator()
       try {
@@ -88,7 +86,8 @@ object Feather {
     * `binaryFile` source.
     */
   def load(spark: SparkSession, dir: String, schema: StructType = null): DataFrame = {
-    val sch = Option(schema).getOrElse(dirSchema(spark, dir, ".feather", payloadSchema))
+    val sch = Option(schema).getOrElse(
+      dirSchema(spark, dir, ".feather", (in, len) => ipcSchemaAt(in, 0, len)))
     val bytes = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.feather").load(dir)
       .select("content")
@@ -114,59 +113,91 @@ object Feather {
     } finally alloc.close()
   }
 
-  /** Schema of one IPC file payload (footer only — cheap). */
-  private[formats] def payloadSchema(payload: Array[Byte]): StructType = {
+  /** Shared per-partition sink scaffold for feather/bitz: one file per
+    * non-empty partition, deterministic names (task retries overwrite —
+    * idempotent), small (path, rows) manifest back to the driver. Writes go
+    * through the Hadoop FileSystem of the session (same as the lake), so the
+    * sink lands where `load`'s `binaryFile` read resolves the dir — for
+    * `file:`/remote URIs and multi-executor deployments alike; java.nio
+    * would silently write to each executor's LOCAL disk.
+    */
+  private[formats] def savePartitions(df: DataFrame, dir: String, ext: String)(
+      write: (Iterator[Row], StructType, java.io.OutputStream) => Long): Seq[(String, Long)] = {
+    val schema = df.schema
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = dirPath.getFileSystem(hconf.value)
+    fs0.mkdirs(dirPath)
+    val qualified = fs0.makeQualified(dirPath).toString
+    val manifestSchema = StructType.fromDDL("path STRING, rows BIGINT")
+    df.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(qualified, f"part-$pid%05d$ext")
+        val os = p.getFileSystem(hconf.value).create(p, true)
+        val n = try write(it, schema, os) finally os.close()
+        Iterator(Row(p.toString, n))
+      }
+    }(Encoders.row(manifestSchema))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Read-only seekable-channel view of a byte range of a Hadoop stream —
+    * lets ArrowFileReader resolve an IPC file's footer/schema with positioned
+    * reads only (no full-file buffering).
+    */
+  private final class HadoopRangeChannel(in: org.apache.hadoop.fs.FSDataInputStream,
+      offset: Long, len: Long) extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var opened = true
+    override def read(dst: ByteBuffer): Int = {
+      if (pos >= len) return -1
+      val want = math.min(dst.remaining().toLong, len - pos).toInt
+      val buf = new Array[Byte](want)
+      in.readFully(offset + pos, buf, 0, want)
+      dst.put(buf, 0, want); pos += want; want
+    }
+    override def write(src: ByteBuffer): Int = throw new UnsupportedOperationException
+    override def position(): Long = pos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = { pos = p; this }
+    override def size(): Long = len
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException
+    override def isOpen: Boolean = opened
+    override def close(): Unit = { opened = false }
+  }
+
+  /** Schema of the IPC file payload at `[offset, offset+len)` of `in`,
+    * read via footer-positioned IO only. */
+  private[formats] def ipcSchemaAt(in: org.apache.hadoop.fs.FSDataInputStream,
+      offset: Long, len: Long): StructType = {
     val alloc = new RootAllocator()
     try {
       val rdr = new ArrowFileReader(
-        new SeekableReadChannel(new ByteArrayReadableSeekableByteChannel(payload)),
+        new SeekableReadChannel(new HadoopRangeChannel(in, offset, len)),
         alloc, CommonsCompressionFactory.INSTANCE)
       try GraftArrow.fromArrowSchema(rdr.getVectorSchemaRoot.getSchema)
       finally rdr.close()
     } finally alloc.close()
   }
 
-  /** Shared per-partition sink scaffold for feather/bitz: one file per
-    * non-empty partition, deterministic names (task retries overwrite —
-    * idempotent), small (path, rows) manifest back to the driver.
-    */
-  private[formats] def savePartitions(df: DataFrame, dir: String, ext: String)(
-      write: (Iterator[Row], StructType, JPath) => Long): Seq[(String, Long)] = {
-    val schema = df.schema
-    Files.createDirectories(Paths.get(dir))
-    val manifestSchema = StructType.fromDDL("path STRING, rows BIGINT")
-    df.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val pid = TaskContext.getPartitionId()
-        val path = Paths.get(dir, f"part-$pid%05d$ext")
-        val n = write(it, schema, path)
-        Iterator(Row(path.toString, n))
-      }
-    }(Encoders.row(manifestSchema))
-      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-  }
-
   /** Infer the schema from the first `*ext` file under `dir` — resolved
     * through the Hadoop filesystem of the session (so plain paths and
     * `file:`/remote URIs behave exactly like the `binaryFile` read that
-    * follows).
+    * follows), touching only the bytes the footer parse seeks to (a few KB),
+    * not the data body.
     */
   private[formats] def dirSchema(spark: SparkSession, dir: String, ext: String,
-      read: Array[Byte] => StructType): StructType = {
+      read: (org.apache.hadoop.fs.FSDataInputStream, Long) => StructType): StructType = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val first = fs.listStatus(p).filter(_.getPath.getName.endsWith(ext))
       .sortBy(_.getPath.getName).headOption.getOrElse(
         throw new IllegalArgumentException(s"no *$ext files under $dir (pass a schema to load)"))
     val in = fs.open(first.getPath)
-    try {
-      val buf = new ByteArrayOutputStream(1 << 16)
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      read(buf.toByteArray)
-    } finally in.close()
+    try read(in, first.getLen) finally in.close()
   }
 }
 
@@ -257,10 +288,8 @@ object Bitz {
 
   /** Write `df` as one `.bitz` file per partition under `dir`. */
   def save(df: DataFrame, dir: String, batchRows: Int = 4096): Seq[(String, Long)] =
-    Feather.savePartitions(df, dir, ".bitz") { (it, schema, path) =>
-      val ch = Files.newOutputStream(path, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-      try writeFrames(it, schema, batchRows, ch.write) finally ch.close()
+    Feather.savePartitions(df, dir, ".bitz") { (it, schema, os) =>
+      writeFrames(it, schema, batchRows, (b: Array[Byte]) => os.write(b))
     }
 
   /** Read every `.bitz` file under `dir` back as a DataFrame (schema from
@@ -268,8 +297,19 @@ object Bitz {
     */
   def load(spark: SparkSession, dir: String, schema: StructType = null): DataFrame = {
     val sch = Option(schema).getOrElse(
-      Feather.dirSchema(spark, dir, ".bitz",
-        b => Feather.payloadSchema(nextFramePayload(b, 0))))
+      Feather.dirSchema(spark, dir, ".bitz", { (in, flen) =>
+        // first frame header: TNZ1 magic + u64BE payload length, then the
+        // IPC payload — hand the payload range to the footer-only reader
+        val hdr = new Array[Byte](12)
+        if (flen < 12) throw new IllegalArgumentException(s"truncated BITZ file (len $flen)")
+        in.readFully(0, hdr, 0, 12)
+        if (!java.util.Arrays.equals(hdr, 0, 4, Magic, 0, 4))
+          throw new IllegalArgumentException("unexpected BITZ magic (expected TNZ1)")
+        val len = frameLen(hdr, 0)
+        if (len < 0 || 12 + len > flen)
+          throw new IllegalArgumentException(s"unexpected message length $len (file $flen)")
+        Feather.ipcSchemaAt(in, 12, len)
+      }))
     val bytes = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bitz").load(dir)
       .select("content")

@@ -789,8 +789,26 @@ class LakeTable(val spark: SparkSession, val root: String,
   def publishStaged(wapId: String): Snapshot = {
     val staged = stagedSnapshot(wapId)
     val head = latestVersion.getOrElse(-1L)
+    // Idempotent re-publish: a crash between the publish commit and the
+    // staged-file delete below leaves the stage pending although its data is
+    // already committed. The committed snapshot carries a published-wapId
+    // breadcrumb prop (inherited by every later commit), so the retry just
+    // clears the stage and returns the head — committing again would both
+    // write a redundant snapshot AND re-resolve the stage's fresh lineage
+    // entries into the durable lineage log (double-counted batches).
+    if (head >= 0) {
+      val headSnap = snapshotAt(head)
+      if (headSnap.props.contains(LakeTable.publishedProp(wapId))) {
+        if (!fs.delete(stagedPath(wapId), false))
+          throw new java.io.IOException(
+            s"'$wapId' already published but its staged file could not be deleted — " +
+              s"delete ${stagedPath(wapId)} manually")
+        return headSnap
+      }
+    }
     val result =
-      if (staged.version == head) commit(staged)
+      if (staged.version == head)
+        commit(staged.copy(props = publishedProps(staged.props, wapId)))
       else {
         val base = snapshotAt(staged.version)
         val basePaths = base.files.map(_.path).toSet
@@ -838,13 +856,26 @@ class LakeTable(val spark: SparkSession, val root: String,
           currentSchemaId = math.max(cur.currentSchemaId, staged.currentSchemaId),
           watermarks = mergedWm,
           lineage = cur.lineage ++ staged.lineage.filter(_.snapshotVersion < 0),
-          props = cur.props ++ needsResolve))
+          props = publishedProps(cur.props ++ needsResolve, wapId)))
       }
     if (!fs.delete(stagedPath(wapId), false))
       throw new java.io.IOException(
         s"published '$wapId' but failed to delete its staged file — it would pin " +
           s"its base against expiry forever; delete ${stagedPath(wapId)} manually")
     result
+  }
+
+  /** Publish-commit props: add this wapId's published breadcrumb and prune
+    * breadcrumbs whose staged file is gone (their crash window is closed) —
+    * the set stays bounded by the number of concurrently pending stages
+    * instead of growing with every publish the table ever saw.
+    */
+  private def publishedProps(base: Map[String, String], wapId: String): Map[String, String] = {
+    val pending = stagedIds.toSet - wapId
+    base.filterNot { case (k, _) =>
+      k.startsWith(LakeTable.PublishedPropPrefix) &&
+        !pending.contains(k.stripPrefix(LakeTable.PublishedPropPrefix))
+    } + (LakeTable.publishedProp(wapId) -> "true")
   }
 
   /** Abandon a staged commit: the audit failed. Its data files become
@@ -907,12 +938,17 @@ class LakeTable(val spark: SparkSession, val root: String,
     // (inert but accumulating) — under the commit mutex, so the sweep can
     // never delete the tmp of an IN-FLIGHT in-process commit between its
     // write and its rename (which would fail that commit with a spurious
-    // lost-race error)
+    // lost-race error). The mutex is JVM-local, so CROSS-process writers are
+    // only protected by the age grace: a live writer's write→rename window
+    // is milliseconds, so sweeping only tmps minutes old still collects
+    // crash debris without ever racing another process's in-flight commit.
     LakeTable.commitMutex(root).synchronized {
+      val cutoff = System.currentTimeMillis() - LakeTable.TmpSweepGraceMs
       (fs.listStatus(manifestDir) ++
         (if (fs.exists(stagedDir)) fs.listStatus(stagedDir) else Array.empty))
-        .map(_.getPath).filter(_.getName.contains(".json.tmp-"))
-        .foreach(p => fs.delete(p, false))
+        .filter(st => st.getPath.getName.contains(".json.tmp-") &&
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
     }
     var deletedFiles = 0
     if (fs.exists(dataDir)) {
@@ -985,6 +1021,18 @@ object LakeTable {
   /** Highest LSN below which compaction has GC'd tombstones — the
     * publish-time fence against staged batches resurrecting deletes. */
   val TombstoneGcLsnProp = "tombstone_gc_lsn"
+
+  /** Prefix of the per-wapId published breadcrumb prop: set by the publish
+    * commit, inherited by later commits, pruned once the staged file is gone.
+    * Makes [[LakeTable.publishStaged]] retries idempotent across the crash
+    * window between its commit and its staged-file delete. */
+  val PublishedPropPrefix = "wap_published/"
+  def publishedProp(wapId: String): String = PublishedPropPrefix + wapId
+
+  /** Minimum age before [[LakeTable.expireSnapshots]] sweeps a crash-debris
+    * `.json.tmp-*` file: the JVM commit mutex cannot see other processes, so
+    * only age separates a crashed writer's tmp from a live one's. */
+  val TmpSweepGraceMs: Long = 10L * 60 * 1000
 
   /** Per-root intra-process commit lock (see [[LakeTable.commit]]). */
   private val commitMutexes =

@@ -1,14 +1,16 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+import java.util.Comparator
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.gen.GenEvent
 
 /** Shared local SparkSession for all suites (one per forked test JVM). */
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = {
     val s = sparkBuilder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -23,8 +25,27 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")
 
-  def tmpDir(prefix: String = "graft"): String =
-    Files.createTempDirectory(prefix).toString
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]
+
+  def tmpDir(prefix: String = "graft"): String = {
+    val p = Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    try super.afterAll()
+    finally {
+      scratchDirs.forEach { p =>
+        try {
+          if (Files.exists(p))
+            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+        } catch { case _: java.io.IOException => () }
+      }
+      scratchDirs.clear()
+    }
+  }
 
   /** Independent LWW oracle: fold events in (lsn, wal_part) order; deletes
     * remove. Duplicates (same lsn) are naturally idempotent. Returns live rows.

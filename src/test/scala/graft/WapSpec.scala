@@ -51,6 +51,38 @@ class WapSpec extends SparkSpec {
     assert(table.lineageLog.exists(e => e.batchId == 1L && e.events == groups(1).size))
   }
 
+  test("re-publish after crash between commit and staged delete is idempotent") {
+    val root = tmpDir()
+    val table = new LakeTable(spark, root)
+    val groups = segGroups(allEvents, 6)
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(0)).toDF(), "w", 0L,
+      createBuckets = 16)
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(1)).toDF(), "w", 1L,
+      createBuckets = 16, stageAs = Some("b1"))
+    // snapshot the staged file, publish, then restore it — exactly the state
+    // a crash between publishStaged's commit and its staged-file delete leaves
+    val stagedFile = java.nio.file.Paths.get(root, "staged", "wap-b1.json")
+    val stagedBytes = java.nio.file.Files.readAllBytes(stagedFile)
+    val published = table.publishStaged("b1")
+    java.nio.file.Files.createDirectories(stagedFile.getParent)
+    java.nio.file.Files.write(stagedFile, stagedBytes)
+    assert(table.stagedIds == Seq("b1"))
+    val logBefore = table.lineageLog
+    // the retry must clear the stage WITHOUT a new commit or duplicate lineage
+    val again = table.publishStaged("b1")
+    assert(again.version == published.version)
+    assert(table.currentSnapshot.get.version == published.version)
+    assert(table.stagedIds.isEmpty)
+    assert(table.lineageLog == logBefore)
+    // later publishes prune the closed breadcrumb so props stay bounded
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(2)).toDF(), "w", 2L,
+      createBuckets = 16, stageAs = Some("b2"))
+    table.publishStaged("b2")
+    val props = table.currentSnapshot.get.props
+    assert(props.contains(LakeTable.publishedProp("b2")))
+    assert(!props.contains(LakeTable.publishedProp("b1")))
+  }
+
   test("audit reject: dropStaged leaves no trace; sweep collects the files") {
     val table = new LakeTable(spark, tmpDir())
     val groups = segGroups(allEvents, 6)

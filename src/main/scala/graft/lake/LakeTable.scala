@@ -545,19 +545,63 @@ class LakeTable(val spark: SparkSession, val root: String,
     */
   def writeDataFiles(rows: DataFrame, schemaId: Int, buckets: Int, nTasks: Int,
       maxRecordsPerFile: Long = 0L, bloomUrl: Boolean = false): Seq[DataFile] = {
+    // Exact bucket→task placement (round-robin via ExactPartition): plain
+    // repartition(col("_bucket")) re-hashes 64 bucket ids into nTasks
+    // partitions and the balls-in-bins collisions gave the write stage a
+    // measured 2x straggler. Buckets are uniform in rows (hash of url), so
+    // round-robin slots are balanced.
+    val n = math.max(1, nTasks)
+    val bucketed = rows.withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
+    val placed = ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
+      .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
+    writeBucketFiles(placed, schemaId, maxRecordsPerFile, bloomUrl)
+  }
+
+  /** Sort-based LWW fold + bucketed write, fused into ONE exchange: route
+    * rows to bucket slots, sort each slot by
+    * `(_bucket, _urlhash, url, _lsn desc, _wal_part desc)` — which makes the
+    * per-url winner the FIRST row of its group AND is exactly the layout the
+    * bucketed writer wants — then keep first-per-url with the O(1)-state
+    * [[KeyChange]] streaming filter and write. Replaces
+    * `resolve` + [[writeDataFiles]] on the compaction path, which paid TWO
+    * full-data exchanges (url hash-aggregate holding one wide row per key,
+    * then the bucket-slot repartition) plus the same sort; the fold's only
+    * wide state is now the sorter's, which spills gracefully. Same LWW
+    * semantics: one winner per url by max `(_lsn, _wal_part)`.
+    *
+    * `gcTombstonesBelowLsn` drops tombstone WINNERS below the watermark —
+    * applied after the winner filter, same as the resolve-then-filter order
+    * it replaces (an ordinary deterministic filter; Catalyst keeps it above
+    * the nondeterministic [[KeyChange]] so it cannot drop a tombstone before
+    * the tombstone wins its group).
+    */
+  def writeDataFilesSortedFold(raw: DataFrame, schemaId: Int, buckets: Int, nTasks: Int,
+      gcTombstonesBelowLsn: Option[Long] = None, maxRecordsPerFile: Long = 0L,
+      bloomUrl: Boolean = false): Seq[DataFile] = {
+    val n = math.max(1, nTasks)
+    val bucketed = raw.withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
+    val winners = ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
+      .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"),
+        col("_lsn").desc, col("_wal_part").desc)
+      .filter(KeyChange.column(col("url")))
+    val kept = gcTombstonesBelowLsn match {
+      case Some(w) => winners.filter(!col("_deleted") || col("_lsn") >= lit(w))
+      case None => winners
+    }
+    writeBucketFiles(kept, schemaId, maxRecordsPerFile, bloomUrl)
+  }
+
+  /** Shared bucketed-write tail: `placed` must already be partitioned and
+    * sorted with `_bucket` leading (the dynamic-partition writer then opens
+    * one file at a time and file content is deterministic for replay
+    * comparison).
+    */
+  private def writeBucketFiles(placed: DataFrame, schemaId: Int,
+      maxRecordsPerFile: Long, bloomUrl: Boolean): Seq[DataFile] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = new Path(dataDir, commitId).toString
     graft.cdc.CdcApply.phase("spark-write") {
-      // Exact bucket→task placement (round-robin via ExactPartition): plain
-      // repartition(col("_bucket")) re-hashes 64 bucket ids into nTasks
-      // partitions and the balls-in-bins collisions gave the write stage a
-      // measured 2x straggler. Buckets are uniform in rows (hash of url), so
-      // round-robin slots are balanced.
-      val n = math.max(1, nTasks)
-      val bucketed = rows.withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), buckets))
-      val writer0 = ExactPartition.bySlot(bucketed, n, pmod(col("_bucket"), lit(n)))
-        .sortWithinPartitions(col("_bucket"), col("_urlhash"), col("url"))
-        .write.partitionBy("_bucket")
+      val writer0 = placed.write.partitionBy("_bucket")
       // Parquet-native bloom filter on `url` (compaction writes only — off
       // the apply hot path): files are sorted by _urlhash, so url's per-row-
       // group min/max string stats are useless for point lookups; the bloom
@@ -667,8 +711,13 @@ class LakeTable(val spark: SparkSession, val root: String,
         case None => in
       }
       val nTasks = math.max(1, math.min(nb, spark.sparkContext.defaultParallelism * 2))
-      val newFiles = writeDataFiles(kept, snap.currentSchemaId, nb,
-        nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
+      val newFiles =
+        if (needsResolve(snap) && LakeTable.sortedFold)
+          writeDataFilesSortedFold(raw0, snap.currentSchemaId, nb, nTasks = nTasks,
+            gcTombstonesBelowLsn = gcTombstonesBelowLsn,
+            maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
+        else writeDataFiles(kept, snap.currentSchemaId, nb,
+          nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
       val rbProps = gcTombstonesBelowLsn.fold(
         snap.props - LakeTable.NeedsResolveProp)(w =>
         (snap.props - LakeTable.NeedsResolveProp) +
@@ -709,9 +758,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     val nTasks =
       if (target.contains(-1)) math.min(snap.buckets, spark.sparkContext.defaultParallelism * 2)
       else target.size
-    val newFiles = writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
-      nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile,
-      bloomUrl = true)
+    val newFiles =
+      if (needsResolve(snap) && LakeTable.sortedFold)
+        writeDataFilesSortedFold(raw0, snap.currentSchemaId, snap.buckets,
+          nTasks = math.max(1, nTasks), gcTombstonesBelowLsn = gcSafe,
+          maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
+      else writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
+        nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile,
+        bloomUrl = true)
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
     val props0 =
       if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp
@@ -1028,6 +1082,15 @@ object LakeTable {
     * window between its commit and its staged-file delete. */
   val PublishedPropPrefix = "wap_published/"
   def publishedProp(wapId: String): String = PublishedPropPrefix + wapId
+
+  /** Compaction fold strategy: the sort-based single-exchange fold
+    * ([[LakeTable.writeDataFilesSortedFold]], default) vs the wide `max_by`
+    * hash aggregate + repartition (`-Dgraft.foldMode=maxby`) — kept
+    * switchable for A/B measurement (BenchProbe `SPARK_GRAFT_COMPACT`).
+    */
+  private[lake] def sortedFold: Boolean =
+    !sys.props.get("graft.foldMode")
+      .orElse(sys.env.get("SPARK_GRAFT_FOLD")).contains("maxby")
 
   /** Minimum age before [[LakeTable.expireSnapshots]] sweeps a crash-debris
     * `.json.tmp-*` file: the JVM commit mutex cannot see other processes, so

@@ -88,6 +88,32 @@ object TqlQueries {
       """)
     }),
 
+    // if/else-if/else routing: branch-local assignments (else branches lack
+    // `boosted` → null via unionByName allowMissingColumns) and a chained
+    // else-if, re-joined into one flow (statements.md:35-47)
+    "q_tql_if" -> ((s, d) =>
+      Tql("""
+        if value >= 75.0 {
+          sev = "high"
+          boosted = value * 2.0
+        } else if value >= 25.0 {
+          sev = "mid"
+        } else {
+          sev = "low"
+        }
+        select event_id, sev, boosted
+      """)(t(s, d, "events"))),
+
+    // let bindings: const-evaluated at compile time, chained ($hi uses $lo),
+    // referenced in both a predicate and a projected expression
+    "q_tql_let" -> ((s, d) =>
+      Tql("""
+        let $lo = 10.0 * 2.0
+        let $hi = $lo + 55.0
+        where value >= $lo and value < $hi
+        select event_id, value, span = $hi - $lo
+      """)(t(s, d, "events"))),
+
     // import/export: the store round-trip in the STRING surface — pipe the
     // change envelope into a scratch lake, read it back LWW-resolved with
     // time travel defaulting to head, filter + project in TQL
@@ -104,6 +130,15 @@ object TqlQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_tql_if" ->
+      """SELECT event_id,
+           CASE WHEN value >= 75.0 THEN 'high'
+                WHEN value >= 25.0 THEN 'mid' ELSE 'low' END AS sev,
+           CASE WHEN value >= 75.0 THEN value * 2.0 END AS boosted
+         FROM events""",
+    "q_tql_let" ->
+      """SELECT event_id, value, CAST(55.0 AS DOUBLE) AS span
+         FROM events WHERE value >= 20.0 AND value < 75.0""",
     "q_tql_summarize" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty,
          max(l_extendedprice) AS hi

@@ -41,7 +41,12 @@ import graft.ops.Pipe._
   * (per-key subpipeline semantics, reference `group.cpp:20-70` — positional
   * ops inside the braces compile to `Window.partitionBy(keys)` forms and
   * `summarize` gains the group keys, so one distributed plan serves every
-  * key instead of a plan per key).
+  * key instead of a plan per key), `if <expr> { … } [else { … } | else if …]`
+  * (predicate routing through subpipelines, flows re-joined —
+  * `statements.md:35-47`), and `let $name = <const-expr>` bindings
+  * (field references rejected at compile time, constant-folded by Catalyst —
+  * the reference's const-eval contract, `exec.cpp:39-97`; referenced as
+  * `$name` in any later expression or `let`).
   *
   * Expressions: literals (`1`, `1.5`, `"s"`, `true`, `null`), field paths
   * (`a.b`), arithmetic, comparisons, `and`/`or`/`not`, `in [v, …]`, list
@@ -124,7 +129,7 @@ object Tql {
   private object Lexer {
     private val puncts = Seq("::", "==", "!=", "<=", ">=", "&&", "||",
       "<", ">", "+", "-", "*", "/", "%", "(", ")", "[", "]", "{", "}",
-      ",", "=", ":", ".")
+      ",", "=", ":", ".", "$")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -229,8 +234,53 @@ object Tql {
       stmts.result()
     }
 
+    // `let $name = <const-expr>` bindings, substituted wherever `$name`
+    // appears. Field references are rejected at compile time (the
+    // reference's const-eval contract, `src/tql2/exec.cpp:39-97`); the
+    // actual evaluation is Catalyst's ConstantFolding — the substituted
+    // tree is literal-only, so the optimized plan carries the folded value.
+    private val lets = scala.collection.mutable.Map.empty[String, Column]
+
+    private def acceptIdent(s: String): Boolean = peek match {
+      case Some(Ident(`s`)) => pos += 1; true
+      case _ => false
+    }
+
     private def parseStatement(): Stmt = next() match {
       case Ident("where") => val e = parseExpr(); st => st.next(st.df.where_(e))
+      case Ident("let") =>
+        expect("$")
+        val name = next() match {
+          case Ident(n) => n
+          case t => sys.error(s"tql: expected identifier after 'let $$', got $t")
+        }
+        expect("=")
+        val c = parseExpr()
+        val refs = org.apache.spark.sql.GraftExpr.fieldRefs(c)
+        require(refs.isEmpty,
+          s"tql: let $$$name must be a constant expression (references ${refs.mkString(", ")})")
+        lets(name) = c
+        st => st
+      // `if <expr> { … } [else { … } | else if …]`: route rows by the
+      // predicate through the two subpipelines and re-join the flows
+      // (reference lowering `src/tql2/exec.cpp:260-276`) — compiles to
+      // [[graft.ops.Pipe.ifElse_]]: filter + filter(negated, null-safe) +
+      // unionByName(allowMissingColumns), one shared scan per branch.
+      case Ident("if") =>
+        val cond = parseExpr()
+        expect("{")
+        val thenStmts = parseSubpipeline()
+        val elseStmts: Seq[Stmt] =
+          if (acceptIdent("else")) peek match {
+            case Some(Ident("if")) => Seq(parseStatement()) // else-if chain
+            case _ => expect("{"); parseSubpipeline()
+          } else Nil
+        st => {
+          requireUngrouped(st, "if")
+          def run(stmts: Seq[Stmt])(d: DataFrame): DataFrame =
+            stmts.foldLeft(new State(d, st.orderKeys))((s, x) => x(s)).df
+          st.next(st.df.ifElse_(cond, run(thenStmts), run(elseStmts)))
+        }
       case Ident("assert") => val e = parseExpr(); st => st.next(st.df.assert_(e))
       case Ident("move") =>
         val pairs = parseCommaList { () =>
@@ -795,6 +845,11 @@ object Tql {
       case Ident("null") => lit(null)
       case Punct("(") => val e = parseOr(); expect(")"); e
       case Punct("[") => pos -= 1; array(parseListLiteral(): _*)
+      case Punct("$") => next() match {
+        case Ident(name) => lets.getOrElse(name,
+          sys.error(s"tql: unknown constant '$$$name' (bind it with let $$$name = …)"))
+        case t => sys.error(s"tql: expected constant name after '$$', got $t")
+      }
       case Ident(ns) if peek.contains(Punct("::")) =>
         // namespaced function call: ocsf::class_name(...), etc.
         next()

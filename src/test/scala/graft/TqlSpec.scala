@@ -366,6 +366,51 @@ class TqlSpec extends SparkSpec {
     assert(e.getMessage.contains("envelope"))
   }
 
+  test("if/else routes rows through subpipelines and re-joins the flows") {
+    val got = Tql("""
+      if status == 200 {
+        tag = "ok"
+        double = value * 2.0
+      } else if status >= 500 {
+        tag = "err"
+      } else {
+        tag = "other"
+      }
+      select id, tag, double
+    """)(df)
+    val want = df.ifElse_(col("status") === 200L,
+      d => d.withColumn("tag", lit("ok")).withColumn("double", col("value") * 2.0),
+      d => d.ifElse_(col("status") >= 500L,
+        e => e.withColumn("tag", lit("err")),
+        e => e.withColumn("tag", lit("other"))))
+      .select("id", "tag", "double")
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.queryExecution.optimizedPlan.canonicalized ==
+      want.queryExecution.optimizedPlan.canonicalized)
+    // else omitted = else {} (pass-through)
+    val noElse = Tql("""if status == 200 { tag = "ok" } | select id, tag""")(df)
+    assert(noElse.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "ok"), (3L, "ok"), (5L, "ok"), (2L, null), (4L, null), (6L, null)))
+  }
+
+  test("let binds compile-time constants, chained and const-folded") {
+    val got = Tql("""
+      let $cut = 100 + 100
+      let $tag = "s00"
+      where status >= $cut and status < $cut * 2
+      select id, cut = $cut, tag = $tag
+    """)(df)
+    // the binding is a literal in the plan: the hand twin uses lit directly
+    val want = df.filter(col("status") >= lit(200L) && col("status") < lit(400L))
+      .select(col("id"), lit(200L).as("cut"), lit("s00").as("tag"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    assert(got.queryExecution.optimizedPlan.canonicalized ==
+      want.queryExecution.optimizedPlan.canonicalized)
+    // non-constant lets are rejected at compile time
+    val err = intercept[IllegalArgumentException](Tql("let $x = status + 1"))
+    assert(err.getMessage.contains("constant"))
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

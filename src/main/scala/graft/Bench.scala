@@ -148,6 +148,16 @@ object Bench {
     /** Bad-phase tell: best and median of the SAME config disagree wildly. */
     def highVariance: Boolean =
       medTp16 > 0 && best16.tp / medTp16 > 3.0 || medTp4 > 0 && best4.tp / medTp4 > 3.0
+    def effBest: Double = best16.tp / (4.0 * best4.tp)
+    def effMed: Double = medTp16 / (4.0 * medTp4)
+    /** Inconclusive-scaling tell for the ≥0.8 criterion: super-linear best-of
+      * means the lo side caught a throttle phase (an engine can't beat 4x),
+      * and best/median straddling the criterion means one statistic is
+      * describing noise — either way the medians don't yet describe the
+      * engine; buy more pairs (round-2 artifact: best 1.037, median 0.782).
+      */
+    def inconclusiveAt(criterion: Double): Boolean =
+      effBest > 1.0 || (effBest >= criterion) != (effMed >= criterion)
   }
 
   /** Scaling measurement resistant to this VM's time-varying noise: after a
@@ -157,17 +167,19 @@ object Bench {
     */
   private def cdcPairs(walDir: String, warmupWal: String, mode: String,
       pairs: Int, filesPerTrigger: Int = 48, lo: Int = 4, hi: Int = 16,
-      extraOnVariance: Int = 2): ModeRuns = {
+      extraOnVariance: Int = 2,
+      buyMoreWhile: ModeRuns => Boolean = _.highVariance): ModeRuns = {
     oneRun(lo, warmupWal, mode, filesPerTrigger)
     oneRun(hi, warmupWal, mode, filesPerTrigger)
     var runs = (1 to pairs).map { _ =>
       (oneRun(lo, walDir, mode, filesPerTrigger), oneRun(hi, walDir, mode, filesPerTrigger))
     }
     // Hypervisor throttle phases last minutes; when best/median disagree
-    // wildly the window mix was poisoned — buy a few more pairs so the
-    // medians describe the engine, not one bad phase.
+    // wildly (or, where a criterion applies, the statistics are
+    // inconclusive) the window mix was poisoned — buy a few more pairs so
+    // the medians describe the engine, not one bad phase.
     var extra = extraOnVariance
-    while (extra > 0 && ModeRuns(runs.map(_._1), runs.map(_._2)).highVariance) {
+    while (extra > 0 && buyMoreWhile(ModeRuns(runs.map(_._1), runs.map(_._2)))) {
       runs = runs :+ ((oneRun(lo, walDir, mode, filesPerTrigger),
         oneRun(hi, walDir, mode, filesPerTrigger)))
       extra -= 1
@@ -252,8 +264,13 @@ object Bench {
         // added (each node brings its own memory bus + lake bandwidth). The
         // 4v16 pairing above saturates the one bus at 16 and measures the
         // box, not the engine — BASELINE.md "environment calibration".
-        val lo = cdcPairs(mainWal, warmWal, "l0", pairs = 3, filesPerTrigger = 192,
-          lo = 2, hi = 8)
+        // This pairing carries the ≥0.8 criterion, so its re-run trigger is
+        // stricter: buy extra pairs while the best/median efficiencies
+        // straddle 0.8 or best-of is super-linear (round-2's artifact shipped
+        // best 1.037 / median 0.782 off 3 pairs — inconclusive on its face).
+        val lo = cdcPairs(mainWal, warmWal, "l0", pairs = 4, filesPerTrigger = 192,
+          lo = 2, hi = 8, extraOnVariance = 4,
+          buyMoreWhile = r => r.highVariance || r.inconclusiveAt(0.8))
         parts += s""""cdc_mor_unsaturated":{"apply_mode":"l0","cores":"2v8",${modeJson(lo, 2, 8)}}"""
         // COW (read-optimized MERGE) alongside on the smaller WAL, smaller
         // triggers so later batches actually merge against a populated table

@@ -67,6 +67,27 @@ object ContextQueries {
       Contexts.enrichRange(ev, col("ipn"), ctx)
     }),
 
+    // the FULL geoip path: a deterministic .mmdb image (binary search tree +
+    // data section + metadata, MaxMind DB spec 2.0) is synthesized, parsed
+    // back by the driver-side Mmdb reader into the range table, and probed
+    // with the broadcast range join — same plan as q_enrich_range, with the
+    // context coming from the real binary format (geoip.cpp analogue)
+    "q_geoip" -> ((s, d) => {
+      val nets = Seq(
+        "10.0.0.0/8" -> Map("country" -> "AA"),
+        "172.16.0.0/12" -> Map("country" -> "BB"),
+        "192.168.0.0/16" -> Map("country" -> "CC"),
+        "203.0.113.0/24" -> Map("country" -> "DD"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-q-geoip.mmdb"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        graft.sources.Mmdb.encode(nets, ipVersion = 6))
+      val ranges = graft.sources.Mmdb.readRanges(s, path)
+      val ev = t(s, d, "events").select(
+        col("event_id"),
+        pmod(col("event_id") * 2654435761L, lit(4294967296L)).as("ipn"))
+      Contexts.enrichRange(ev, col("ipn"), ranges)
+    }),
+
     // ip/subnet scalar-function module (is_v4, numeric form, network mask,
     // CIDR containment, RFC1918) over a valid/malformed IP mix
     "q_ipfns" -> ((s, d) => {
@@ -150,6 +171,13 @@ object ContextQueries {
         |  (2000000000, 2999999999, 'arin'), (3000000000, 4294967295, 'lacnic')),
         |ev AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ipn FROM events)
         |SELECT ev.event_id, ev.ipn, ctx.rir
+        |FROM ev LEFT JOIN ctx ON ev.ipn >= ctx.range_lo AND ev.ipn <= ctx.range_hi""".stripMargin,
+    "q_geoip" ->
+      """WITH ctx(range_lo, range_hi, country) AS (VALUES
+        |  (167772160, 184549375, 'AA'), (2886729728, 2887778303, 'BB'),
+        |  (3232235520, 3232301055, 'CC'), (3405803776, 3405804031, 'DD')),
+        |ev AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ipn FROM events)
+        |SELECT ev.event_id, ev.ipn, ctx.country
         |FROM ev LEFT JOIN ctx ON ev.ipn >= ctx.range_lo AND ev.ipn <= ctx.range_hi""".stripMargin,
     "q_ipfns" -> {
       val v4re = """^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$"""

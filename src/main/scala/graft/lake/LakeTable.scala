@@ -705,19 +705,23 @@ class LakeTable(val spark: SparkSession, val root: String,
       // resolve only when multi-version rows can exist — a COW/compacted
       // table pays no no-op groupBy(url) shuffle of the full wide rows
       val raw0 = readFiles(snap, snap.files, schema)
-      val in = resolveIfNeeded(snap, raw0)
-      val kept = gcTombstonesBelowLsn match {
-        case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
-        case None => in
-      }
       val nTasks = math.max(1, math.min(nb, spark.sparkContext.defaultParallelism * 2))
       val newFiles =
         if (needsResolve(snap) && LakeTable.sortedFold)
+          // fused fold: winner selection AND the gc filter live inside
+          // writeDataFilesSortedFold (gc applies to winners only)
           writeDataFilesSortedFold(raw0, snap.currentSchemaId, nb, nTasks = nTasks,
             gcTombstonesBelowLsn = gcTombstonesBelowLsn,
             maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
-        else writeDataFiles(kept, snap.currentSchemaId, nb,
-          nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
+        else {
+          val in = resolveIfNeeded(snap, raw0)
+          val kept = gcTombstonesBelowLsn match {
+            case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
+            case None => in
+          }
+          writeDataFiles(kept, snap.currentSchemaId, nb,
+            nTasks = nTasks, maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
+        }
       val rbProps = gcTombstonesBelowLsn.fold(
         snap.props - LakeTable.NeedsResolveProp)(w =>
         (snap.props - LakeTable.NeedsResolveProp) +
@@ -743,13 +747,6 @@ class LakeTable(val spark: SparkSession, val root: String,
     val gcSafe = gcTombstonesBelowLsn.filter(_ =>
       !byBucket.contains(-1) || target.size == byBucket.size)
     val raw0 = readFiles(snap, target.values.flatten.toSeq, schema)
-    // same conditional-resolve as the rebucket path: single-version tables
-    // (COW mode under auto-compaction) skip the semantically-no-op LWW fold
-    val in = resolveIfNeeded(snap, raw0)
-    val kept = gcSafe match {
-      case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
-      case None => in
-    }
     // default row target = the reference's own partition cap
     // (defaults.hpp:220, 4 Mi events) — "one file per bucket" must not become
     // a TB-scale file on a 10^10-event table.
@@ -760,12 +757,23 @@ class LakeTable(val spark: SparkSession, val root: String,
       else target.size
     val newFiles =
       if (needsResolve(snap) && LakeTable.sortedFold)
+        // fused fold: winner selection AND the gc filter live inside
+        // writeDataFilesSortedFold (gc applies to winners only)
         writeDataFilesSortedFold(raw0, snap.currentSchemaId, snap.buckets,
           nTasks = math.max(1, nTasks), gcTombstonesBelowLsn = gcSafe,
           maxRecordsPerFile = maxRecordsPerFile, bloomUrl = true)
-      else writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
-        nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile,
-        bloomUrl = true)
+      else {
+        // conditional resolve: single-version tables (COW mode under
+        // auto-compaction) skip the semantically-no-op LWW fold
+        val in = resolveIfNeeded(snap, raw0)
+        val kept = gcSafe match {
+          case Some(w) => in.filter(!col("_deleted") || col("_lsn") >= lit(w))
+          case None => in
+        }
+        writeDataFiles(kept, snap.currentSchemaId, snap.buckets,
+          nTasks = math.max(1, nTasks), maxRecordsPerFile = maxRecordsPerFile,
+          bloomUrl = true)
+      }
     val untouched = snap.files.filterNot(f => target.contains(f.bucket))
     val props0 =
       if (target.size == byBucket.size) snap.props - LakeTable.NeedsResolveProp
@@ -841,18 +849,32 @@ class LakeTable(val spark: SparkSession, val root: String,
     * is any conflicting schema/bucket change.
     */
   def publishStaged(wapId: String): Snapshot = {
-    val staged = stagedSnapshot(wapId)
+    if (!fs.exists(stagedPath(wapId)))
+      throw new IllegalArgumentException(s"no staged commit '$wapId'")
+    val stagedJson = readString(stagedPath(wapId))
+    val staged = ManifestCodec.fromJson(stagedJson)
+    // content stamp: the breadcrumb must identify THIS staged payload, not
+    // just the id — a wapId legitimately reused after a successful publish
+    // stages different bytes, and treating its pending file as an
+    // already-published retry would silently drop the new batch
+    val stamp = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(d.digest(stagedJson.getBytes("UTF-8")))
+    }
     val head = latestVersion.getOrElse(-1L)
     // Idempotent re-publish: a crash between the publish commit and the
     // staged-file delete below leaves the stage pending although its data is
-    // already committed. The committed snapshot carries a published-wapId
-    // breadcrumb prop (inherited by every later commit), so the retry just
-    // clears the stage and returns the head — committing again would both
-    // write a redundant snapshot AND re-resolve the stage's fresh lineage
-    // entries into the durable lineage log (double-counted batches).
+    // already committed. The committed snapshot carries a published-(wapId →
+    // staged-content-stamp) breadcrumb prop (inherited by every later
+    // commit), so a retry whose pending bytes MATCH the stamp just clears
+    // the stage and returns the head — committing again would both write a
+    // redundant snapshot AND re-resolve the stage's fresh lineage entries
+    // into the durable lineage log (double-counted batches). A pending stage
+    // with a DIFFERENT stamp under a published id is a new batch and
+    // publishes normally.
     if (head >= 0) {
       val headSnap = snapshotAt(head)
-      if (headSnap.props.contains(LakeTable.publishedProp(wapId))) {
+      if (headSnap.props.get(LakeTable.publishedProp(wapId)).contains(stamp)) {
         if (!fs.delete(stagedPath(wapId), false))
           throw new java.io.IOException(
             s"'$wapId' already published but its staged file could not be deleted — " +
@@ -862,7 +884,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     }
     val result =
       if (staged.version == head)
-        commit(staged.copy(props = publishedProps(staged.props, wapId)))
+        commit(staged.copy(props = publishedProps(staged.props, wapId, stamp)))
       else {
         val base = snapshotAt(staged.version)
         val basePaths = base.files.map(_.path).toSet
@@ -910,7 +932,7 @@ class LakeTable(val spark: SparkSession, val root: String,
           currentSchemaId = math.max(cur.currentSchemaId, staged.currentSchemaId),
           watermarks = mergedWm,
           lineage = cur.lineage ++ staged.lineage.filter(_.snapshotVersion < 0),
-          props = publishedProps(cur.props ++ needsResolve, wapId)))
+          props = publishedProps(cur.props ++ needsResolve, wapId, stamp)))
       }
     if (!fs.delete(stagedPath(wapId), false))
       throw new java.io.IOException(
@@ -924,12 +946,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     * the set stays bounded by the number of concurrently pending stages
     * instead of growing with every publish the table ever saw.
     */
-  private def publishedProps(base: Map[String, String], wapId: String): Map[String, String] = {
+  private def publishedProps(base: Map[String, String], wapId: String,
+      stamp: String): Map[String, String] = {
     val pending = stagedIds.toSet - wapId
     base.filterNot { case (k, _) =>
       k.startsWith(LakeTable.PublishedPropPrefix) &&
         !pending.contains(k.stripPrefix(LakeTable.PublishedPropPrefix))
-    } + (LakeTable.publishedProp(wapId) -> "true")
+    } + (LakeTable.publishedProp(wapId) -> stamp)
   }
 
   /** Abandon a staged commit: the audit failed. Its data files become
@@ -1077,9 +1100,11 @@ object LakeTable {
   val TombstoneGcLsnProp = "tombstone_gc_lsn"
 
   /** Prefix of the per-wapId published breadcrumb prop: set by the publish
-    * commit, inherited by later commits, pruned once the staged file is gone.
-    * Makes [[LakeTable.publishStaged]] retries idempotent across the crash
-    * window between its commit and its staged-file delete. */
+    * commit (value = MD5 stamp of the staged JSON it published), inherited by
+    * later commits, pruned once the staged file is gone. Makes
+    * [[LakeTable.publishStaged]] retries idempotent across the crash window
+    * between its commit and its staged-file delete, while a reused id whose
+    * pending bytes differ from the stamp still publishes as a new batch. */
   val PublishedPropPrefix = "wap_published/"
   def publishedProp(wapId: String): String = PublishedPropPrefix + wapId
 

@@ -78,10 +78,13 @@ object ContextQueries {
         "172.16.0.0/12" -> Map("country" -> "BB"),
         "192.168.0.0/16" -> Map("country" -> "CC"),
         "203.0.113.0/24" -> Map("country" -> "DD"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-q-geoip.mmdb"
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        graft.sources.Mmdb.encode(nets, ipVersion = 6))
-      val ranges = graft.sources.Mmdb.readRanges(s, path)
+      // per-run temp file: a fixed shared path would race a concurrent
+      // driver/test JVM's truncate-then-write against this read
+      val path = java.nio.file.Files.createTempFile("graft-q-geoip", ".mmdb")
+      java.nio.file.Files.write(path, graft.sources.Mmdb.encode(nets, ipVersion = 6))
+      val ranges =
+        try graft.sources.Mmdb.readRanges(s, path.toString) // eager driver-side read
+        finally java.nio.file.Files.deleteIfExists(path)
       val ev = t(s, d, "events").select(
         col("event_id"),
         pmod(col("event_id") * 2654435761L, lit(4294967296L)).as("ipn"))

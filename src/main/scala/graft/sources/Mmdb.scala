@@ -77,7 +77,9 @@ object Mmdb {
         case 2 => (new String(bytes, p, size, StandardCharsets.UTF_8), p + size)
         case 3 => (java.lang.Double.longBitsToDouble(beInt(p, 8)), p + 8)
         case 4 => (java.util.Arrays.copyOfRange(bytes, p, p + size), p + size)
-        case 5 | 6 | 9 => (beInt(p, size), p + size) // uint16/32/64
+        case 5 | 6 => (beInt(p, size), p + size) // uint16/32
+        case 9 => // uint64: top-bit values must not wrap negative
+          (BigInt(1, java.util.Arrays.copyOfRange(bytes, p, p + size)), p + size)
         case 8 => // int32, size bytes, sign-extended
           val raw = beInt(p, size)
           val shift = 64 - size * 8
@@ -191,7 +193,10 @@ object Mmdb {
 
     val out = Seq.newBuilder[IpRange]
     def walk(node: Int, lo: Long, depth: Int): Unit = {
-      if (depth > 32) sys.error("mmdb: tree deeper than 32 bits in the v4 plane")
+      // a node at depth d spawns children at d+1; leaves cap at 32 bits, so
+      // a NODE at depth 32 is already malformed (its leaves would be 33-bit
+      // prefixes — and the span math would emit inverted hi < lo ranges)
+      if (depth >= 32) sys.error("mmdb: tree deeper than 32 bits in the v4 plane")
       val span = 1L << (32 - depth)
       var side = 0
       while (side < 2) {

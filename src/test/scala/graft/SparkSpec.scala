@@ -38,9 +38,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally {
       scratchDirs.forEach { p =>
         try {
-          if (Files.exists(p))
-            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          if (Files.exists(p)) {
+            val walk = Files.walk(p)
+            try walk.sorted(Comparator.reverseOrder[Path]())
               .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
         } catch { case _: java.io.IOException => () }
       }
       scratchDirs.clear()

@@ -74,8 +74,20 @@ class WapSpec extends SparkSpec {
     assert(table.currentSnapshot.get.version == published.version)
     assert(table.stagedIds.isEmpty)
     assert(table.lineageLog == logBefore)
+    // a wapId REUSED for a different batch after a successful publish must
+    // NOT be swallowed by the breadcrumb: the staged bytes differ from the
+    // published stamp, so it publishes as a new commit
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(2)).toDF(), "w2", 0L,
+      createBuckets = 16, stageAs = Some("b1"))
+    val countBefore = table.pages().count()
+    val reused = table.publishStaged("b1")
+    assert(reused.version > published.version)
+    assert(table.currentSnapshot.get.version == reused.version)
+    assert(table.pages().count() != countBefore ||
+      groups(2).forall(e => e.op == "D" || e.op == "U"))
+    assert(table.lineageLog.exists(e => e.queryId == "w2" && e.batchId == 0L))
     // later publishes prune the closed breadcrumb so props stay bounded
-    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(2)).toDF(), "w", 2L,
+    CdcApply.applyBatchAppendRaw(table, spark.createDataset(groups(3)).toDF(), "w", 2L,
       createBuckets = 16, stageAs = Some("b2"))
     table.publishStaged("b2")
     val props = table.currentSnapshot.get.props

@@ -43,10 +43,12 @@ import graft.ops.Pipe._
   * `summarize` gains the group keys, so one distributed plan serves every
   * key instead of a plan per key), `if <expr> { … } [else { … } | else if …]`
   * (predicate routing through subpipelines, flows re-joined —
-  * `statements.md:35-47`), and `let $name = <const-expr>` bindings
+  * `statements.md:35-47`), `let $name = <const-expr>` bindings
   * (field references rejected at compile time, constant-folded by Catalyst —
   * the reference's const-eval contract, `exec.cpp:39-97`; referenced as
-  * `$name` in any later expression or `let`).
+  * `$name` in any later expression or `let`), and `every <duration> { … }` /
+  * `cron "<expr>" { … }` scheduled subpipelines (batch compile = one
+  * immediate run; [[Tql.schedule]] drives repeated fires — `every_cron.cpp`).
   *
   * Expressions: literals (`1`, `1.5`, `"s"`, `true`, `null`), field paths
   * (`a.b`), arithmetic, comparisons, `and`/`or`/`not`, `in [v, …]`, list
@@ -75,6 +77,51 @@ object Tql {
     */
   def run(spark: org.apache.spark.sql.SparkSession, pipeline: String): DataFrame =
     compile(pipeline)(spark.emptyDataFrame)
+
+  /** Drive a pipeline whose FIRST statement is `every <dur> { … }` or
+    * `cron "<expr>" { … }` for `maxRuns` fires (reference `every_cron.cpp`:
+    * each fire spawns the body pipeline and runs it to completion; the
+    * outputs flow onward as ONE stream into the remaining statements — so
+    * `every 1s { from … } | enumerate` numbers rows across runs, the
+    * `every.md` example). `clock`/`sleeper` are injectable for tests, same
+    * contract as [[graft.streaming.Cron.schedule]]. For `every`, fires sit
+    * on the fixed interval grid from the first (immediate) run; a body
+    * slower than the interval starts the next run immediately (the
+    * reference's catch-up rule).
+    */
+  def schedule(spark: org.apache.spark.sql.SparkSession, pipeline: String, maxRuns: Int,
+      clock: () => java.time.Instant = () => java.time.Instant.now(),
+      sleeper: Long => Unit = Thread.sleep): DataFrame = {
+    val stmts = new Parser(Lexer.tokenize(pipeline)).parsePipeline()
+    val sched = stmts.headOption match {
+      case Some(s: SchedStmt) => s
+      case _ => sys.error("tql: schedule requires a pipeline starting with every/cron")
+    }
+    // each fire "runs to completion" (every.md): materialize the run's
+    // output NOW — a lazy plan would re-read its sources at the final
+    // action and observe post-fire state instead of the fire's snapshot
+    def runBody(): DataFrame =
+      sched.body.foldLeft(new State(spark.emptyDataFrame, Nil))((s, x) => x(s))
+        .df.localCheckpoint(true)
+    val outs = Seq.newBuilder[DataFrame]
+    sched.spec match {
+      case Left(intervalMs) =>
+        val startMs = clock().toEpochMilli
+        var i = 0
+        while (i < maxRuns) {
+          outs += runBody()
+          i += 1
+          if (i < maxRuns) {
+            val wait = startMs + i.toLong * intervalMs - clock().toEpochMilli
+            if (wait > 0) sleeper(wait)
+          }
+        }
+      case Right(expr) =>
+        graft.streaming.Cron.schedule(expr, maxRuns, clock, sleeper)(_ => outs += runBody())
+    }
+    val union = outs.result().reduce(_.unionByName(_, allowMissingColumns = true))
+    stmts.tail.foldLeft(new State(union, Nil))((s, x) => x(s)).df
+  }
 
   /** Named context registry for `enrich` (the reference's `context::create` /
     * `context::enrich` pair — `lookup_table.cpp`; here any DataFrame can be a
@@ -213,6 +260,16 @@ object Tql {
   }
   private type Stmt = State => State
 
+  /** A scheduled subpipeline statement (`every`/`cron`): batch compile runs
+    * the body once; [[Tql.schedule]] pattern-matches on this to drive fires.
+    * `spec` = Left(intervalMs) for `every`, Right(cronExpr) for `cron`.
+    */
+  private class SchedStmt(val spec: Either[Long, String], val body: Seq[Stmt])
+      extends (State => State) {
+    def apply(st: State): State =
+      st.next(body.foldLeft(new State(st.df, Nil))((s, x) => x(s)).df)
+  }
+
   private class Parser(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Option[Tok] = toks.lift(pos)
@@ -281,6 +338,20 @@ object Tql {
             stmts.foldLeft(new State(d, st.orderKeys))((s, x) => x(s)).df
           st.next(st.df.ifElse_(cond, run(thenStmts), run(elseStmts)))
         }
+      // `every <duration> { … }` / `cron "<expr>" { … }` — scheduled
+      // subpipelines (reference `every_cron.cpp`; docs
+      // `web/docs/tql2/operators/every.md`, `cron.md`). In a plain batch
+      // compile the body runs ONCE ("the first run starts directly when the
+      // outer pipeline starts"); [[Tql.schedule]] drives the repeated fires.
+      case Ident("every") =>
+        val dur = parseDurationMs()
+        expect("{")
+        new SchedStmt(Left(dur), parseSubpipeline())
+      case Ident("cron") =>
+        val expr = parseStringLit("cron")
+        graft.streaming.Cron.parse(expr) // validate at compile time
+        expect("{")
+        new SchedStmt(Right(expr), parseSubpipeline())
       case Ident("assert") => val e = parseExpr(); st => st.next(st.df.assert_(e))
       case Ident("move") =>
         val pairs = parseCommaList { () =>
@@ -627,6 +698,31 @@ object Tql {
 
     private def requireUngrouped(st: State, op: String): Unit =
       require(!st.grouped, s"tql: $op inside group is not supported (use summarize + sort)")
+
+    /** `<n><unit>` duration literal (the lexer splits `10min` into Num+Ident):
+      * ms, s/sec/seconds, min/minutes, h/hr/hours, d/days.
+      */
+    private def parseDurationMs(): Long = {
+      val n = next() match {
+        case Num(v) => v.toDouble
+        case t => sys.error(s"tql: expected a duration, got $t")
+      }
+      val unit = next() match {
+        case Ident(u) => u
+        case t => sys.error(s"tql: expected a duration unit after $n, got $t")
+      }
+      val ms = unit match {
+        case "ms" => 1L
+        case "s" | "sec" | "second" | "seconds" => 1000L
+        case "min" | "minute" | "minutes" => 60L * 1000
+        case "h" | "hr" | "hour" | "hours" => 3600L * 1000
+        case "d" | "day" | "days" => 86400L * 1000
+        case other => sys.error(s"tql: unknown duration unit '$other'")
+      }
+      val v = (n * ms).toLong
+      require(v > 0, s"tql: duration must be positive, got $n$unit")
+      v
+    }
 
     private def parseStringLit(op: String): String = next() match {
       case Str(s) => s

@@ -411,6 +411,48 @@ class TqlSpec extends SparkSpec {
     assert(err.getMessage.contains("constant"))
   }
 
+  test("every/cron statements: batch compile runs the body once; schedule drives fires") {
+    val dir = tmpDir()
+    val src = s"$dir/src.json"
+    def writeRows(rows: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(src),
+        rows.mkString("\n").getBytes("UTF-8"))
+    writeRows("""{"x": 1}""")
+    // batch compile: the body runs once, immediately
+    val once = Tql.run(spark, s"""every 10min { from "$src" } | select x""")
+    assert(once.collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // schedule with an injectable clock/sleeper: fires sit on the interval
+    // grid from the first (immediate) run; the sleeper mutates the source
+    // between fires, so the union proves each fire re-ran the body
+    var nowMs = 1000000L
+    val waits = Seq.newBuilder[Long]
+    val out = Tql.schedule(spark, s"""every 10min { from "$src" } | select x""",
+      maxRuns = 3,
+      clock = () => java.time.Instant.ofEpochMilli(nowMs),
+      sleeper = w => {
+        waits += w; nowMs += w
+        writeRows(s"""{"x": ${100 + (nowMs - 1000000L) / 600000L}}""")
+      })
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 101L, 102L))
+    assert(waits.result() == Seq(600000L, 600000L))
+
+    // cron spec wiring: fires at the next */5-minute marks (Cron.nextAfter
+    // semantics), body re-read per fire
+    writeRows("""{"x": 7}""")
+    var cnowMs = 0L
+    val cron = Tql.schedule(spark, s"""cron "*/5 * * * *" {
+        from "$src"
+      }
+      summarize n=count()""",
+      maxRuns = 2,
+      clock = () => java.time.Instant.ofEpochMilli(cnowMs),
+      sleeper = w => cnowMs += w)
+    assert(cron.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a bad cron expression fails at compile time, not at fire time
+    assertThrows[IllegalArgumentException](Tql("""cron "61 * * * *" { pass }"""))
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

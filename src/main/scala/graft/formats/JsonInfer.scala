@@ -52,7 +52,7 @@ object JsonInfer {
     * pass (the reference's builders likewise infer from the events seen).
     */
   def routeBySelector(df: DataFrame, jsonCol: String, selectorField: String,
-      samplingRatio: Double = 1.0): Map[String, DataFrame] = {
+      samplingRatio: Double = 1.0, namePrefix: Option[String] = None): Map[String, DataFrame] = {
     val sel = get_json_object(col(jsonCol), s"$$.$selectorField")
     // a DISTINCT single-column probe plan is persisted (persist returns
     // this.type, so persisting `df` itself would alias — and later evict —
@@ -66,7 +66,11 @@ object JsonInfer {
       import df.sparkSession.implicits._
       keys.map { k =>
         val schema = inferSchema(probe.filter(sel === k).as[String], samplingRatio)
-        k -> df.filter(sel === k).withColumn("parsed", from_json(col(jsonCol), schema))
+        val routed = df.filter(sel === k).withColumn("parsed", from_json(col(jsonCol), schema))
+        // schema-name metadata (the reference's `--selector field:prefix`
+        // naming and the `@name` event-metadata field,
+        // `expressions.md:107-112`): each routed frame knows its name
+        k -> namePrefix.fold(routed)(p => routed.withColumn("@name", lit(s"$p.$k")))
       }.toMap
     } finally probe.unpersist(blocking = false)
   }

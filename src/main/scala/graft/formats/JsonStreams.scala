@@ -36,12 +36,12 @@ object JsonStreams {
     * fixed by the dialect (`json.cpp` suricata mode).
     */
   def readSuricata(df: DataFrame, jsonCol: String): Map[String, DataFrame] =
-    JsonInfer.routeBySelector(df, jsonCol, "event_type")
+    JsonInfer.routeBySelector(df, jsonCol, "event_type", namePrefix = Some("suricata"))
 
   /** `read_zeek_json`: Zeek's JSON log stream, one schema per `_path`
     * (conn/dns/http/…) — selector routing with Zeek's path field
     * (`json.cpp` zeek-json mode; the TSV twin is [[Zeek]]).
     */
   def readZeekJson(df: DataFrame, jsonCol: String): Map[String, DataFrame] =
-    JsonInfer.routeBySelector(df, jsonCol, "_path")
+    JsonInfer.routeBySelector(df, jsonCol, "_path", namePrefix = Some("zeek"))
 }

@@ -328,6 +328,23 @@ object ParserQueries {
               concat(col("event_type"), lit(".example.com")).as("query")))).as("line"))
       JsonStreams.readZeekJson(raw, "line")("conn")
         .select(col("parsed.uid").as("uid"), col("parsed.orig_bytes").as("orig_bytes"))
+    }),
+
+    // @name event metadata on selector-routed frames (expressions.md:107-112
+    // + the reference's `--selector field:prefix` schema naming): the routed
+    // zeek-json frame carries `@name = "zeek.<_path>"`, filterable like any
+    // field
+    "q_meta_route" -> ((s, d) => {
+      val raw = t(s, d, "events").select(
+        when(pmod(col("event_id"), lit(2)) === 0,
+          to_json(struct(lit("conn").as("_path"), col("event_id").as("uid"),
+            floor(col("value") * 100).cast("long").as("orig_bytes"))))
+          .otherwise(
+            to_json(struct(lit("dns").as("_path"), col("event_id").as("uid"),
+              concat(col("event_type"), lit(".example.com")).as("query")))).as("line"))
+      JsonStreams.readZeekJson(raw, "line")("conn")
+        .filter(col("@name") === "zeek.conn")
+        .select(col("parsed.uid").as("uid"), col("@name").as("schema_name"))
     })
   )
 
@@ -553,6 +570,9 @@ object ParserQueries {
           |FROM events WHERE event_type = 'purchase'""".stripMargin,
       "q_zeek_json" ->
         """SELECT event_id AS uid, CAST(floor(value * 100) AS BIGINT) AS orig_bytes
+          |FROM events WHERE event_id % 2 = 0""".stripMargin,
+      "q_meta_route" ->
+        """SELECT event_id AS uid, 'zeek.conn' AS schema_name
           |FROM events WHERE event_id % 2 = 0""".stripMargin
     )
   }

@@ -114,6 +114,15 @@ object TqlQueries {
         select event_id, value, span = $hi - $lo
       """)(t(s, d, "events"))),
 
+    // @name metadata write + read + filter in the expression surface
+    // (expressions.md:107-112)
+    "q_tql_meta" -> ((s, d) =>
+      Tql("""
+        @name = concat("graft.", event_type)
+        where @name == "graft.purchase"
+        select event_id, name = @name
+      """)(t(s, d, "events"))),
+
     // import/export: the store round-trip in the STRING surface — pipe the
     // change envelope into a scratch lake, read it back LWW-resolved with
     // time travel defaulting to head, filter + project in TQL
@@ -139,6 +148,9 @@ object TqlQueries {
     "q_tql_let" ->
       """SELECT event_id, value, CAST(55.0 AS DOUBLE) AS span
          FROM events WHERE value >= 20.0 AND value < 75.0""",
+    "q_tql_meta" ->
+      """SELECT event_id, 'graft.purchase' AS name
+         FROM events WHERE event_type = 'purchase'""",
     "q_tql_summarize" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty,
          max(l_extendedprice) AS hi

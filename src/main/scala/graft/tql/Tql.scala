@@ -176,7 +176,7 @@ object Tql {
   private object Lexer {
     private val puncts = Seq("::", "==", "!=", "<=", ">=", "&&", "||",
       "<", ">", "+", "-", "*", "/", "%", "(", ")", "[", "]", "{", "}",
-      ",", "=", ":", ".", "$")
+      ",", "=", ":", ".", "$", "@")
 
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
@@ -353,6 +353,15 @@ object Tql {
         expect("{")
         new SchedStmt(Right(expr), parseSubpipeline())
       case Ident("assert") => val e = parseExpr(); st => st.next(st.df.assert_(e))
+      // `@field = expr` — write event metadata (expressions.md:107-112)
+      case Punct("@") =>
+        val name = next() match {
+          case Ident(n) => n
+          case t => sys.error(s"tql: expected metadata field after '@', got $t")
+        }
+        expect("=")
+        val e = parseExpr()
+        st => st.next(st.df.withColumn(s"@$name", e))
       case Ident("move") =>
         val pairs = parseCommaList { () =>
           val to = parsePath().mkString(".")
@@ -946,6 +955,17 @@ object Tql {
           sys.error(s"tql: unknown constant '$$$name' (bind it with let $$$name = …)"))
         case t => sys.error(s"tql: expected constant name after '$$', got $t")
       }
+      // `@name` / `@import_time` / `@internal` — event metadata addressing
+      // (`expressions.md:107-112`): metadata lives in `@`-prefixed columns,
+      // attached by selector-routing readers (zeek./suricata. schema names)
+      // or by `@field = expr` assignments
+      case Punct("@") => next() match {
+        case Ident(name) => col(s"@$name")
+        case t => sys.error(s"tql: expected metadata field after '@', got $t")
+      }
+      // `this` — the entire top-level event as a record (`expressions.md`
+      // `this` section); includes any attached `@` metadata columns
+      case Ident("this") => struct(col("*"))
       case Ident(ns) if peek.contains(Punct("::")) =>
         // namespaced function call: ocsf::class_name(...), etc.
         next()
@@ -996,6 +1016,7 @@ object Tql {
 
   /** Scalar functions (the §2.4 modules' TQL names → Catalyst builtins). */
   private val scalarFns: Map[String, Fn] = Map(
+    "concat" -> ((as: Seq[Column]) => concat(as: _*)),
     "to_lower" -> fn1(lower), "to_upper" -> fn1(upper),
     "length" -> fn1(length), "trim" -> fn1(trim),
     "starts_with" -> fn2((a, b) => a.startsWith(b)),

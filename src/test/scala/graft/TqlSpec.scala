@@ -453,6 +453,27 @@ class TqlSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Tql("""cron "61 * * * *" { pass }"""))
   }
 
+  test("@metadata fields and `this` compile to columns and a full-event struct") {
+    // write + read + filter @name; project it out under a plain name
+    val got = Tql("""
+      @name = concat("t.", method)
+      where @name == "t.GET"
+      select id, name = @name
+    """)(df)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "t.GET"), (3L, "t.GET"), (6L, "t.GET")))
+    // `this` captures the whole event (metadata columns included if attached)
+    val self = Tql("""ev = this | select id, ev""")(df)
+    val r = self.filter(col("id") === 2L).select("ev.*").collect().head
+    assert(r.getAs[String]("user") == "beta" && r.getAs[Long]("status") == 404L)
+    // routed frames carry @name (zeek.<path> naming)
+    val raw = Seq("""{"_path":"conn","uid":1}""", """{"_path":"dns","uid":2}""")
+      .toDF("line")
+    val routed = graft.formats.JsonStreams.readZeekJson(raw, "line")
+    assert(routed("conn").select("`@name`").collect().head.getString(0) == "zeek.conn")
+    assert(routed("dns").select("`@name`").collect().head.getString(0) == "zeek.dns")
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

@@ -97,12 +97,13 @@ object Tql {
       case Some(s: SchedStmt) => s
       case _ => sys.error("tql: schedule requires a pipeline starting with every/cron")
     }
+    require(maxRuns >= 1, s"tql: schedule needs maxRuns >= 1, got $maxRuns")
     // each fire "runs to completion" (every.md): materialize the run's
     // output NOW — a lazy plan would re-read its sources at the final
-    // action and observe post-fire state instead of the fire's snapshot
-    def runBody(): DataFrame =
-      sched.body.foldLeft(new State(spark.emptyDataFrame, Nil))((s, x) => x(s))
-        .df.localCheckpoint(true)
+    // action and observe post-fire state instead of the fire's snapshot.
+    // The checkpointed blocks live until the session drops the returned
+    // frame — bounded by maxRuns fires, the cost of per-fire snapshots.
+    def runBody(): DataFrame = sched.run(spark.emptyDataFrame).localCheckpoint(true)
     val outs = Seq.newBuilder[DataFrame]
     sched.spec match {
       case Left(intervalMs) =>
@@ -119,7 +120,11 @@ object Tql {
       case Right(expr) =>
         graft.streaming.Cron.schedule(expr, maxRuns, clock, sleeper)(_ => outs += runBody())
     }
-    val union = outs.result().reduce(_.unionByName(_, allowMissingColumns = true))
+    val runs = outs.result()
+    // a parse-valid cron can still never fire (e.g. "0 0 31 2 *"): fail with
+    // the cause rather than an opaque empty.reduce
+    require(runs.nonEmpty, "tql: schedule produced zero fires (cron never fires?)")
+    val union = runs.reduce(_.unionByName(_, allowMissingColumns = true))
     stmts.tail.foldLeft(new State(union, Nil))((s, x) => x(s)).df
   }
 
@@ -266,8 +271,11 @@ object Tql {
     */
   private class SchedStmt(val spec: Either[Long, String], val body: Seq[Stmt])
       extends (State => State) {
-    def apply(st: State): State =
-      st.next(body.foldLeft(new State(st.df, Nil))((s, x) => x(s)).df)
+    def run(df: DataFrame): DataFrame =
+      body.foldLeft(new State(df, Nil))((s, x) => x(s)).df
+    // the body replaces the frame, so the outer sort context does not
+    // survive it (same convention as `summarize`)
+    def apply(st: State): State = new State(run(st.df), Nil, st.groupKeys)
   }
 
   private class Parser(toks: Vector[Tok]) {
@@ -343,11 +351,13 @@ object Tql {
       // `web/docs/tql2/operators/every.md`, `cron.md`). In a plain batch
       // compile the body runs ONCE ("the first run starts directly when the
       // outer pipeline starts"); [[Tql.schedule]] drives the repeated fires.
-      case Ident("every") =>
+      // guards: a field literally named `every`/`cron` stays assignable
+      // (`every = 1` was valid before these statements existed)
+      case Ident("every") if !peek.contains(Punct("=")) =>
         val dur = parseDurationMs()
         expect("{")
         new SchedStmt(Left(dur), parseSubpipeline())
-      case Ident("cron") =>
+      case Ident("cron") if !peek.contains(Punct("=")) =>
         val expr = parseStringLit("cron")
         graft.streaming.Cron.parse(expr) // validate at compile time
         expect("{")

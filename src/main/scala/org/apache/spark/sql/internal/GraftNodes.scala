@@ -8,6 +8,7 @@ package org.apache.spark.sql.internal
 object GraftNodes {
   def fieldRefs(n: ColumnNodeLike): Seq[String] = n match {
     case a: UnresolvedAttribute => Seq(a.nameParts.mkString("."))
+    case _: UnresolvedStar => Seq("*") // `this` / star capture the whole event
     case other => other.children.flatMap(fieldRefs)
   }
 }

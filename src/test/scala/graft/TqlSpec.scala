@@ -474,6 +474,30 @@ class TqlSpec extends SparkSpec {
     assert(routed("dns").select("`@name`").collect().head.getString(0) == "zeek.dns")
   }
 
+  test("review-fix regressions: keyword guards, this-in-let, zero-fire schedule") {
+    // fields literally named every/cron remain assignable
+    val kw = Tql("""every = 1 | cron = 2 | select id, every, cron""")(df)
+    val r = kw.collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
+    // `this` in a let is a use-site-dependent capture, not a constant
+    val err = intercept[IllegalArgumentException](Tql("let $snap = this"))
+    assert(err.getMessage.contains("constant"))
+    // zero fires → clear errors, not empty.reduce
+    assertThrows[IllegalArgumentException](
+      Tql.schedule(spark, """every 1s { pass }""", maxRuns = 0))
+    val never = intercept[IllegalArgumentException](
+      Tql.schedule(spark, """cron "0 0 31 2 *" { pass }""", maxRuns = 1,
+        clock = () => java.time.Instant.ofEpochMilli(0L), sleeper = _ => ()))
+    assert(never.getMessage.contains("zero fires"))
+    // the body replaces the frame: outer sort context does not leak through
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.json"),
+      """{"y": 5}""".getBytes("UTF-8"))
+    val fresh = Tql(s"""sort -value | every 1h { from "$dir/s.json" } | select y""")(
+      df.withColumnRenamed("id", "value"))
+    assert(fresh.collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

@@ -300,6 +300,13 @@ object Mmdb {
       }
 
     val nodeCount = recs.size
+    // every record value — node index, the no-data sentinel (nodeCount), or
+    // a data pointer (nodeCount + 16 + offset) — must fit the fixed 24-bit
+    // record width; fail loudly instead of silently truncating high bits
+    // into a corrupt image
+    require(nodeCount + 16 + data.size() < (1 << 24),
+      s"mmdb encode: image exceeds 24-bit record range " +
+        s"(nodes=$nodeCount, data=${data.size()} bytes)")
     val out = new java.io.ByteArrayOutputStream()
     def rec24(r: Rec): Int = r match {
       case Empty => nodeCount

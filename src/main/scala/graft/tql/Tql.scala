@@ -109,11 +109,18 @@ object Tql {
       case Left(intervalMs) =>
         val startMs = clock().toEpochMilli
         var i = 0
+        var slot = 0L // grid index of the most recent fire
         while (i < maxRuns) {
           outs += runBody()
           i += 1
           if (i < maxRuns) {
-            val wait = startMs + i.toLong * intervalMs - clock().toEpochMilli
+            // on overrun, re-sync to the next FUTURE grid slot instead of
+            // replaying every missed slot as a back-to-back catch-up burst
+            // (Cron.schedule's rule; reference every_cron.cpp: delta < 0 →
+            // next_after(now))
+            val nowMs = clock().toEpochMilli
+            slot = math.max(slot + 1, (nowMs - startMs) / intervalMs + 1)
+            val wait = startMs + slot * intervalMs - nowMs
             if (wait > 0) sleeper(wait)
           }
         }
@@ -127,6 +134,17 @@ object Tql {
     val union = runs.reduce(_.unionByName(_, allowMissingColumns = true))
     stmts.tail.foldLeft(new State(union, Nil))((s, x) => x(s)).df
   }
+
+  /** The `this` star: every top-level column EXCEPT `@`-prefixed metadata.
+    * An [[org.apache.spark.sql.catalyst.analysis.UnresolvedRegex]] expands
+    * against the frame at analysis time (full-string match, so `[^@].*`
+    * admits exactly the names not starting with `@`), in the frame's column
+    * order — same order a plain star would give.
+    */
+  private[tql] def thisColumn: Column =
+    org.apache.spark.sql.GraftExpr.column(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRegex(
+        "[^@].*", None, caseSensitive = true))
 
   /** Named context registry for `enrich` (the reference's `context::create` /
     * `context::enrich` pair — `lookup_table.cpp`; here any DataFrame can be a
@@ -351,13 +369,14 @@ object Tql {
       // `web/docs/tql2/operators/every.md`, `cron.md`). In a plain batch
       // compile the body runs ONCE ("the first run starts directly when the
       // outer pipeline starts"); [[Tql.schedule]] drives the repeated fires.
-      // guards: a field literally named `every`/`cron` stays assignable
-      // (`every = 1` was valid before these statements existed)
-      case Ident("every") if !peek.contains(Punct("=")) =>
+      // guards: a field literally named `every`/`cron` stays assignable —
+      // both the plain form (`every = 1`) and the path form
+      // (`every.field = 1`) were valid before these statements existed
+      case Ident("every") if !peek.contains(Punct("=")) && !peek.contains(Punct(".")) =>
         val dur = parseDurationMs()
         expect("{")
         new SchedStmt(Left(dur), parseSubpipeline())
-      case Ident("cron") if !peek.contains(Punct("=")) =>
+      case Ident("cron") if !peek.contains(Punct("=")) && !peek.contains(Punct(".")) =>
         val expr = parseStringLit("cron")
         graft.streaming.Cron.parse(expr) // validate at compile time
         expect("{")
@@ -702,8 +721,14 @@ object Tql {
       case t => sys.error(s"tql: unknown operator at $t")
     }
 
-    /** Statements until the matching `}` (a `group { … }` subpipeline). */
+    /** Statements until the matching `}` (a `group { … }` subpipeline).
+      * `let` bindings are lexically scoped: a binding declared inside the
+      * block is restored away at `}`, so it cannot leak into later outer
+      * statements (outer bindings remain visible inside, and an inner
+      * re-binding shadows without clobbering).
+      */
     private def parseSubpipeline(): Seq[Stmt] = {
+      val saved = lets.toMap
       val stmts = Seq.newBuilder[Stmt]
       while (peek.contains(Sep)) next()
       while (!peek.contains(Punct("}"))) {
@@ -712,6 +737,7 @@ object Tql {
         while (peek.contains(Sep)) next()
       }
       expect("}")
+      lets.clear(); lets ++= saved
       stmts.result()
     }
 
@@ -974,8 +1000,12 @@ object Tql {
         case t => sys.error(s"tql: expected metadata field after '@', got $t")
       }
       // `this` — the entire top-level event as a record (`expressions.md`
-      // `this` section); includes any attached `@` metadata columns
-      case Ident("this") => struct(col("*"))
+      // `this` section). Metadata is NOT part of the record `this` denotes
+      // (the reference keeps @name/@import_time beside the event, not in it),
+      // so the star expansion excludes `@`-prefixed columns: an
+      // UnresolvedRegex star resolves against the actual frame at analysis
+      // time, keeping the parse df-independent.
+      case Ident("this") => struct(Tql.thisColumn)
       case Ident(ns) if peek.contains(Punct("::")) =>
         // namespaced function call: ocsf::class_name(...), etc.
         next()

@@ -462,10 +462,17 @@ class TqlSpec extends SparkSpec {
     """)(df)
     assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "t.GET"), (3L, "t.GET"), (6L, "t.GET")))
-    // `this` captures the whole event (metadata columns included if attached)
+    // `this` captures the event record — WITHOUT metadata: @-prefixed
+    // columns are not part of the record `this` denotes (reference keeps
+    // metadata beside the event)
     val self = Tql("""ev = this | select id, ev""")(df)
     val r = self.filter(col("id") === 2L).select("ev.*").collect().head
     assert(r.getAs[String]("user") == "beta" && r.getAs[Long]("status") == 404L)
+    val withMeta = Tql("""@name = "t.x" | ev = this | select ev""")(df)
+    val evFields = withMeta.schema("ev").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    assert(!evFields.exists(_.startsWith("@")), s"this leaked metadata: ${evFields.toSeq}")
+    assert(evFields.contains("id") && evFields.contains("user"))
     // routed frames carry @name (zeek.<path> naming)
     val raw = Seq("""{"_path":"conn","uid":1}""", """{"_path":"dns","uid":2}""")
       .toDF("line")
@@ -475,10 +482,17 @@ class TqlSpec extends SparkSpec {
   }
 
   test("review-fix regressions: keyword guards, this-in-let, zero-fire schedule") {
-    // fields literally named every/cron remain assignable
+    // fields literally named every/cron remain assignable — plain and
+    // path-continuation forms (`every.field = 1` is the `set` op, not a
+    // malformed schedule)
     val kw = Tql("""every = 1 | cron = 2 | select id, every, cron""")(df)
     val r = kw.collect().head
     assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
+    // (dotted top-level names are the flattened-frame convention, Pipe.set_)
+    val kwPath = Tql("""every.x = 1 | cron.y = 2""")(df)
+    assert(kwPath.columns.contains("every.x") && kwPath.columns.contains("cron.y"))
+    assert(kwPath.select(col("`every.x`"), col("`cron.y`")).head() ==
+      org.apache.spark.sql.Row(1L, 2L))
     // `this` in a let is a use-site-dependent capture, not a constant
     val err = intercept[IllegalArgumentException](Tql("let $snap = this"))
     assert(err.getMessage.contains("constant"))
@@ -496,6 +510,40 @@ class TqlSpec extends SparkSpec {
     val fresh = Tql(s"""sort -value | every 1h { from "$dir/s.json" } | select y""")(
       df.withColumnRenamed("id", "value"))
     assert(fresh.collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("every overrun re-syncs to the next future grid slot (no catch-up burst)") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.json"),
+      """{"x": 1}""".getBytes("UTF-8"))
+    // scripted clock: the 2nd reading (after fire 1) jumps 25 min forward —
+    // a body that overran two 10-min slots. The scheduler must skip slots 1-2
+    // and wait 5 min to slot 3, NOT fire slots 1 and 2 back-to-back.
+    var now = 0L
+    var calls = 0
+    val waits = Seq.newBuilder[Long]
+    val out = Tql.schedule(spark, s"""every 10min { from "$dir/s.json" }""",
+      maxRuns = 3,
+      clock = () => { calls += 1; if (calls == 2) now += 1500000L
+        java.time.Instant.ofEpochMilli(now) },
+      sleeper = w => { waits += w; now += w })
+    assert(out.count() == 3) // still exactly maxRuns fires
+    // slot 3 at t=30min (wait 5min), then slot 4 at t=40min (wait 10min)
+    assert(waits.result() == Seq(300000L, 600000L))
+  }
+
+  test("let bindings are lexically scoped to their subpipeline block") {
+    // an inner let does not leak past its block
+    val leak = intercept[RuntimeException](
+      Tql("""if value > 0 { let $k = 5 | x = $k } | y = $k"""))
+    assert(leak.getMessage.contains("unknown constant"))
+    // outer bindings stay visible inside; inner re-binding shadows without
+    // clobbering the outer one
+    val shadow = Tql(
+      """let $k = 1 | if id >= 0 { let $k = 2 | a = $k } | b = $k | select id, a, b""")(df)
+    val rows = shadow.collect()
+    assert(rows.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L))
+    assert(rows.length == df.count())
   }
 
   test("compiled plan is identical to the hand-written DataFrame plan") {

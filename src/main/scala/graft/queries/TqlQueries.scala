@@ -123,6 +123,17 @@ object TqlQueries {
         select event_id, name = @name
       """)(t(s, d, "events"))),
 
+    // list lambdas on the string surface (reference where_map.cpp:512-660):
+    // where(list, x => …) filters, map(list, x => …) transforms — the body
+    // captures an outer event field (lang) beside the lambda parameter
+    "q_tql_lambda" -> ((s, d) =>
+      Tql("""
+        words = where(split(text, " "), w => length(w) >= 6)
+        tagged = map(words, w => concat(w, ":", lang))
+        joined = join(tagged, " ")
+        select doc_id, joined
+      """)(t(s, d, "documents"))),
+
     // import/export: the store round-trip in the STRING surface — pipe the
     // change envelope into a scratch lake, read it back LWW-resolved with
     // time travel defaulting to head, filter + project in TQL
@@ -151,6 +162,11 @@ object TqlQueries {
     "q_tql_meta" ->
       """SELECT event_id, 'graft.purchase' AS name
          FROM events WHERE event_type = 'purchase'""",
+    "q_tql_lambda" ->
+      """SELECT doc_id, coalesce(array_to_string(
+           list_transform(list_filter(string_split(text, ' '), w -> len(w) >= 6),
+                          w -> w || ':' || lang), ' '), '') AS joined
+         FROM documents""",
     "q_tql_summarize" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty,
          max(l_extendedprice) AS hi

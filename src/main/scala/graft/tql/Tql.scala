@@ -197,7 +197,7 @@ object Tql {
   case object Sep extends Tok // '|' or newline: statement separator
 
   private object Lexer {
-    private val puncts = Seq("::", "==", "!=", "<=", ">=", "&&", "||",
+    private val puncts = Seq("::", "==", "!=", "<=", ">=", "=>", "&&", "||",
       "<", ">", "+", "-", "*", "/", "%", "(", ")", "[", "]", "{", "}",
       ",", "=", ":", ".", "$", "@")
 
@@ -299,6 +299,7 @@ object Tql {
   private class Parser(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Option[Tok] = toks.lift(pos)
+    private def peek2: Option[Tok] = toks.lift(pos + 1)
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
     private def accept(p: String): Boolean = peek match {
       case Some(Punct(`p`)) => pos += 1; true
@@ -970,9 +971,9 @@ object Tql {
         val Ident(name) = next(): @unchecked
         if (accept("(")) {
           val args = if (accept(")")) Nil else {
-            val as = parseCommaList(() => parseExpr()); expect(")"); as
+            val as = parseCommaList(() => parseCallArg()); expect(")"); as
           }
-          e = applyFn(name, e +: args)
+          e = applyCall(name, Right(e) +: args)
         } else e = e.getField(name)
       }
       e
@@ -1015,15 +1016,15 @@ object Tql {
         }
         expect("(")
         val args = if (accept(")")) Nil else {
-          val as = parseCommaList(() => parseExpr()); expect(")"); as
+          val as = parseCommaList(() => parseCallArg()); expect(")"); as
         }
-        applyFn(s"$ns::$fname", args)
+        applyCall(s"$ns::$fname", args)
       case Ident(name) if peek.contains(Punct("(")) =>
         next()
         val args = if (accept(")")) Nil else {
-          val as = parseCommaList(() => parseExpr()); expect(")"); as
+          val as = parseCommaList(() => parseCallArg()); expect(")"); as
         }
-        applyFn(name, args)
+        applyCall(name, args)
       case Ident(name) => pos -= 1; pathColumn(parsePath())
       case t => sys.error(s"tql: unexpected token $t in expression")
     }
@@ -1035,7 +1036,51 @@ object Tql {
     }
 
     private def pathColumn(path: List[String]): Column =
-      path.tail.foldLeft(col(path.head))(_.getField(_))
+      path.tail.foldLeft(lambdaScope.getOrElse(path.head, col(path.head)))(_.getField(_))
+
+    /** Lambda parameters currently in scope while parsing a lambda body —
+      * the parameter shadows a same-named event field; everything else in
+      * the body keeps resolving as an (outer) field reference.
+      */
+    private var lambdaScope: Map[String, Column] = Map.empty
+
+    /** One call argument: a lambda `x => body` (the list HOFs — reference
+      * `where_map.cpp:512-660`) or a plain expression. The body is parsed
+      * with the parameter bound to a ColumnNode-level lambda variable — the
+      * same node `functions.transform`/`filter` create for their parameter.
+      */
+    private def parseCallArg(): Either[Column, Column] = (peek, peek2) match {
+      case (Some(Ident(p)), Some(Punct("=>"))) =>
+        next(); next()
+        val pvar = org.apache.spark.sql.internal.GraftNodes.lambdaVar(p)
+        val saved = lambdaScope
+        lambdaScope = lambdaScope + (p -> pvar)
+        val body = try parseExpr() finally lambdaScope = saved
+        Left(org.apache.spark.sql.internal.GraftNodes.lambdaFunction(body, Seq(pvar)))
+      case _ => Right(parseExpr())
+    }
+
+    private def applyCall(name: String, args: Seq[Either[Column, Column]]): Column =
+      if (args.exists(_.isLeft)) applyHof(name, args)
+      else applyFn(name, args.collect { case Right(c) => c })
+
+    /** List higher-order functions with a lambda argument: `map(xs, x => …)`
+      * lowers through the `transform` registry entry (Catalyst
+      * ArrayTransform) and `where(xs, x => …)` through `filter`
+      * (ArrayFilter) — the same nodes the Scala HOFs build, so the plan is
+      * identical to the `functions.transform`/`filter` twins (reference
+      * `where_map.cpp:512-660`).
+      */
+    private def applyHof(name: String, args: Seq[Either[Column, Column]]): Column =
+      args match {
+        case Seq(Right(xs), Left(lam)) =>
+          name match {
+            case "map" => call_function("transform", xs, lam)
+            case "where" => call_function("filter", xs, lam)
+            case other => sys.error(s"tql: function '$other' does not take a lambda")
+          }
+        case _ => sys.error(s"tql: $name expects exactly (list, x => …)")
+      }
 
     private def applyFn(name: String, args: Seq[Column]): Column = {
       // sticky within one summarize item (reset there): an aggregate ANYWHERE
@@ -1065,6 +1110,12 @@ object Tql {
     "substring" -> { case Seq(a, b, c) => a.substr(b, c) },
     "replace" -> { case Seq(a, b, c) => regexp_replace(a, b, c) },
     "split" -> fn2((a, b) => split(a, b)),
+    // array_join's Scala signature wants a literal String; go through the
+    // Catalyst node so any string expression works as the separator
+    "join" -> fn2((a, sep) => org.apache.spark.sql.GraftExpr.column(
+      org.apache.spark.sql.catalyst.expressions.ArrayJoin(
+        org.apache.spark.sql.GraftExpr.expression(a),
+        org.apache.spark.sql.GraftExpr.expression(sep), None))),
     "abs" -> fn1(abs), "round" -> fn1(round(_, 0)), "floor" -> fn1(floor),
     "ceil" -> fn1(ceil), "sqrt" -> fn1(sqrt),
     "coalesce" -> (args => coalesce(args: _*)),

@@ -546,6 +546,44 @@ class TqlSpec extends SparkSpec {
     assert(rows.length == df.count())
   }
 
+  test("list lambdas: map/where compile to the transform/filter HOF twins") {
+    val lists = Seq(
+      (1L, "alpha beta gammaray x", "en"),
+      (2L, "delta epsilonizer", "de")
+    ).toDF("id", "text", "lang")
+    // behavior: filter then transform, body capturing an outer field
+    val got = Tql("""
+      words = where(split(text, " "), w => length(w) >= 6)
+      caps = map(words, w => concat(w, ":", lang))
+      select id, joined = join(caps, " ")
+    """)(lists)
+    assert(got.sort("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "gammaray:en"), (2L, "epsilonizer:de")))
+    // plan identity vs the Scala HOF twins (same ArrayFilter/ArrayTransform)
+    // modulo lambda-variable naming (TQL keeps the user's `w`; the Scala HOF
+    // generates x_N) and expression ids
+    val hand = lists
+      .withColumn("words", filter(split(col("text"), " "), w => length(w) >= 6))
+      .withColumn("caps", transform(col("words"), w => concat(w, lit(":"), col("lang"))))
+      .select(col("id"), array_join(col("caps"), " ").as("joined"))
+    def norm(p: org.apache.spark.sql.execution.QueryExecution): String =
+      p.optimizedPlan.toString.replaceAll("#\\d+", "").replaceAll("lambda \\w+", "lambda v")
+    assert(norm(got.queryExecution) == norm(hand.queryExecution))
+    // the lambda parameter shadows a same-named event field; the field
+    // stays reachable from OUTSIDE the lambda
+    val shadow = Tql("""m = map(split(text, " "), lang => lang) | select id, m""")(lists)
+    assert(shadow.sort("id").select(element_at(col("m"), 1)).as[String].head() == "alpha")
+    // let-guard: a lambda over a literal list is a constant; one touching an
+    // event field is not — and the bound parameter itself is not a field ref
+    Tql("""let $c = map([1, 2], x => x + 1) | y = $c | select id, y""")(lists)
+    val err = intercept[IllegalArgumentException](
+      Tql("let $c = map(split(text, \" \"), x => x)"))
+    assert(err.getMessage.contains("constant"))
+    val err2 = intercept[IllegalArgumentException](
+      Tql("let $c = map([1], x => x + value)"))
+    assert(err2.getMessage.contains("constant"))
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video payloads ride through the engine as
   * opaque `binary` columns plus typed metadata, exactly like `html: binary`
   * in the CDC page table. The Spark-side plumbing — schema, batched decode
-  * shape, partition sizing — is real; the codec itself is stubbed behind
-  * [[FakeCodec]] (no image/audio libs in this container) with the production
-  * entry point left as an unimplemented hook.
+  * shape, partition sizing — is real, and so is the image path:
+  * [[realCodec]] decodes PNG/JPEG/GIF/BMP with the JDK's ImageIO.
+  * Audio/video have no in-container codec, so [[FakeCodec]] remains the
+  * deterministic oracle-checkable stand-in for cross-modality pipelines.
   *
   * Design for 100 TB: media bytes never pass through a shuffle — decode and
   * feature-extraction are narrow per-partition maps; only the (small) derived
@@ -39,13 +40,105 @@ object Multimodal {
       octet_length(col(bytesCol)).cast("long").as("byte_len"),
       xxhash64(col(bytesCol)).as("content_hash")))
 
-  /** PRODUCTION HOOK: decode a batch of media payloads with a native codec
-    * (libjpeg/ffmpeg/…). Deliberately unimplemented in this container — the
-    * sandbox has no media libraries. Swap in a real implementation with the
-    * same signature; everything around it (batching, schema, partitioning)
-    * is already wired and tested against [[FakeCodec]].
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP ship with
+    * every JVM — no external codec needed): dimensions and channel count
+    * from the decoded raster, `feat_hash` = md5h60 over the row-major ARGB
+    * pixel stream (layout-independent — `getRGB` normalizes whatever raster
+    * the decoder produced, so the digest is stable across decoders).
+    * Audio/video still have no in-container codec: those MIME types fail
+    * loudly rather than fake a decode — swap a libav-backed batch fn with
+    * the same signature for them in production ([[decodeBatched]] takes any
+    * codec, and [[FakeCodec]] remains the deterministic stand-in the
+    * cross-modality oracle queries use).
     */
-  def realCodec(batch: Seq[MediaRow]): Seq[MediaFeatures] = ???
+  def realCodec(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
+    require(r.mime != null && r.mime.startsWith("image/"),
+      s"no in-container codec for mime '${r.mime}' (JDK ImageIO decodes images only)")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    require(img != null, s"undecodable image payload (mime '${r.mime}')")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4 * w)
+    var y = 0
+    while (y < h) {
+      buf.clear()
+      var x = 0
+      while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+      md.update(buf.array(), 0, 4 * w)
+      y += 1
+    }
+    MediaFeatures(w, h, img.getRaster.getNumBands, 1, md5h60Tail(md.digest()))
+  }
+
+  /** Per-channel mean pixel stats — the "feature extraction" step over a
+    * decoded image (means over the `getRGB`-normalized 8-bit channels).
+    */
+  case class ImageStatsRow(id: Long, width: Int, height: Int, channels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Batched real-image decode + channel stats: same narrow per-partition
+    * shape as [[decodeBatched]] (no shuffle; media bytes never leave the
+    * partition — only the small stat rows do).
+    */
+  def imageStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageStatsRow] = {
+    implicit val enc = Encoders.product[ImageStatsRow]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+          require(img != null, s"undecodable image payload (mime '${r.mime}')")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageStatsRow(r.id, w, h, img.getRaster.getNumBands,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+  }
+
+  /** Deterministic PNG fixture: a `(8 + id%16) × (8 + id%8)` image filled
+    * with the constant color `((id·37)%256, (id·57)%256, (id·77)%256)` —
+    * arithmetic a SQL oracle can reproduce, so decoding it end-to-end
+    * verifies the real codec (wrong decode ⇒ wrong dims/means).
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + (id % 8).toInt
+    val rgb = ((id * 37) % 256).toInt << 16 | ((id * 57) % 256).toInt << 8 |
+      ((id * 77) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Long of the first 15 hex chars of an md5 digest (the md5h60 family —
+    * [[graft.functions.Text.md5h60]]'s JVM twin on a raw digest).
+    */
+  private def md5h60Tail(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 
   /** Deterministic stand-in codec: derives plausible dimensions/frame counts
     * from the byte content alone. Same cost shape as a real decoder: touches

@@ -282,6 +282,32 @@ object MLQueries {
       Multimodal.resizeMeta(Multimodal.sampleFrames(decoded, stride = 30), maxDim = 512)
     }),
 
+    // REAL image decode under the oracle: deterministic constant-color PNGs
+    // (dims + fill color derived from doc_id) synthesized on the executors,
+    // decoded back with the JDK ImageIO codec — the decoded dims/channels
+    // must reproduce the synthesis arithmetic, so a wrong decode fails the
+    // oracle. Narrow end-to-end: bytes never leave their partition.
+    "q_image_decode" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image/png", Multimodal.synthPng(id)))
+      Multimodal.decodeBatched(media, Multimodal.realCodec).toDF()
+        .select(col("id").as("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"), col("channels").cast("long").as("ch"))
+    }),
+
+    // channel-mean feature extraction over the same real decode path: the
+    // constant fill makes the per-channel means exact integers
+    "q_image_stats" -> ((s, d) => {
+      val sess = s
+      import sess.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image/png", Multimodal.synthPng(id)))
+      Multimodal.imageStats(media).toDF()
+        .select(col("id").as("doc_id"), col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     // -------------------------------------------------------------- CDC
     // LWW dedup as a pure declarative op (max_by over the LSN order).
     "q_cdc_lww_df" -> ((s, d) => {
@@ -634,6 +660,15 @@ object MLQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents""".stripMargin,
+    "q_image_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |  CAST(8 + doc_id % 8 AS BIGINT) AS h, CAST(3 AS BIGINT) AS ch
+        |FROM documents""".stripMargin,
+    "q_image_stats" ->
+      """SELECT doc_id, CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 57) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 77) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH d AS (

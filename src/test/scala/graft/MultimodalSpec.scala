@@ -39,6 +39,40 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.value.asScala.toList.sorted == List(10, 30, 30, 30))
   }
 
+  test("realCodec decodes PNGs with ImageIO: exact dims, channels, stable hash") {
+    // synthPng(id): (8 + id%16) × (8 + id%8), constant fill from id
+    val imgs = Seq(0L, 5L, 13L, 250L).map(id =>
+      MediaRow(id, "image/png", Multimodal.synthPng(id)))
+    val feats = Multimodal.realCodec(imgs)
+    imgs.zip(feats).foreach { case (r, f) =>
+      assert(f.width == 8 + (r.id % 16).toInt && f.height == 8 + (r.id % 8).toInt)
+      assert(f.channels == 3 && f.n_frames == 1)
+    }
+    // pixel digest is deterministic across decode calls
+    assert(Multimodal.realCodec(imgs).map(_.feat_hash) == feats.map(_.feat_hash))
+    // different content ⇒ different digest
+    assert(feats.map(_.feat_hash).distinct.size == feats.size)
+    // non-image mime fails loudly (no in-container audio/video codec)
+    val err = intercept[IllegalArgumentException](
+      Multimodal.realCodec(Seq(MediaRow(1L, "video/mp4", Array[Byte](1, 2)))))
+    assert(err.getMessage.contains("codec"))
+    // garbage bytes under an image mime fail loudly too
+    intercept[IllegalArgumentException](
+      Multimodal.realCodec(Seq(MediaRow(1L, "image/png", Array[Byte](9, 9, 9)))))
+    // distributed end-to-end through the batched mapPartitions + stats path
+    val ds = imgs.toDS().repartition(2)
+    val decoded = Multimodal.decodeBatched(ds, Multimodal.realCodec _)
+      .collect().sortBy(_.id)
+    assert(decoded.map(r => (r.id, r.width, r.height)).toSeq ==
+      imgs.map(r => (r.id, 8 + (r.id % 16).toInt, 8 + (r.id % 8).toInt)))
+    val stats = Multimodal.imageStats(ds).collect().sortBy(_.id)
+    stats.foreach { s =>
+      assert(s.mean_r == ((s.id * 37) % 256).toDouble, s"id=${s.id}")
+      assert(s.mean_g == ((s.id * 57) % 256).toDouble)
+      assert(s.mean_b == ((s.id * 77) % 256).toDouble)
+    }
+  }
+
   test("frame sampling + resize metadata pipeline") {
     val decoded = Multimodal.decodeBatched(media, FakeCodec).toDF()
     val frames = Multimodal.sampleFrames(decoded, stride = 30)

@@ -142,10 +142,13 @@ object TqlQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
       val env = MLQueries.envelope(t(s, d, "events")) // ONE envelope definition
       Tql(s"""import "$work/lake"""")(env)
+      // the import seam stamped @import_time into the lake; export surfaces
+      // it per row — assert it is a real recent timestamp (deterministically)
       Tql(s"""
         export "$work/lake"
         where lang == "purchase"
-        select url, text, lang
+        it_ok = year(@import_time) >= 2020
+        select url, text, lang, it_ok
       """)(env)
     }))
 
@@ -195,7 +198,8 @@ object TqlQueries {
     // import→export must equal the LWW winner state, filtered
     "q_tql_lake" ->
       """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url,
-        |  max_by(props, event_id) AS text, max_by(event_type, event_id) AS lang
+        |  max_by(props, event_id) AS text, max_by(event_type, event_id) AS lang,
+        |  TRUE AS it_ok
         |FROM events GROUP BY 1
         |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'
         |   AND max_by(event_type, event_id) = 'purchase'""".stripMargin,

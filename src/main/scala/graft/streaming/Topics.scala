@@ -27,9 +27,12 @@ object Topics {
   def publish(frame: DataFrame, topicDir: String): Unit =
     frame.write.mode("append").parquet(topicDir)
 
-  /** Batch subscribe: everything published so far. */
+  /** Batch subscribe: everything published so far. Like every reader seam,
+    * the subscriber stamps `@import_time` on the frame it ingests
+    * (reference table_slice.hpp:137-142) unless the publisher already did.
+    */
   def subscribe(spark: SparkSession, topicDir: String): DataFrame =
-    spark.read.parquet(topicDir)
+    graft.core.IngestClock.stamp(spark.read.parquet(topicDir))
 
   /** Streaming subscribe: tail the topic; each subscriber tracks its own
     * position via its query checkpoint (fan-out: any number of independent

@@ -623,7 +623,10 @@ object Tql {
         // appends a NEW batch rather than silently replacing
         val lakePath = parseStringLit("import")
         st => {
-          val df = st.df
+          // the lake import seam stamps `@import_time` as a payload column —
+          // stored with the rows, so `export`/changelog surface the original
+          // ingest time per row (the reference's stored-at-import semantics)
+          val df = graft.core.IngestClock.stamp(st.df)
           require(Seq("url", "lsn", "op", "wal_part").forall(df.columns.contains),
             "tql: import requires the change-event envelope (url, lsn, op, wal_part columns)")
           val table = new graft.lake.LakeTable(df.sparkSession, lakePath)
@@ -644,8 +647,11 @@ object Tql {
           st
         }
       case Ident("from") =>
+        // readers stamp `@import_time` at ingest (reference
+        // table_slice.hpp:137-142 — import time attaches when data enters
+        // the node); one stamp per read, explicit user stamps win
         val path = parseStringLit("from")
-        st => st.next(readPath(st.df.sparkSession, path))
+        st => st.next(graft.core.IngestClock.stamp(readPath(st.df.sparkSession, path)))
       case Ident("to") =>
         val path = parseStringLit("to")
         st => { writePath(st.df, path); st }

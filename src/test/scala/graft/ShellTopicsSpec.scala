@@ -44,7 +44,11 @@ class ShellTopicsSpec extends SparkSpec {
     try {
       Topics.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), topic)
       Topics.publish(Seq((3L, "c")).toDF("id", "v"), topic) // second producer
-      val got = Topics.subscribe(spark, topic).as[(Long, String)].collect().toSet
+      val sub = Topics.subscribe(spark, topic)
+      // the reader seam stamps @import_time (IngestClock) on what it ingests
+      assert(sub.columns.contains("@import_time"))
+      assert(sub.filter(col("`@import_time`").isNull).count() == 0)
+      val got = sub.select("id", "v").as[(Long, String)].collect().toSet
       assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(topic))
   }

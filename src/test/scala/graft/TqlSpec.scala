@@ -479,6 +479,23 @@ class TqlSpec extends SparkSpec {
     val routed = graft.formats.JsonStreams.readZeekJson(raw, "line")
     assert(routed("conn").select("`@name`").collect().head.getString(0) == "zeek.conn")
     assert(routed("dns").select("`@name`").collect().head.getString(0) == "zeek.dns")
+    // `from` stamps @import_time with the ingest clock (injected here for
+    // determinism); an explicit user stamp is never clobbered
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.json"),
+      """{"x": 1}""".getBytes("UTF-8"))
+    val fixed = java.time.Instant.parse("2026-03-01T12:00:00Z")
+    val prevClock = graft.core.IngestClock.now
+    graft.core.IngestClock.now = () => fixed
+    try {
+      val stamped = Tql(s"""from "$dir/s.json" | select x, it = @import_time""")(df)
+      val row = stamped.collect().head
+      assert(row.getTimestamp(1).toInstant == fixed)
+      val explicit = Tql(
+        s"""from "$dir/s.json" | @import_time = "own" | select it = @import_time""")(df)
+      // user stamp set AFTER the read overwrites; the reader never re-stamps
+      assert(explicit.collect().head.getString(0) == "own")
+    } finally graft.core.IngestClock.now = prevClock
   }
 
   test("review-fix regressions: keyword guards, this-in-let, zero-fire schedule") {

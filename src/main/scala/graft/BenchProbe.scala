@@ -39,6 +39,12 @@ object BenchProbe {
         .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.files.maxPartitionBytes",
           sys.env.getOrElse("SPARK_GRAFT_MAXPART", "128m"))
+        // SPARK_GRAFT_SPILL_FORCE=n: force the unsafe sorters to spill every
+        // n rows (soak protocol: proves the sorted fold converges when the
+        // sort goes through disk instead of staying in memory). Static conf —
+        // must be set before the context exists, hence here.
+        .config("spark.shuffle.spill.numElementsForceSpillThreshold",
+          sys.env.getOrElse("SPARK_GRAFT_SPILL_FORCE", Int.MaxValue.toString))
         .config("spark.local.dir", s"$scratch/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -96,9 +102,39 @@ object BenchProbe {
     // table grows and compaction interleaves with ingest.
     val autoCompact = sys.env.getOrElse("SPARK_GRAFT_AUTOCOMPACT", "0").toInt
     val expireKeep = sys.env.getOrElse("SPARK_GRAFT_EXPIRE", "0").toInt
+    // soak protocol knobs: audited ingest gate + a live pinned follower
+    // polling the changelog while ingest runs (SPARK_GRAFT_AUDIT/FOLLOW)
+    val audited = sys.env.get("SPARK_GRAFT_AUDIT").contains("true")
+    val follow = sys.env.get("SPARK_GRAFT_FOLLOW").contains("true")
+    // spill accounting: proves forced-spill soaks actually spilled
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          spilledMem.addAndGet(t.taskMetrics.memoryBytesSpilled)
+          spilledDisk.addAndGet(t.taskMetrics.diskBytesSpilled); ()
+        }
+    })
+    @volatile var ingestDone = false
+    @volatile var followed = 0L
+    @volatile var polls = 0
+    val follower = new Thread(() => {
+      var cursor = 0L
+      while (!ingestDone) {
+        cursor = CdcStream.followChanges(table, cursor, pinTag = Some("soak-follower")) {
+          (diff, _, _) => followed += diff.count(); polls += 1
+        }
+        Thread.sleep(1000)
+      }
+    }, "soak-follower")
+    follower.setDaemon(true)
+    if (follow) follower.start()
     CdcStream.start(spark, walDir, table, s"$work/ckpt",
       maxFilesPerTrigger = filesPerTrigger, createBuckets = buckets, mode = mode,
       autoCompactFilesPerBucket = autoCompact, expireKeepLast = expireKeep,
+      audit = if (audited) Some((_, _) => true) else None,
+      quarantineDir = if (audited) Some(s"$work/quarantine") else None,
       onBatch = st => {
         val now = System.nanoTime(); val gc = gcMillis()
         println(f"[probe] batch ${st.batchId}%3d events=${st.events}%8d " +
@@ -106,9 +142,36 @@ object BenchProbe {
         last = now; lastGc = gc
         events += st.events
       }).awaitTermination()
+    ingestDone = true
+    if (follow) { follower.join(30000); println(s"[probe] follower: $polls polls, $followed change rows") }
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[probe] cores=$cores parts=$parts mode=$mode events=$events secs=$secs%.1f " +
-      f"tp=${events / secs}%.0f ev/s")
+      f"tp=${events / secs}%.0f ev/s spilledMem=${spilledMem.get / (1 << 20)}MB " +
+      f"spilledDisk=${spilledDisk.get / (1 << 20)}MB")
+    // SPARK_GRAFT_VERIFY=true: independent convergence check — recompute the
+    // LWW winners straight from the WAL with a DIFFERENT plan (hash
+    // max_by aggregate, no KeyChange, no bucketing) and compare row count +
+    // an order-independent checksum against the table's final live state.
+    if (sys.env.get("SPARK_GRAFT_VERIFY").contains("true")) {
+      import org.apache.spark.sql.functions._
+      val wal = spark.read.parquet(walDir)
+      val winners = wal.groupBy(col("url"))
+        .agg(max_by(struct(wal.columns.map(col).toIndexedSeq: _*),
+          struct(col("lsn"), col("wal_part"))).as("w"))
+        .select(col("w.*")).filter(col("op") =!= "D")
+        .select(col("url"), col("text"))
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.select(
+          count(lit(1)).as("n"),
+          sum(xxhash64(col("url"), col("text"))).as("h")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val expect = sig(winners)
+      val got = sig(table.pages().select(col("url"), col("text")))
+      val ok = expect == got
+      println(s"[probe] convergence: expect=$expect got=$got ${if (ok) "MATCH" else "MISMATCH"}")
+      require(ok, "soak convergence check failed: final table state diverged from WAL LWW")
+    }
     // SPARK_GRAFT_COMPACT=true: time the post-replay compaction flush (the
     // deferred L0→bucket shuffle), so the amortized ingest+flush cost of the
     // LSM design is measured, not hand-waved.

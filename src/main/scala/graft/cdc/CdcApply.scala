@@ -215,7 +215,8 @@ object CdcApply {
       if (events == 0L) { // empty batch: advance the watermark only
         val s = table.commit(snap0.copy(
           watermarks = snap0.watermarks + (queryId -> batchId),
-          lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
+          lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)),
+          appendedOnly = Some(Nil))
         return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
       }
       val minLsn = perBucket.map(_.getLong(2)).min
@@ -354,7 +355,8 @@ object CdcApply {
     if (events == 0L) {
       val s = table.commit(snap0.copy(
         watermarks = snap0.watermarks + (queryId -> batchId),
-        lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
+        lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)),
+        appendedOnly = Some(Nil))
       return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
     }
     val deletes = win("deletes").asInstanceOf[Long]
@@ -371,7 +373,8 @@ object CdcApply {
       watermarks = snap0.watermarks + (queryId -> batchId),
       lineage = snap0.lineage :+
         LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1),
-      props = snap0.props + (LakeTable.NeedsResolveProp -> "true"))) }
+      props = snap0.props + (LakeTable.NeedsResolveProp -> "true")),
+      appendedOnly = Some(newFiles)) }
 
     ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
       minLsn, maxLsn, committed.version)
@@ -487,7 +490,8 @@ object CdcApply {
         return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, snap0.version)
       val s = table.commit(snap0.copy(
         watermarks = snap0.watermarks + (queryId -> batchId),
-        lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)))
+        lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)),
+        appendedOnly = Some(Nil))
       return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
     }
     val deletes = m("deletes").asInstanceOf[Long]
@@ -506,7 +510,8 @@ object CdcApply {
         LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1),
       props = snap0.props + (LakeTable.NeedsResolveProp -> "true"))
     val committed = phase("commit") {
-      stageAs.fold(table.commit(next))(id => table.stageCommit(next, id))
+      stageAs.fold(table.commit(next, appendedOnly = Some(newFiles)))(
+        id => table.stageCommit(next, id))
     }
 
     ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,

@@ -190,7 +190,18 @@ class LakeTable(val spark: SparkSession, val root: String,
     * one immutable partition synopsis per partition (`src/catalog.cpp:98-106`)
     * rather than rewriting a global file index.
     */
-  def commit(snap: Snapshot): Snapshot = LakeTable.commitMutex(root).synchronized {
+  def commit(snap: Snapshot): Snapshot = commit(snap, None)
+
+  /** Commit with an append-only hint: `appendedOnly = Some(newFiles)` asserts
+    * this commit ADDED exactly those files and removed none, skipping the
+    * O(table) file-list diff — at 10^6 manifest entries that diff costs
+    * ~1.7 s PER COMMIT (ManifestLab), which would dominate every streaming
+    * micro-batch; the hinted path is O(batch). Guarded by an O(1) size check;
+    * the unhinted path stays for compaction/expiry (rare, remove files,
+    * genuinely need the diff).
+    */
+  def commit(snap: Snapshot, appendedOnly: Option[Seq[DataFile]]): Snapshot =
+      LakeTable.commitMutex(root).synchronized {
     // The JVM-level per-root mutex covers SAME-PROCESS writers (two threads /
     // two LakeTable handles): local filesystems emulate
     // `create(overwrite=false)` with a non-atomic exists+create, so without
@@ -213,10 +224,18 @@ class LakeTable(val spark: SparkSession, val root: String,
       cachedSnap.filter(_.version == pv).getOrElse(snapshotAt(pv)))
     val oldFiles = parent.map(_.files).getOrElse(Nil)
     val oldManifests = parent.map(_.manifests).getOrElse(Nil)
-    val newPaths = snap.files.map(_.path).toSet
-    val oldPaths = oldFiles.map(_.path).toSet
-    val added = snap.files.filterNot(f => oldPaths.contains(f.path))
-    val removed = oldFiles.map(_.path).filterNot(newPaths.contains)
+    val (added, removed) = appendedOnly match {
+      case Some(a) =>
+        require(oldFiles.size + a.size == snap.files.size,
+          s"appendedOnly hint inconsistent: parent ${oldFiles.size} + hint ${a.size} " +
+            s"!= snapshot ${snap.files.size} files")
+        (a, Nil: Seq[String])
+      case None =>
+        val newPaths = snap.files.map(_.path).toSet
+        val oldPaths = oldFiles.map(_.path).toSet
+        (snap.files.filterNot(f => oldPaths.contains(f.path)),
+          oldFiles.map(_.path).filterNot(newPaths.contains))
+    }
     // delta names carry a random suffix so two cross-process racers from the
     // same base can never write the same path — the loser's delta would
     // otherwise replace the winner's AFTER the winner's version file already

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, struct}
 
 import graft.cdc.CdcApply
 import graft.gen.{ChangeGen, GenConfig, GenEvent}
@@ -105,6 +105,63 @@ class SortedFoldSpec extends SparkSpec {
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
     assert(state == Map("https://a/y" -> "keep"))
     assert(table.scanRaw(snap).filter(col("_deleted")).count() == 0)
+  }
+
+  test("adversarial fold input: unaligned buckets/tasks, keys scattered across files") {
+    // The KeyChange contract is "all rows of a key are consecutive within
+    // the partition". Attack it: 48 buckets folded into 5 tasks (not a
+    // divisor — several buckets per task, unevenly), an L0 set of 36 small
+    // files where every url's events are scattered over ≥7 different files
+    // with permuted lsn placement, plus delete-winners. A key straddling
+    // partitions would surface as a duplicate winner; a missed group as a
+    // wrong winner vs the independent max_by computation.
+    val table = new LakeTable(spark, tmpDir())
+    val ts = new Timestamp(1704067200000L)
+    val nUrls = 300
+    def urlOf(u: Int) = s"https://adv.example.com/p/$u"
+    def ev(u: Int, p: Int, batch: Int): GenEvent = {
+      val lsn = u.toLong * 100 + p
+      val del = p == 6 && u % 11 == 0 // the WINNER (max lsn) is a delete
+      val text = if (p == 6) s"t$u-final" else s"t$u-v$p"
+      GenEvent(if (del) "D" else "U", lsn, batch, urlOf(u), ts,
+        if (del) null else text.getBytes("UTF-8"),
+        if (del) null else text, if (del) null else "en", batch.toLong)
+    }
+    val byBatch = (0 until nUrls).flatMap { u =>
+      (0 until 7).map(p => ((u + p * 5) % 12, ev(u, p, (u + p * 5) % 12)))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    byBatch.foreach { case (b, evs) =>
+      val shuffled = new scala.util.Random(b).shuffle(evs.map(_._2))
+      CdcApply.applyBatchAppendRaw(table,
+        spark.createDataset(shuffled).toDF().repartition(3), "adv", b.toLong,
+        createBuckets = 48, spanning = true)
+    }
+    val snap = table.currentSnapshot.get
+    require(snap.files.size >= 30, s"want many small L0 files, got ${snap.files.size}")
+    val schema = table.currentFileSchema(snap)
+    val raw = table.readFiles(snap, snap.files, schema)
+    val out = table.writeDataFilesSortedFold(raw, snap.currentSchemaId,
+      buckets = 48, nTasks = 5)
+    assert(out.map(_.bucket).distinct.size > 5) // genuinely multi-bucket
+    val folded = table.readFiles(snap, out, schema)
+    // exactly one winner per url — the straddle failure mode is a duplicate
+    assert(folded.groupBy("url").count().filter(col("count") > 1).count() == 0)
+    val live = folded.filter(!col("_deleted"))
+      .select("url", "text").as[(String, String)].collect().toMap
+    val expected = (0 until nUrls).filterNot(_ % 11 == 0)
+      .map(u => urlOf(u) -> s"t$u-final").toMap
+    assert(live == expected)
+    // delete-winners survive as tombstones (no GC watermark passed)
+    assert(folded.filter(col("_deleted")).count() ==
+      (0 until nUrls).count(_ % 11 == 0).toLong)
+    // independent cross-check: the wide max_by plan over the SAME raw agrees
+    val maxby = raw.groupBy(col("url"))
+      .agg(org.apache.spark.sql.functions.max_by(
+        struct(raw.columns.map(col).toIndexedSeq: _*),
+        struct(col("_lsn"), col("_wal_part"))).as("w"))
+      .select(col("w.*")).filter(!col("_deleted"))
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(live == maxby)
   }
 
   test("KeyChange keeps the first row of each sorted key group, per partition") {

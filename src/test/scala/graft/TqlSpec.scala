@@ -601,6 +601,26 @@ class TqlSpec extends SparkSpec {
     assert(err2.getMessage.contains("constant"))
   }
 
+  test("if lowering: per-branch pushed scans by default, cache-once on demand") {
+    val dir = tmpDir()
+    df.write.parquet(s"$dir/src.parquet")
+    def fileScans(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }.size
+    val q = s"""from "$dir/src.parquet"
+      if status == 200 { sev = "ok" } else { sev = "bad" }
+      select id, sev"""
+    val routed = Tql(q)(df)
+    assert(fileScans(routed) == 2) // one scan per branch, disjoint pushed predicates
+    sys.props("graft.tql.ifCache") = "true"
+    try {
+      val cached = Tql(q)(df)
+      assert(fileScans(cached) == 0) // source materialized once, routed from blocks
+      assert(cached.collect().toSet == routed.collect().toSet)
+    } finally sys.props.remove("graft.tql.ifCache")
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

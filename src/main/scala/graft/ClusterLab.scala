@@ -47,7 +47,11 @@ object ClusterLab {
           "java.base/sun.nio.ch", "java.base/sun.nio.cs",
           "java.base/sun.security.action", "java.base/sun.util.calendar")
           .map(p => s"--add-opens=$p=ALL-UNNAMED")
-          .mkString(" ") + " -XX:ParallelGCThreads=4 -XX:ConcGCThreads=1")
+          .mkString(" ") + " -XX:ParallelGCThreads=4 -XX:ConcGCThreads=1" +
+          // the round-2 BASELINE.md heap finding applies to executor JVMs
+          // too: without THP, first-touch of a multi-GB heap is millions of
+          // 4k page faults on this VM, paid during the timed window
+          " -XX:+UseTransparentHugePages")
       .config("spark.sql.shuffle.partitions", (workers * coresPerWorker * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -60,12 +64,16 @@ object ClusterLab {
     s
   }
 
-  /** One L0 replay in a fresh cluster; returns (events, secs). Timing starts
-    * after the session is up, so cluster spin-up cost is excluded — the
-    * criterion is sustained apply throughput, not cold start.
+  /** One L0 replay in a fresh cluster; returns (events, secs). The cluster's
+    * executor JVMs are forked per run, so JIT/codegen warmup must happen
+    * INSIDE the session (an untimed warm-WAL replay on the same executors) —
+    * cross-run warmup like [[ScalingLab]]'s would warm JVMs that are then
+    * thrown away. Timing covers only the main replay, matching the in-JVM
+    * protocol (session spin-up and warmup excluded; sustained apply is the
+    * criterion).
     */
   private def oneRun(workers: Int, coresPerWorker: Int, memMb: Int,
-      walDir: String): (Long, Double) = {
+      walDir: String, warmWal: String): (Long, Double) = {
     val spark = session(workers, coresPerWorker, memMb)
     try {
       // wait until every executor has registered — otherwise the first
@@ -75,16 +83,63 @@ object ClusterLab {
       while (spark.sparkContext.statusTracker.getExecutorInfos.length - 1 < want &&
         System.nanoTime() < deadline) Thread.sleep(200)
       val work = s"$scratch/clab-$workers-$coresPerWorker"
-      rmrf(work)
       sys.props("graft.tasksPerSlot") = "1"
+      rmrf(work)
+      // warm with a FULL pass of the main WAL: with few executors a small
+      // warm WAL gives each forked JVM only ~1 task — not enough for C2 to
+      // compile the hot loops, and the timed run then eats multi-second
+      // JIT-storm stragglers (measured: taskMax 18 s vs 4.6 s warm)
+      val warmTable = new LakeTable(spark, s"$work/warmlake")
+      CdcStream.start(spark, warmWal, warmTable, s"$work/warmckpt",
+        maxFilesPerTrigger = 96, createBuckets = 64, mode = "l0",
+        onBatch = _ => ()).awaitTermination()
+      rmrf(s"$work/warmlake"); rmrf(s"$work/warmckpt")
       val table = new LakeTable(spark, s"$work/lake")
+      // diagnosis: tasks per executor — catches "all work on one executor" —
+      // plus per-stage wall/task stats to localize executor-vs-driver time
+      val perExec = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+      val taskTimes = new java.util.concurrent.ConcurrentHashMap[Int,
+        java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          perExec.merge(t.taskInfo.executorId, 1, (a, b) => a + b)
+          taskTimes.computeIfAbsent(t.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(t.taskInfo.duration); ()
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = s.stageInfo
+          val wall = (for { a <- info.completionTime; b <- info.submissionTime }
+            yield a - b).getOrElse(-1L)
+          val ts = Option(taskTimes.get(info.stageId)).map { q =>
+            import scala.jdk.CollectionConverters._
+            q.asScala.toSeq.sorted
+          }.getOrElse(Seq.empty)
+          if (wall > 2000)
+            println(f"[clab]   stage ${info.stageId}%3d wall=${wall / 1e3}%6.1fs " +
+              f"tasks=${info.numTasks}%3d " +
+              f"taskMed=${if (ts.nonEmpty) ts((ts.size - 1) / 2) / 1e3 else -1.0}%6.2fs " +
+              f"taskMax=${if (ts.nonEmpty) ts.last / 1e3 else -1.0}%6.2fs " +
+              s"${info.name.takeWhile(_ != '(').trim}")
+        }
+      })
       var events = 0L
-      val t0 = System.nanoTime()
+      var lastT = System.nanoTime()
+      val t0 = lastT
       CdcStream.start(spark, walDir, table, s"$work/ckpt",
-        maxFilesPerTrigger = 48, createBuckets = 64, mode = "l0",
-        onBatch = st => events += st.events)
+        maxFilesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_CLAB_FT", "96").toInt,
+        createBuckets = 64, mode = "l0",
+        onBatch = st => {
+          val now = System.nanoTime()
+          println(f"[clab]   batch ${st.batchId} events=${st.events} " +
+            f"secs=${(now - lastT) / 1e9}%.1f")
+          lastT = now
+          events += st.events
+        })
         .awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
+      println(s"[clab]   tasks/executor: ${perExec}")
       rmrf(work)
       (events, secs)
     } finally spark.stop()
@@ -97,10 +152,11 @@ object ClusterLab {
     val (wLo, wHi): (Int, Int) =
       if (args.length > 3) { val a = args(3).split(","); (a(0).toInt, a(1).toInt) }
       else (1, 4)
-    val memMb = 6144
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_CLAB_MEM", "12288").toInt
     new java.io.File(scratch).mkdirs()
 
     val wal = s"$scratch/clab-wal-$nEvents"
+    val warmWal = s"$scratch/clab-wal-warm"
     locally {
       val gen = SparkSession.builder().master("local[16]").appName("clab-gen")
         .config("spark.sql.shuffle.partitions", "32")
@@ -109,16 +165,17 @@ object ClusterLab {
         gen.sparkContext.setLogLevel("ERROR")
         if (!new java.io.File(wal).exists())
           ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 96), wal)
+        if (!new java.io.File(warmWal).exists())
+          ChangeGen.writeWal(gen, GenConfig(events = 1000000, segmentSize = 250000), warmWal)
       } finally gen.stop()
     }
 
-    // JIT warmup on both shapes, then interleaved timed pairs (the
-    // BASELINE.md protocol: interleaving cancels slow box-state drift)
-    oneRun(wLo, coresPerWorker, memMb, wal)
-    oneRun(wHi, coresPerWorker, memMb, wal)
+    // interleaved timed pairs (the BASELINE.md protocol: interleaving
+    // cancels slow box-state drift); per-run in-session warmup replaces the
+    // cross-run warmup pair (fresh executor JVMs per run)
     val runs = (1 to pairs).map { i =>
-      val lo = oneRun(wLo, coresPerWorker, memMb, wal)
-      val hi = oneRun(wHi, coresPerWorker, memMb, wal)
+      val lo = oneRun(wLo, coresPerWorker, memMb, wal, wal)
+      val hi = oneRun(wHi, coresPerWorker, memMb, wal, wal)
       println(f"[clab] pair $i: ${wLo}x$coresPerWorker=${lo._1 / lo._2}%.0f ev/s " +
         f"(${lo._2}%.1f s)  ${wHi}x$coresPerWorker=${hi._1 / hi._2}%.0f ev/s (${hi._2}%.1f s)")
       (lo._1 / lo._2, hi._1 / hi._2)

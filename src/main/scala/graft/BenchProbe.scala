@@ -154,6 +154,10 @@ object BenchProbe {
     // an order-independent checksum against the table's final live state.
     if (sys.env.get("SPARK_GRAFT_VERIFY").contains("true")) {
       import org.apache.spark.sql.functions._
+      // the checker is instrumentation, not the soak target: give its wide
+      // max_by aggregate sane parallelism even when the soak deliberately
+      // mis-sizes the session's shuffle partitions
+      spark.conf.set("spark.sql.shuffle.partitions", (cores * 4).toString)
       val wal = spark.read.parquet(walDir)
       val winners = wal.groupBy(col("url"))
         .agg(max_by(struct(wal.columns.map(col).toIndexedSeq: _*),
@@ -161,9 +165,11 @@ object BenchProbe {
         .select(col("w.*")).filter(col("op") =!= "D")
         .select(col("url"), col("text"))
       def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        // bit_xor: order-independent and overflow-free (sum of 33M 64-bit
+        // hashes overflows Long under ANSI arithmetic)
         val r = df.select(
           count(lit(1)).as("n"),
-          sum(xxhash64(col("url"), col("text"))).as("h")).head()
+          expr("bit_xor(xxhash64(url, text))").as("h")).head()
         (r.getLong(0), r.getLong(1))
       }
       val expect = sig(winners)

@@ -55,28 +55,8 @@ object BenchProbe {
     val spark = session(s"probe-$cores-$parts")
     // Per-stage wall + task-skew report (straggler diagnosis): for each stage,
     // wall time, task count, and max/median task runtime.
-    if (sys.env.get("SPARK_GRAFT_STAGES").contains("true")) {
-      import org.apache.spark.scheduler._
-      val taskTimes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-      spark.sparkContext.addSparkListener(new SparkListener {
-        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-          taskTimes.computeIfAbsent(t.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-            .add(t.taskInfo.duration)
-        }
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-          val info = s.stageInfo
-          val wall = (for { a <- info.completionTime; b <- info.submissionTime } yield a - b).getOrElse(-1L)
-          val ts = Option(taskTimes.get(info.stageId)).map(q => {
-            import scala.jdk.CollectionConverters._
-            q.asScala.toSeq.sorted
-          }).getOrElse(Seq.empty)
-          val med = if (ts.nonEmpty) ts((ts.size - 1) / 2) else -1L
-          val mx = if (ts.nonEmpty) ts.last else -1L
-          println(f"[stage] id=${info.stageId}%3d wall=${wall / 1e3}%7.2fs tasks=${info.numTasks}%3d " +
-            f"taskMed=${med / 1e3}%6.2fs taskMax=${mx / 1e3}%6.2fs  ${info.name.takeWhile(_ != '(').trim}")
-        }
-      })
-    }
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("true"))
+      spark.sparkContext.addSparkListener(StageStats.listener("[stage]"))
     if (!new java.io.File(walDir).exists()) {
       println(s"[probe] generating $nEvents events into $walDir")
       ChangeGen.writeWal(spark, GenConfig(events = nEvents, segmentSize = nEvents / 96), walDir)

@@ -73,7 +73,7 @@ object ClusterLab {
     * criterion).
     */
   private def oneRun(workers: Int, coresPerWorker: Int, memMb: Int,
-      walDir: String, warmWal: String): (Long, Double) = {
+      walDir: String): (Long, Double) = {
     val spark = session(workers, coresPerWorker, memMb)
     try {
       // wait until every executor has registered — otherwise the first
@@ -90,40 +90,20 @@ object ClusterLab {
       // compile the hot loops, and the timed run then eats multi-second
       // JIT-storm stragglers (measured: taskMax 18 s vs 4.6 s warm)
       val warmTable = new LakeTable(spark, s"$work/warmlake")
-      CdcStream.start(spark, warmWal, warmTable, s"$work/warmckpt",
+      CdcStream.start(spark, walDir, warmTable, s"$work/warmckpt",
         maxFilesPerTrigger = 96, createBuckets = 64, mode = "l0",
         onBatch = _ => ()).awaitTermination()
       rmrf(s"$work/warmlake"); rmrf(s"$work/warmckpt")
       val table = new LakeTable(spark, s"$work/lake")
       // diagnosis: tasks per executor — catches "all work on one executor" —
-      // plus per-stage wall/task stats to localize executor-vs-driver time
+      // plus the shared per-stage wall/task-skew reporter
       val perExec = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
-      val taskTimes = new java.util.concurrent.ConcurrentHashMap[Int,
-        java.util.concurrent.ConcurrentLinkedQueue[Long]]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          perExec.merge(t.taskInfo.executorId, 1, (a, b) => a + b)
-          taskTimes.computeIfAbsent(t.stageId,
-            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-            .add(t.taskInfo.duration); ()
-        }
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val info = s.stageInfo
-          val wall = (for { a <- info.completionTime; b <- info.submissionTime }
-            yield a - b).getOrElse(-1L)
-          val ts = Option(taskTimes.get(info.stageId)).map { q =>
-            import scala.jdk.CollectionConverters._
-            q.asScala.toSeq.sorted
-          }.getOrElse(Seq.empty)
-          if (wall > 2000)
-            println(f"[clab]   stage ${info.stageId}%3d wall=${wall / 1e3}%6.1fs " +
-              f"tasks=${info.numTasks}%3d " +
-              f"taskMed=${if (ts.nonEmpty) ts((ts.size - 1) / 2) / 1e3 else -1.0}%6.2fs " +
-              f"taskMax=${if (ts.nonEmpty) ts.last / 1e3 else -1.0}%6.2fs " +
-              s"${info.name.takeWhile(_ != '(').trim}")
+          perExec.merge(t.taskInfo.executorId, 1, (a, b) => a + b); ()
         }
       })
+      spark.sparkContext.addSparkListener(StageStats.listener("[clab]  ", minWallMs = 2000))
       var events = 0L
       var lastT = System.nanoTime()
       val t0 = lastT
@@ -156,7 +136,6 @@ object ClusterLab {
     new java.io.File(scratch).mkdirs()
 
     val wal = s"$scratch/clab-wal-$nEvents"
-    val warmWal = s"$scratch/clab-wal-warm"
     locally {
       val gen = SparkSession.builder().master("local[16]").appName("clab-gen")
         .config("spark.sql.shuffle.partitions", "32")
@@ -165,8 +144,6 @@ object ClusterLab {
         gen.sparkContext.setLogLevel("ERROR")
         if (!new java.io.File(wal).exists())
           ChangeGen.writeWal(gen, GenConfig(events = nEvents, segmentSize = nEvents / 96), wal)
-        if (!new java.io.File(warmWal).exists())
-          ChangeGen.writeWal(gen, GenConfig(events = 1000000, segmentSize = 250000), warmWal)
       } finally gen.stop()
     }
 
@@ -174,8 +151,8 @@ object ClusterLab {
     // cancels slow box-state drift); per-run in-session warmup replaces the
     // cross-run warmup pair (fresh executor JVMs per run)
     val runs = (1 to pairs).map { i =>
-      val lo = oneRun(wLo, coresPerWorker, memMb, wal, wal)
-      val hi = oneRun(wHi, coresPerWorker, memMb, wal, wal)
+      val lo = oneRun(wLo, coresPerWorker, memMb, wal)
+      val hi = oneRun(wHi, coresPerWorker, memMb, wal)
       println(f"[clab] pair $i: ${wLo}x$coresPerWorker=${lo._1 / lo._2}%.0f ev/s " +
         f"(${lo._2}%.1f s)  ${wHi}x$coresPerWorker=${hi._1 / hi._2}%.0f ev/s (${hi._2}%.1f s)")
       (lo._1 / lo._2, hi._1 / hi._2)

@@ -51,19 +51,36 @@ object Multimodal {
     * codec, and [[FakeCodec]] remains the deterministic stand-in the
     * cross-modality oracle queries use).
     */
-  def realCodec(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
+  /** Guarded in-memory decode shared by [[realCodec]] and [[imageStats]]:
+    * mime check, then ImageIO over a MemoryCacheImageInputStream — the
+    * default `ImageIO.read(InputStream)` spools through a temp FILE in
+    * java.io.tmpdir (useCache=true), needless disk I/O per image when the
+    * bytes are already in memory.
+    */
+  private def decodeImage(r: MediaRow): java.awt.image.BufferedImage = {
     require(r.mime != null && r.mime.startsWith("image/"),
       s"no in-container codec for mime '${r.mime}' (JDK ImageIO decodes images only)")
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(r.bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself (unlike the
+    // InputStream overload) — closing again throws
+    val img = javax.imageio.ImageIO.read(in)
     require(img != null, s"undecodable image payload (mime '${r.mime}')")
+    img
+  }
+
+  def realCodec(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { r =>
+    val img = decodeImage(r)
     val (w, h) = (img.getWidth, img.getHeight)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val row = new Array[Int](w)
     val buf = java.nio.ByteBuffer.allocate(4 * w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w) // bulk row read, not w point calls
       buf.clear()
       var x = 0
-      while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+      while (x < w) { buf.putInt(row(x)); x += 1 }
       md.update(buf.array(), 0, 4 * w)
       y += 1
     }
@@ -85,15 +102,16 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-          require(img != null, s"undecodable image payload (mime '${r.mime}')")
+          val img = decodeImage(r)
           val (w, h) = (img.getWidth, img.getHeight)
+          val row = new Array[Int](w)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val p = img.getRGB(x, y)
+              val p = row(x)
               sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
               x += 1
             }

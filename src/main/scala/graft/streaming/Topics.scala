@@ -37,12 +37,19 @@ object Topics {
   /** Streaming subscribe: tail the topic; each subscriber tracks its own
     * position via its query checkpoint (fan-out: any number of independent
     * subscribers, like the reference's `subscribe.cpp` multi-consumer
-    * semantics).
+    * semantics). Stamps `@import_time` like the batch twin — per micro-batch
+    * (`current_timestamp()` is batch-constant in streaming), the closest
+    * streaming analogue of the reference's per-slice import time — unless
+    * the publisher already attached one.
     */
   def subscribeStream(spark: SparkSession, topicDir: String, schema: StructType,
-      maxFilesPerTrigger: Int = 16): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val df = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(topicDir)
+    if (df.columns.contains(graft.core.IngestClock.Column)) df
+    else df.withColumn(graft.core.IngestClock.Column,
+      org.apache.spark.sql.functions.current_timestamp())
+  }
 }

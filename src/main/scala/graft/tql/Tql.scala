@@ -85,9 +85,11 @@ object Tql {
     * `every 1s { from … } | enumerate` numbers rows across runs, the
     * `every.md` example). `clock`/`sleeper` are injectable for tests, same
     * contract as [[graft.streaming.Cron.schedule]]. For `every`, fires sit
-    * on the fixed interval grid from the first (immediate) run; a body
-    * slower than the interval starts the next run immediately (the
-    * reference's catch-up rule).
+    * on the fixed interval grid from the first (immediate) run; a body that
+    * OVERRUNS its interval re-syncs to the next grid slot at or after now —
+    * missed slots are skipped, never replayed as a catch-up burst
+    * (Cron.schedule's rule; reference every_cron.cpp delta < 0 →
+    * next_after(now)).
     */
   def schedule(spark: org.apache.spark.sql.SparkSession, pipeline: String, maxRuns: Int,
       clock: () => java.time.Instant = () => java.time.Instant.now(),
@@ -114,12 +116,14 @@ object Tql {
           outs += runBody()
           i += 1
           if (i < maxRuns) {
-            // on overrun, re-sync to the next FUTURE grid slot instead of
-            // replaying every missed slot as a back-to-back catch-up burst
-            // (Cron.schedule's rule; reference every_cron.cpp: delta < 0 →
-            // next_after(now))
+            // on overrun, re-sync to the next grid slot AT or after now
+            // instead of replaying every missed slot as a back-to-back
+            // catch-up burst (Cron.schedule's rule; reference every_cron.cpp:
+            // delta < 0 → next_after(now)). Ceiling division: a body ending
+            // exactly ON a boundary fires at that boundary (delta == 0 is
+            // on time, not missed).
             val nowMs = clock().toEpochMilli
-            slot = math.max(slot + 1, (nowMs - startMs) / intervalMs + 1)
+            slot = math.max(slot + 1, (nowMs - startMs + intervalMs - 1) / intervalMs)
             val wait = startMs + slot * intervalMs - nowMs
             if (wait > 0) sleeper(wait)
           }

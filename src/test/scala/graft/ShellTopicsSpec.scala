@@ -64,7 +64,10 @@ class ShellTopicsSpec extends SparkSpec {
         q.processAllAvailable()
         Topics.publish(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), topic)
         q.processAllAvailable()
-        val got = spark.table("sub").as[(Long, String)].collect().toSet
+        // streaming subscribers stamp @import_time per micro-batch too
+        assert(spark.table("sub").columns.contains("@import_time"))
+        assert(spark.table("sub").filter(col("`@import_time`").isNull).count() == 0)
+        val got = spark.table("sub").select("id", "v").as[(Long, String)].collect().toSet
         assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(topic))

@@ -238,6 +238,33 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(table.lineageLog == log)
   }
 
+  test("appendedOnly commit hint: delta-equivalent to the diff, misuse rejected") {
+    import graft.lake.{DataFile, ManifestCodec}
+    val table = new LakeTable(spark, tmpDir())
+    var s = table.create(graft.core.Schemas.page, buckets = 4)
+    def f(i: Int) = DataFile(s"/fake/h$i.parquet", i % 4, 0, 10, 100, i, i, i, i)
+    // hinted commit writes the same delta the unhinted diff would
+    s = table.commit(s.copy(files = s.files :+ f(0)), appendedOnly = Some(Seq(f(0))))
+    val d = ManifestCodec.deltaFromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${table.root}/manifests/${s.manifests.last}")))
+    assert(d.added.map(_.path) == Seq("/fake/h0.parquet") && d.removedPaths.isEmpty)
+    // a fresh reader resolves the identical list either way
+    assert(new LakeTable(spark, table.root).currentSnapshot.get.files.map(_.path)
+      == Seq("/fake/h0.parquet"))
+    // misuse: hinting while the snapshot also REMOVED a file fails the O(1)
+    // size check instead of silently dropping the removal from the delta
+    val bad = s.copy(files = Seq(f(1))) // replaces h0 with h1
+    val err = intercept[IllegalArgumentException](
+      table.commit(bad, appendedOnly = Some(Seq(f(1)))))
+    assert(err.getMessage.contains("hint inconsistent"))
+    // empty-batch form: Some(Nil) with unchanged files is a metadata commit
+    s = table.currentSnapshot.get
+    val s2 = table.commit(s.copy(watermarks = s.watermarks + ("q" -> 7L)),
+      appendedOnly = Some(Nil))
+    assert(s2.watermarks("q") == 7L)
+    assert(s2.files.map(_.path) == Seq("/fake/h0.parquet"))
+  }
+
   test("manifest-list indirection: O(batch) deltas, consolidation, resolution, GC") {
     import graft.lake.{DataFile, ManifestCodec}
     val table = new LakeTable(spark, tmpDir())

@@ -599,6 +599,16 @@ class TqlSpec extends SparkSpec {
     val err2 = intercept[IllegalArgumentException](
       Tql("let $c = map([1], x => x + value)"))
     assert(err2.getMessage.contains("constant"))
+    // nested lambdas over a list of lists; the inner parameter may even
+    // SHADOW the outer one (innermost wins, as in SQL `x -> ... x -> ...`)
+    val nested = Seq((1L, Seq(Seq(1, 2, 3), Seq(4, 5)))).toDF("id", "xss")
+    val inner = Tql("""
+      sums = map(xss, xs => join(map(where(xs, v => v >= 2), v => string(v * 10)), "-"))
+      select id, s = join(sums, "|")
+    """)(nested)
+    assert(inner.as[(Long, String)].head() == (1L, "20-30|40-50"))
+    val shadowed = Tql("""m = map(xss, x => join(map(x, x => string(x)), ",")) | select m""")(nested)
+    assert(shadowed.select(element_at(col("m"), 1)).as[String].head() == "1,2,3")
   }
 
   test("if lowering: per-branch pushed scans by default, cache-once on demand") {

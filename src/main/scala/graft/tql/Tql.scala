@@ -179,16 +179,25 @@ object Tql {
       case other => sys.error(s"tql: no writer for extension '.$other' (to $path)")
     }
 
+  /** The event RECORD's columns — metadata (`@`-prefixed) lives beside the
+    * event, not in it (same rule as `this`), so serializing sinks and
+    * record-shaped hashing exclude it.
+    */
+  private[tql] def recordCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(_.startsWith("@"))
+
   /** Events rendered as one NDJSON string column — what the byte-oriented
     * sinks (`save_email`, `to_opensearch`) consume. The reference's
     * connector pipelines insert a `write_ndjson` printer the same way
-    * (`email.cpp` defaults the body printer to JSON).
+    * (`email.cpp` defaults the body printer to JSON). Ships the event
+    * record only: `@` metadata (e.g. the reader-stamped `@import_time`)
+    * stays out of the serialized document.
     */
   private[tql] def renderLines(df: DataFrame): DataFrame =
     // backtick-quote: flattened frames have dotted top-level column names;
     // keep nulls so the shipped docs have a uniform shape
     df.select(to_json(
-      struct(df.columns.map(n => col(s"`$n`")).toIndexedSeq: _*),
+      struct(recordCols(df).map(n => col(s"`$n`")): _*),
       Map("ignoreNullFields" -> "false")).as("value"))
 
   // ------------------------------------------------------------------ lexer
@@ -213,13 +222,29 @@ object Tql {
         val c = s(i)
         if (c == '\n') { if (depth == 0) out += Sep; i += 1 }
         else if (c.isWhitespace) i += 1
+        // adjacent pipes are the boolean-or operator; a single pipe is the
+        // statement separator (without this, the parser's documented `||`
+        // branch was unreachable — two Seps were emitted instead)
+        else if (c == '|' && i + 1 < s.length && s(i + 1) == '|') {
+          out += Punct("||"); i += 2
+        }
         else if (c == '|') { out += Sep; i += 1 }
         else if (c == '#') { while (i < s.length && s(i) != '\n') i += 1 } // comment
         else if (c == '"') {
           val sb = new StringBuilder; i += 1
           while (i < s.length && s(i) != '"') {
-            if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
-            else { sb += s(i); i += 1 }
+            if (s(i) == '\\' && i + 1 < s.length) {
+              // standard escapes (the reference's string grammar); an
+              // unknown escape keeps the character verbatim (\" \\ work)
+              sb += (s(i + 1) match {
+                case 'n' => '\n'
+                case 't' => '\t'
+                case 'r' => '\r'
+                case '0' => '\u0000'
+                case other => other
+              })
+              i += 2
+            } else { sb += s(i); i += 1 }
           }
           require(i < s.length, "unterminated string literal")
           i += 1
@@ -296,8 +321,14 @@ object Tql {
     def run(df: DataFrame): DataFrame =
       body.foldLeft(new State(df, Nil))((s, x) => x(s)).df
     // the body replaces the frame, so the outer sort context does not
-    // survive it (same convention as `summarize`)
-    def apply(st: State): State = new State(run(st.df), Nil, st.groupKeys)
+    // survive it (same convention as `summarize`). Inside a `group { }` the
+    // per-key subpipeline semantics would be silently ignored — reject,
+    // like the other whole-frame statements (if/top/chart).
+    def apply(st: State): State = {
+      require(st.groupKeys.isEmpty,
+        "tql: every/cron inside group is not supported")
+      new State(run(st.df), Nil, st.groupKeys)
+    }
   }
 
   private class Parser(toks: Vector[Tok]) {
@@ -311,7 +342,6 @@ object Tql {
     }
     private def expect(p: String): Unit =
       require(accept(p), s"tql: expected '$p' at token ${peek.getOrElse("<end>")}")
-    private def atStatementEnd: Boolean = peek.forall(_ == Sep)
 
     def parsePipeline(): Seq[Stmt] = {
       val stmts = Seq.newBuilder[Stmt]
@@ -358,11 +388,17 @@ object Tql {
         val cond = parseExpr()
         expect("{")
         val thenStmts = parseSubpipeline()
-        val elseStmts: Seq[Stmt] =
+        val elseStmts: Seq[Stmt] = {
+          // `else` may sit on its own line after the closing `}` (Allman
+          // style): look past separators, consuming them ONLY when an else
+          // actually follows — otherwise they stay statement separators
+          val mark = pos
+          while (peek.contains(Sep)) next()
           if (acceptIdent("else")) peek match {
             case Some(Ident("if")) => Seq(parseStatement()) // else-if chain
             case _ => expect("{"); parseSubpipeline()
-          } else Nil
+          } else { pos = mark; Nil }
+        }
         st => {
           requireUngrouped(st, "if")
           def run(stmts: Seq[Stmt])(d: DataFrame): DataFrame =
@@ -450,7 +486,7 @@ object Tql {
         st => if (st.grouped) rnAtMost(st, st.window, n) else st.next(st.df.limit(n))
       case Ident("enumerate") =>
         val field = peek match {
-          case Some(Ident(f)) if !atStatementEnd => next(); f
+          case Some(Ident(f)) => next(); f
           case _ => "index"
         }
         st =>
@@ -463,6 +499,10 @@ object Tql {
       case Ident("slice") =>
         val begin = parseSignedInt(); expect(":"); val end = parseSignedInt()
         val stride = if (accept(":")) parseInt() else 1
+        // reject at parse: stride 0 would silently drop every row on the
+        // grouped path (pmod by zero → null) while the ungrouped path
+        // treats it as 1 — same input, contradictory results
+        require(stride >= 1, s"tql: slice stride must be >= 1, got $stride")
         st =>
           if (st.grouped) groupSlice(st, begin, end, stride)
           else {
@@ -520,8 +560,11 @@ object Tql {
         // Scala surface, it needs a time column + period config)
         val fraction = { val Num(n) = next(): @unchecked; n.toDouble }
         require(fraction >= 0 && fraction <= 1, "tql: sample expects a fraction in [0,1]")
+        // hash the event RECORD only: a per-run @import_time stamp in the
+        // hash input would select a different subset on every re-run,
+        // breaking the sample's determinism contract
         st => st.next(st.df.sample_(fraction,
-          st.df.columns.map(n => col(s"`$n`")).toIndexedSeq))
+          Tql.recordCols(st.df).map(n => col(s"`$n`"))))
       case Ident("timeshift") =>
         // timeshift <field>, by=<seconds> — pure column arithmetic
         val f = parsePath().mkString(".")
@@ -660,8 +703,14 @@ object Tql {
         val path = parseStringLit("from")
         st => st.next(graft.core.IngestClock.stamp(readPath(st.df.sparkSession, path)))
       case Ident("to") =>
+        // writes the event RECORD — `@` metadata stays out of the bytes
+        // (same rule as `this`/renderLines; the lake `import` statement is
+        // the one sink that deliberately STORES @import_time, as payload)
         val path = parseStringLit("to")
-        st => { writePath(st.df, path); st }
+        st => {
+          writePath(st.df.select(Tql.recordCols(st.df).map(n => col(s"`$n`")): _*), path)
+          st
+        }
       case Ident("save_email") =>
         // save_email "<to>"[, endpoint="smtp://…", from="…", subject="…"]
         // (connectors/email.cpp option surface; events render as NDJSON)
@@ -693,8 +742,20 @@ object Tql {
           val k = parsePath().mkString("."); expect("="); val v = parsePath().mkString("."); (k, v)
         }
         st => {
-          // probe columns may differ from context key names: alias, join, restore
-          val ctx = keys.foldLeft(context(name))((d, kv) => d.withColumnRenamed(kv._1, kv._2))
+          // probe columns may differ from context key names: alias, join,
+          // restore. Renaming key k→probe must not collide with a column
+          // the context ALREADY has under the probe name (or with another
+          // rename's target) — that would produce a duplicate column and an
+          // ambiguous join; fail with the cause instead.
+          val base = context(name)
+          keys.foreach { case (k, probe) =>
+            require(k == probe || !base.columns.contains(probe),
+              s"tql: enrich key rename '$k=$probe' collides with context " +
+                s"column '$probe' in '$name'")
+          }
+          require(keys.map(_._2).distinct.size == keys.size,
+            "tql: enrich probe fields must be distinct")
+          val ctx = keys.foldLeft(base)((d, kv) => d.withColumnRenamed(kv._1, kv._2))
           st.next(st.df.enrich_(ctx, keys.map(_._2)))
         }
       case Ident(ct) if ct.startsWith("chart_") =>
@@ -717,9 +778,15 @@ object Tql {
         st => { requireUngrouped(st, "chart"); st.next(st.df.chart_(ty, x, ysr, resolution = resolution)) }
       case Ident("summarize") =>
         val (groups, aggs) = parseSummarizeItems()
-        st => new State(
-          st.df.summarize_(st.groupKeys.map(k => col(k).as(k)) ++ groups, aggs: _*),
-          Nil, st.groupKeys)
+        st => {
+          val keys = st.groupKeys.map(k => col(k).as(k)) ++ groups
+          // group keys with NO aggregations is the reference's
+          // distinct-by-key form (summarize.md: "Aggregations are optional")
+          val out =
+            if (aggs.isEmpty) st.df.select(keys: _*).distinct()
+            else st.df.summarize_(keys, aggs: _*)
+          new State(out, Nil, st.groupKeys)
+        }
       case Ident("group") =>
         val keys = parseFieldList()
         expect("{")
@@ -1121,8 +1188,14 @@ object Tql {
     "ends_with" -> fn2((a, b) => a.endsWith(b)),
     "contains" -> fn2((a, b) => a.contains(b)),
     "substring" -> { case Seq(a, b, c) => a.substr(b, c) },
-    "replace" -> { case Seq(a, b, c) => regexp_replace(a, b, c) },
-    "split" -> fn2((a, b) => split(a, b)),
+    // the reference's replace/split take LITERAL patterns — the regex
+    // variants are separate functions (string.md): `replace(s, ".", "_")`
+    // must replace dots, not every character. Literal split goes through a
+    // \Q…\E-quoted regex so any expression works as the separator.
+    "replace" -> { case Seq(a, b, c) => replace(a, b, c) },
+    "replace_regex" -> { case Seq(a, b, c) => regexp_replace(a, b, c) },
+    "split" -> fn2((a, b) => split(a, concat(lit("\\Q"), b, lit("\\E")))),
+    "split_regex" -> fn2((a, b) => split(a, b)),
     // array_join's Scala signature wants a literal String; go through the
     // Catalyst node so any string expression works as the separator
     "join" -> fn2((a, sep) => org.apache.spark.sql.GraftExpr.column(

@@ -631,6 +631,71 @@ class TqlSpec extends SparkSpec {
     } finally sys.props.remove("graft.tql.ifCache")
   }
 
+  test("string-surface fidelity: literal replace/split, escapes, ||, summarize keys") {
+    // replace/split are LITERAL (the reference separates the regex variants)
+    val lit = Tql("""r = replace(user, "a", "_") | s = join(split(method, "E"), "-")
+      | rr = replace_regex(user, "a+", "X") | select id, r, s, rr""")(df)
+    val row = lit.filter(col("id") === 1L).head()
+    assert(row.getString(1) == "_lph_")   // not every-char (regex '.') semantics
+    assert(row.getString(2) == "G-T")     // split on literal E
+    assert(row.getString(3) == "XlphX") // regex variant: every a+ run
+    // a regex metacharacter as a literal separator must not explode the string
+    val dot = Tql("""p = join(split(user, "."), "/") | select p""")(
+      Seq("a.b.c").toDF("user"))
+    assert(dot.as[String].head() == "a/b/c")
+    // standard string escapes reach the data
+    val esc = Tql("""t = concat(user, "\t", "\n") | n = length(t) | select n""")(
+      Seq("x").toDF("user"))
+    assert(esc.as[Long].head() == 3L) // x + tab + newline
+    // || spells or (single | stays the statement separator)
+    val orq = Tql("""where status == 200 || status == 404 | select id""")(df)
+    assert(orq.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+    // summarize with only keys = distinct-by-key (no opaque crash)
+    val dk = Tql("""summarize user""")(df)
+    assert(dk.as[String].collect().sorted.toSeq == Seq("alpha", "beta", "gamma"))
+    // slice stride 0 rejected at parse, both paths
+    val sErr = intercept[IllegalArgumentException](Tql("sort id | slice 0:10:0"))
+    assert(sErr.getMessage.contains("stride"))
+    // `else` on its own line parses (Allman style)
+    val allman = Tql("sort value | if status == 200 { sev = \"ok\" }\nelse { sev = \"bad\" }\nselect id, sev")(df)
+    assert(allman.filter(col("sev") === "ok").count() == 3)
+    // every/cron inside group is rejected, not silently global
+    val gErr = intercept[IllegalArgumentException](
+      Tql("""group user { every 1h { pass } }""")(df))
+    assert(gErr.getMessage.contains("inside group"))
+    // enrich key-rename collisions fail with the cause
+    graft.tql.Tql.registerContext("t_ctx",
+      Seq((200L, "ok", "dup")).toDF("code", "info", "status"))
+    try {
+      val eErr = intercept[IllegalArgumentException](
+        Tql("""enrich "t_ctx", code=status""")(df))
+      assert(eErr.getMessage.contains("collides"))
+    } finally graft.tql.Tql.dropContext("t_ctx")
+  }
+
+  test("@ metadata stays out of byte sinks and the sample hash") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"x": 1, "y": "a"}""".getBytes("UTF-8"))
+    // from stamps @import_time; to must NOT serialize it
+    Tql.run(spark, s"""from "$dir/in.json" | to "$dir/out.json"""")
+    val out = spark.read.json(s"$dir/out.json")
+    assert(!out.columns.exists(_.startsWith("@")), out.columns.toSeq.toString)
+    assert(out.columns.toSet == Set("x", "y"))
+    // sample's deterministic hash ignores the per-run stamp: same subset
+    // across two runs with different stamps
+    val fixed1 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val fixed2 = java.time.Instant.parse("2026-02-02T00:00:00Z")
+    val prev = graft.core.IngestClock.now
+    def ids(at: java.time.Instant): Seq[Long] = {
+      graft.core.IngestClock.now = () => at
+      Tql(s"""sample 0.5 | select id""")(
+        graft.core.IngestClock.stamp(df)).as[Long].collect().sorted.toSeq
+    }
+    try assert(ids(fixed1) == ids(fixed2))
+    finally graft.core.IngestClock.now = prev
+  }
+
   test("compiled plan is identical to the hand-written DataFrame plan") {
     val tql = Tql("where status == 200 | summarize user, n=count()")(df)
     val hand = df.filter(col("status") === lit(200L))

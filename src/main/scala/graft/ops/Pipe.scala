@@ -61,12 +61,20 @@ object Pipe {
     }
 
     /** `unflatten` — inverse of flatten: dotted names → nested structs
-      * (reference `unflatten.cpp`).
+      * (reference `unflatten.cpp`). A plain column colliding with a dotted
+      * prefix (`a` beside `a.b`) would yield two output columns named `a` —
+      * ambiguous downstream and unwritable to parquet — so it is rejected
+      * with the cause.
       */
     def unflatten_(sep: String = "."): DataFrame = {
       // group columns by first path segment; recurse
       def build(cols: Seq[(List[String], Column)]): Seq[Column] = {
         val (leaves, nested) = cols.partition(_._1.lengthCompare(1) == 0)
+        val leafNames = leaves.map(_._1.head).toSet
+        nested.map(_._1.head).distinct.foreach { head =>
+          require(!leafNames.contains(head),
+            s"unflatten: column '$head' collides with nested group '$head$sep*'")
+        }
         val leafCols = leaves.map { case (name :: Nil, c) => c.as(name); case _ => sys.error("unreachable") }
         val nestedCols = nested.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (head, group) =>
           val children = build(group.map { case (path, c) => (path.tail, c) })
@@ -76,6 +84,16 @@ object Pipe {
       }
       val parts = df.columns.toSeq.map(n => (n.split(java.util.regex.Pattern.quote(sep)).toList, col(s"`$n`")))
       df.select(build(parts): _*)
+    }
+
+    /** Internal working columns must not clobber user data: the operators
+      * below add `__`-prefixed temps; a same-named input column would be
+      * silently destroyed or make the plan ambiguous — reject with the cause
+      * (same pattern as frontierSchedule_).
+      */
+    private def requireFresh(names: String*): Unit = names.foreach { n =>
+      require(!df.columns.contains(n),
+        s"operator uses internal column '$n' but the frame already has one — rename it first")
     }
 
     /** `unroll field` — one event per list element (reference `unroll.cpp`).
@@ -100,6 +118,7 @@ object Pipe {
       * input).
       */
     def enumerate_(orderBy: Seq[Column], field: String = "index"): DataFrame = {
+      requireFresh("__pid")
       val parts = df.sparkSession.sessionState.conf.numShufflePartitions
       // persist: the offsets job and the final job MUST see the identical
       // range partitioning — the range partitioner re-samples per execution
@@ -129,6 +148,7 @@ object Pipe {
       * expiry is a streaming concern → `dropDuplicatesWithinWatermark` there).
       */
     def deduplicate_(keys: Seq[String], order: Seq[Column], limit: Int = 1): DataFrame = {
+      requireFresh("__rn")
       val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= limit).drop("__rn")
     }
@@ -142,6 +162,7 @@ object Pipe {
       * funnel.
       */
     def deduplicateDistance_(keys: Seq[String], order: Seq[Column], distance: Long): DataFrame = {
+      requireFresh("__seq", "__prev")
       val seq = "__seq"
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seq))
       enumerate_(order, seq)
@@ -232,9 +253,12 @@ object Pipe {
     /** `summarize group…, agg…` — hash aggregate with map-side partials
       * (reference `summarize.cpp:47-170`).
       */
-    def summarize_(groupBy: Seq[Column], aggs: Column*): DataFrame =
+    def summarize_(groupBy: Seq[Column], aggs: Column*): DataFrame = {
+      require(aggs.nonEmpty,
+        "summarize_ needs at least one aggregation (keys-only distinct is select+distinct)")
       if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(groupBy: _*).agg(aggs.head, aggs.tail: _*)
+    }
 
     /** `sample fraction` — deterministic hash-based sampling (the reference's
       * adaptive `sample.cpp` is rate-driven; at cluster scale a seeded hash
@@ -256,10 +280,7 @@ object Pipe {
         defaultRate: Double, idCols: Seq[Column], seed: Long = 42L): DataFrame = {
       require(rates.nonEmpty, "rates must not be empty")
       val rate = Pipe.rateColumn(rates, defaultRate, strat)
-      val u = pmod(graft.functions.Text.md5h60(
-        concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*)),
-        lit(1000000L)).cast("double") / lit(1000000.0)
-      df.filter(u < rate)
+      df.filter(Pipe.idUniform(idCols, seed) < rate)
     }
 
     /** Deterministic corpus shuffle — the training-order randomization pass
@@ -272,9 +293,7 @@ object Pipe {
       */
     def shuffle_(idCols: Seq[Column], seed: Long = 42L,
         field: String = "shuffle_pos"): DataFrame = {
-      val h = graft.functions.Text.md5h60(
-        concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*))
-      df.enumerate_(h +: idCols.map(c => c.asc), field)
+      df.enumerate_(Pipe.idHash(idCols, seed) +: idCols.map(c => c.asc), field)
     }
 
     /** Deterministic train/valid/test split: assign each row a split label by
@@ -291,9 +310,7 @@ object Pipe {
       require(fractions.forall(_._2 > 0), "fractions must be positive")
       require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
         "fractions must sum to 1")
-      val u = pmod(graft.functions.Text.md5h60(
-        concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*)),
-        lit(1000000L)).cast("double") / lit(1000000.0)
+      val u = Pipe.idUniform(idCols, seed)
       val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
       val label = fractions.zip(cum).init
         .foldLeft(Option.empty[Column]) { case (acc, ((name, _), t)) =>
@@ -317,17 +334,39 @@ object Pipe {
       */
     def sampleAdaptive_(timeCol: Column, periodSec: Long, targetPerPeriod: Long,
         keyCol: Column): DataFrame = {
+      val (kept, _) = rateSampled(timeCol, periodSec, keyCol,
+        prev => greatest(lit(1L), floor(prev / targetPerPeriod).cast("long")))
+      kept.drop("__b", "__k")
+    }
+
+    /** Shared rate-sampler scaffold ([[sampleAdaptive_]]/[[sampleRate_]]):
+      * one tiny aggregate over period buckets, a driver-scale lag window,
+      * and a broadcast join back — the event stream itself is never
+      * shuffled. `kOfPrev` derives the 1-in-k rate from the PREVIOUS PERIOD
+      * IN TIME's count: an empty period between buckets counts as 0 (the
+      * reference's per-period windows snap back after silence — they never
+      * look past an empty period to an older count), and the first period's
+      * "previous" is 0 too. Rows with NULL timestamps have no period to
+      * govern them: they pass 1:1 (left join misses → k = 1) and are
+      * excluded from the lag chain so they cannot feed any period's rate.
+      * Returns (filtered frame still carrying `__b`/`__k`, the key hash).
+      */
+    private def rateSampled(timeCol: Column, periodSec: Long, keyCol: Column,
+        kOfPrev: Column => Column): (DataFrame, Column) = {
+      requireFresh("__b", "__k", "__n")
       val bucket = floor(unix_timestamp(timeCol) / periodSec).cast("long")
-      val perBucket = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__n"))
+      val perBucket = df.select(bucket.as("__b")).filter(col("__b").isNotNull)
+        .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
       val w = Window.orderBy(col("__b")) // #periods rows — driver-scale
-      val rates = perBucket.withColumn("__k",
-        greatest(lit(1L),
-          floor(coalesce(lag(col("__n"), 1).over(w), lit(0L)) / targetPerPeriod).cast("long")))
+      val prevAdjacent = when(lag(col("__b"), 1).over(w) === col("__b") - 1,
+        lag(col("__n"), 1).over(w)).otherwise(lit(0L))
+      val rates = perBucket.withColumn("__k", kOfPrev(prevAdjacent))
         .select(col("__b"), col("__k"))
-      df.withColumn("__b", bucket)
+      val h = graft.functions.Text.md5h60(keyCol.cast("string"))
+      val kept = df.withColumn("__b", bucket)
         .join(broadcast(rates), Seq("__b"), "left")
-        .filter(pmod(graft.functions.Text.md5h60(keyCol.cast("string")), coalesce(col("__k"), lit(1L))) === 0)
-        .drop("__b", "__k")
+        .filter(pmod(h, coalesce(col("__k"), lit(1L))) === 0)
+      (kept, h)
     }
 
     /** `sample period, mode=…, min_events=…, max_rate=…, max_samples=…` —
@@ -355,19 +394,14 @@ object Pipe {
         case "sqrt" => sqrt(_)
         case other => throw new IllegalArgumentException(s"sample mode: $other")
       }
-      val bucket = floor(unix_timestamp(timeCol) / periodSec).cast("long")
-      val perBucket = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("__n"))
-      val w = Window.orderBy(col("__b")) // #periods rows — driver-scale
-      val prev = lag(col("__n"), 1).over(w)
-      val raw = greatest(lit(1L), floor(fn(prev.cast("double"))).cast("long"))
-      val capped = maxRate.fold(raw)(m => least(raw, lit(m)))
-      val rates = perBucket.withColumn("__k",
-          when(prev.isNull || prev < minEvents, lit(1L)).otherwise(capped))
-        .select(col("__b"), col("__k"))
-      val h = graft.functions.Text.md5h60(keyCol.cast("string"))
-      val kept = df.withColumn("__b", bucket)
-        .join(broadcast(rates), Seq("__b"), "left")
-        .filter(pmod(h, coalesce(col("__k"), lit(1L))) === 0)
+      requireFresh("__rn")
+      val (kept, h) = rateSampled(timeCol, periodSec, keyCol, prev => {
+        val raw = greatest(lit(1L), floor(fn(prev.cast("double"))).cast("long"))
+        val capped = maxRate.fold(raw)(m => least(raw, lit(m)))
+        // prev = 0 covers both "first period" and "previous period empty":
+        // 0 < minEvents snaps the rate to 1:1, the reference rule
+        when(prev < minEvents, lit(1L)).otherwise(capped)
+      })
       maxSamples.fold(kept.drop("__b", "__k")) { m =>
         kept.withColumn("__rn",
             row_number().over(Window.partitionBy(col("__b")).orderBy(h, keyCol)))
@@ -388,21 +422,36 @@ object Pipe {
       * set `cacheSource = true`: the input is materialized once
       * (`localCheckpoint` — compute-once, lineage-truncated) and both
       * branches route from the cached blocks — one source evaluation, at
-      * the cost of materializing the whole frame.
+      * the cost of materializing the whole frame. `localCheckpoint` is a
+      * batch-only operation, so on a STREAMING frame the flag is ignored
+      * and the routing lowering is used (a session-wide
+      * `-Dgraft.tql.ifCache=true` must not break streaming `if`s).
+      *
+      * The predicate must be DETERMINISTIC: it is evaluated independently
+      * per branch (the same contract Spark itself applies to filters — a
+      * `rand()`-style predicate re-draws per evaluation and would route
+      * rows into both or neither branch).
       */
     def ifElse_(pred: Column, thenP: DataFrame => DataFrame, elseP: DataFrame => DataFrame,
         cacheSource: Boolean = false): DataFrame = {
-      val src = if (cacheSource) df.localCheckpoint(true) else df
+      val src = if (cacheSource && !df.isStreaming) df.localCheckpoint(true) else df
       thenP(src.filter(pred)).unionByName(elseP(src.filter(!pred || pred.isNull)),
         allowMissingColumns = true)
     }
 
     /** `assert expr` — filter that counts what it drops into an accumulator-
       * style metric column contract (reference `where_map.cpp:148-248`); we
-      * surface dropped counts via `observe`.
+      * surface dropped counts via `observe`. Observation names must be
+      * unique within one query (Spark CollectMetrics), so the default name
+      * carries a sequence number — two plain `assert` statements in one
+      * pipeline must not collide.
       */
-    def assert_(pred: Column, metricName: String = "assert_dropped"): DataFrame =
-      df.observe(metricName, sum(when(pred, 0L).otherwise(1L)).as("dropped")).filter(pred)
+    def assert_(pred: Column, metricName: String = ""): DataFrame = {
+      val name =
+        if (metricName.nonEmpty) metricName
+        else s"assert_dropped_${Pipe.assertSeq.incrementAndGet()}"
+      df.observe(name, sum(when(pred, 0L).otherwise(1L)).as("dropped")).filter(pred)
+    }
 
     /** `fork { … }` — run two sub-pipelines over the SAME input (reference
       * `fork.cpp`: copies the stream to a nested sink pipeline). The input is
@@ -433,6 +482,7 @@ object Pipe {
         group: Seq[String] = Nil, resolution: Option[String] = None,
         limit: Int = 100000): DataFrame = {
       require(Set("line", "area", "bar", "pie").contains(ty), s"unknown chart type $ty")
+      require(ys.nonEmpty, s"chart_$ty needs at least one named aggregation")
       val xCol = resolution match {
         case Some(r) => date_trunc(r, col(x)).cast("timestamp_ntz").as(x)
         case None => col(x).as(x)
@@ -476,6 +526,25 @@ object Pipe {
   /** Literal-map stratum-rate lookup (outside the value class — typedlit's
     * macro expands to a nested class, which AnyVal bodies forbid).
     */
+  /** Per-query sequence for default `assert` observation names (Spark
+    * requires CollectMetrics names to be unique within a query).
+    */
+  private[graft] val assertSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Seeded id-hash — THE shared determinism contract of the mixture/split/
+    * shuffle family: a row's value depends only on its own id columns and
+    * the seed, never on what other rows exist. ONE definition, because
+    * [[PipeOps.splitHash_]]'s incremental-ingest safety guarantee
+    * ("same hash family as sampleStratified_") must not drift.
+    */
+  private[graft] def idHash(idCols: Seq[Column], seed: Long): Column =
+    graft.functions.Text.md5h60(
+      concat_ws("\u0001", (idCols :+ lit(seed.toString)).map(_.cast("string")): _*))
+
+  /** [[idHash]] folded to a uniform [0,1) threshold value. */
+  private[graft] def idUniform(idCols: Seq[Column], seed: Long): Column =
+    pmod(idHash(idCols, seed), lit(1000000L)).cast("double") / lit(1000000.0)
+
   private def rateColumn(rates: Map[String, Double], default: Double, strat: Column): Column =
     coalesce(element_at(typedlit(rates), strat.cast("string")), lit(default))
 

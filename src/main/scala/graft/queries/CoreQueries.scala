@@ -350,7 +350,9 @@ object CoreQueries {
       """WITH b AS (SELECT event_id, user_id,
         |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bb FROM events),
         |c AS (SELECT bb, count(*) AS n FROM b GROUP BY bb),
-        |r AS (SELECT bb, greatest(1, CAST(floor(coalesce(lag(n) OVER (ORDER BY bb), 0) / 50)
+        |r AS (SELECT bb, greatest(1, CAST(floor(
+        |  CASE WHEN lag(bb) OVER (ORDER BY bb) = bb - 1
+        |       THEN lag(n) OVER (ORDER BY bb) ELSE 0 END / 50)
         |  AS BIGINT)) AS k FROM c)
         |SELECT event_id, user_id FROM b JOIN r USING (bb)
         |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % k = 0""".stripMargin,

@@ -117,8 +117,8 @@ object StreamQueries {
         |  FROM events),
         |c AS (SELECT bb, count(*) AS n FROM b GROUP BY bb),
         |r AS (SELECT bb,
-        |    CASE WHEN lag(n) OVER (ORDER BY bb) IS NULL
-        |           OR lag(n) OVER (ORDER BY bb) < 30 THEN 1
+        |    CASE WHEN coalesce(CASE WHEN lag(bb) OVER (ORDER BY bb) = bb - 1
+        |                            THEN lag(n) OVER (ORDER BY bb) END, 0) < 30 THEN 1
         |         ELSE least(greatest(1,
         |           CAST(floor(ln(lag(n) OVER (ORDER BY bb))) AS BIGINT)), 6)
         |    END AS k

@@ -86,5 +86,53 @@ class PipeSpec extends SparkSpec {
 
   test("assert_ filters and observes dropped count") {
     assert(df.assert_(col("v") < 45).count() == 4)
+    // two asserts in ONE query need distinct observation names (Spark
+    // rejects duplicate CollectMetrics names) — the default is sequenced
+    assert(df.assert_(col("v") < 45).assert_(col("id") > 0).count() == 4)
+  }
+
+  test("internal temp columns never clobber same-named user data") {
+    val clash = df.withColumn("__rn", lit(9))
+    val err = intercept[IllegalArgumentException](
+      clash.deduplicate_(Seq("k"), Seq(col("id"))))
+    assert(err.getMessage.contains("__rn"))
+    intercept[IllegalArgumentException](
+      df.withColumn("__pid", lit(1)).enumerate_(Seq(col("id"))))
+    intercept[IllegalArgumentException](
+      df.withColumn("__b", lit(1)).sampleAdaptive_(
+        current_timestamp(), 60, 10, col("id")))
+  }
+
+  test("unflatten rejects a plain column colliding with a dotted prefix") {
+    val bad = df.select(col("id").as("a"), col("v").as("a.b"))
+    val err = intercept[IllegalArgumentException](bad.unflatten_())
+    assert(err.getMessage.contains("collides"))
+  }
+
+  test("rate samplers: empty periods snap back; null timestamps pass 1:1") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = new Timestamp(86400000L * day)
+    // period 0: 100 events (> minEvents); period 1: EMPTY; period 2: 40
+    // events. The reference derives period 2's rate from its previous
+    // period IN TIME (empty → 0 < minEvents → 1:1) — lag over non-empty
+    // buckets would sample period 2 at k=floor(ln(100))=4.
+    val rows = (0 until 100).map(i => (i.toLong, ts(0))) ++
+      (1000 until 1040).map(i => (i.toLong, ts(2)))
+    val frame = rows.toDF("eid", "t")
+    val kept = frame.sampleRate_(col("t"), 86400, col("eid"), minEvents = 30L)
+      .filter(col("t") === ts(2))
+    assert(kept.count() == 40, "empty period must snap the rate back to 1:1")
+    // period 1 adjacent to period 0 IS governed by period 0's count
+    val dense = ((0 until 100).map(i => (i.toLong, ts(0))) ++
+      (1000 until 1040).map(i => (i.toLong, ts(1)))).toDF("eid", "t")
+    val governed = dense.sampleRate_(col("t"), 86400, col("eid"), minEvents = 30L)
+      .filter(col("t") === ts(1)).count()
+    assert(governed < 40, "adjacent period must be sampled at k=ln(prev)")
+    // null timestamps pass 1:1 and do not feed any period's rate
+    val withNulls = (frame.select(col("eid"), col("t")) unionByName
+      (2000 until 2200).map(i => (i.toLong, null.asInstanceOf[Timestamp])).toDF("eid", "t"))
+    val out = withNulls.sampleRate_(col("t"), 86400, col("eid"), minEvents = 30L)
+    assert(out.filter(col("t").isNull).count() == 200)
+    assert(out.filter(col("t") === ts(2)).count() == 40) // still 1:1 after the gap
   }
 }

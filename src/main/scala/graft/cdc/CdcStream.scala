@@ -90,9 +90,13 @@ object CdcStream {
       "audited ingest requires a quarantineDir — rejecting a batch with no durable record is silent data loss")
     // run-scoped WAP id: stable across RESUMES of this checkpoint (replay
     // finds its own pending stage), distinct across runs (a fresh checkpoint
-    // restarts batch numbering — a stale stage must not alias the new batch)
-    val runTag = java.util.UUID
-      .nameUUIDFromBytes(checkpointDir.getBytes("UTF-8")).toString.take(8)
+    // restarts batch numbering — a stale stage must not alias the new
+    // batch). The identity is a marker file INSIDE the checkpoint directory,
+    // not a hash of its path: wiping the checkpoint mints a fresh tag (a
+    // path hash would resurrect the wiped run's stale stages under fresh
+    // batch numbering — silent adoption of old data), and two spellings of
+    // one directory ('./ckpt' vs absolute) cannot fork the identity.
+    lazy val runTag = runIdentity(spark, checkpointDir)
     def wapId(batchId: Long): String = s"$queryId-b$batchId-$runTag"
     val apply: (DataFrame, Long) => ApplyStats = mode match {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
@@ -120,12 +124,23 @@ object CdcStream {
           // that skipped the (already-staged) apply after a crash mid-audit;
           // the skip path reconstructed the batch's real stats for `check`
           if (table.stagedIds.contains(id)) {
-            if (check(table.pages(table.stagedSnapshot(id)), stats)) {
+            if (table.stagedAlreadyPublished(id)) {
+              // crash window between the publish commit and the staged-file
+              // delete: the data is durably committed — clean up via the
+              // idempotent publish, do NOT re-run the predicate (one that
+              // consults external state could now "reject" committed data)
+              val published = table.publishStaged(id)
+              stats = stats.copy(skipped = false, version = published.version)
+            } else if (check(table.pages(table.stagedSnapshot(id)), stats)) {
               val published = table.publishStaged(id)
               stats = stats.copy(skipped = false, version = published.version)
             } else {
+              // quarantine record scoped like the WAP id: two streams (or a
+              // re-started run with fresh batch numbering) sharing a
+              // quarantineDir must not overwrite each other's un-triaged
+              // rejects
               quarantineDir.foreach(q => batch.write.mode("overwrite")
-                .parquet(s"$q/batch-$batchId"))
+                .parquet(s"$q/$id"))
               table.dropStaged(id)
               stats = stats.copy(quarantined = true)
             }
@@ -133,8 +148,12 @@ object CdcStream {
         }
         onBatch(stats)
         if (autoCompactFilesPerBucket > 0) {
-          val snap = table.currentSnapshot.get
-          val worst = snap.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
+          // advisory check on the streaming hot path: the handle's cached
+          // snapshot (the commit above just refreshed it) — not an
+          // O(manifest-chain) re-read per batch
+          val worst = table.lastKnownSnapshot
+            .map(_.files.groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0))
+            .getOrElse(0)
           if (worst > autoCompactFilesPerBucket) {
             table.compact(maxFilesPerBucket = autoCompactFilesPerBucket)
             if (expireKeepLast > 0) table.expireSnapshots(expireKeepLast)
@@ -185,13 +204,26 @@ object CdcStream {
   def followChanges(table: LakeTable, cursor: Long,
       pinTag: Option[String] = None, withPreimages: Boolean = false)
       (onChanges: (DataFrame, Long, Long) => Unit): Long = {
-    val head = table.currentSnapshot.map(_.version).getOrElse(cursor)
+    // head probe via the directory listing — no O(manifest-chain) snapshot
+    // fold per poll for the common nothing-advanced case
+    val head = table.headVersion.getOrElse(cursor)
     if (head <= cursor) return cursor
     val exists = table.versionExists(cursor)
-    val (diff, fromV) =
-      if (exists) (table.changes(cursor, head, withPreimages), cursor)
-      else (table.changesBootstrap(head), -1L) // inserts-only: both conventions
-    onChanges(diff, fromV, head)
+    // TOCTOU defense: an UNPINNED cursor can be expired by concurrent
+    // auto-maintenance BETWEEN the versionExists probe and the diff's reads
+    // (the pins protect every later poll; the first poll has none). The
+    // retention contract's answer to an outlagged cursor is the bootstrap
+    // degrade — apply it to the race the same way, instead of letting the
+    // poll (and a daemon follower thread) die on FileNotFound.
+    val delivered =
+      try {
+        if (exists) { onChanges(table.changes(cursor, head, withPreimages), cursor, head); true }
+        else { onChanges(table.changesBootstrap(head), -1L, head); false }
+      } catch {
+        case e: Throwable if exists && isMissingData(e) =>
+          onChanges(table.changesBootstrap(head), -1L, head)
+          false
+      }
     // Two pins, because two versions need protection: `head` for the LAG
     // window (the next poll's diff base once the consumer persists
     // cursor=head), and the OLD cursor for the CRASH window — the consumer
@@ -200,16 +232,66 @@ object CdcStream {
     // from to still exist. Pinning only head (the old behavior) un-pinned
     // exactly that version. `<tag>.prev` advances to the new base on the
     // NEXT poll — polling from a version is the ack that it was persisted.
-    // Prev first, so a crash between the two tag writes never leaves the
-    // re-poll base unpinned.
+    // One atomic tags-file write covers both pins — no crash window
+    // between them.
     pinTag.foreach { t =>
-      table.tag(s"$t.prev", if (exists) cursor else head)
-      table.tag(t, head)
+      table.tagAll(Map(s"$t.prev" -> (if (delivered) cursor else head), t -> head))
     }
     head
   }
 
-  /** Drain the WAL completely and return the number of committed batches. */
+  /** The WAP run identity: a marker file INSIDE the checkpoint directory,
+    * minted on first start, re-read on resume. Lives and dies with the
+    * checkpoint — wiping the directory (fresh batch numbering) mints a new
+    * identity, so a wiped run's abandoned stages can never alias the new
+    * run's batches. Concurrent first-starts race on `create(overwrite =
+    * false)`; the loser re-reads the winner's id.
+    */
+  private def runIdentity(spark: SparkSession, checkpointDir: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir, "graft-run-id")
+    def read(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }
+    if (fs.exists(p)) read()
+    else {
+      fs.mkdirs(dir)
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val out = fs.create(p, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        id
+      } catch { case _: java.io.IOException => read() }
+    }
+  }
+
+  /** Whether a failure's cause chain is a missing-snapshot/data-file read —
+    * the signature of an expiry racing an unpinned diff.
+    */
+  private def isMissingData(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = Option(t.getMessage).getOrElse("")
+          if (m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) return true
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Drain the WAL completely and return the number of COMMITTED batches —
+    * watermark-skipped replays don't count (a resume after a crash between
+    * lake commit and checkpoint write replays a batch as a skip). Atomic:
+    * the count is written on the micro-batch thread and read after
+    * awaitTermination.
+    */
   def runToCompletion(
       spark: SparkSession,
       walDir: String,
@@ -218,10 +300,10 @@ object CdcStream {
       queryId: String = "cdc",
       maxFilesPerTrigger: Int = 8,
       createBuckets: Int = 64): Long = {
-    var batches = 0L
+    val batches = new java.util.concurrent.atomic.AtomicLong
     val q = start(spark, walDir, table, checkpointDir, queryId, maxFilesPerTrigger,
-      createBuckets, onBatch = _ => batches += 1)
+      createBuckets, onBatch = st => { if (!st.skipped) batches.incrementAndGet(); () })
     q.awaitTermination()
-    batches
+    batches.get()
   }
 }

@@ -137,14 +137,34 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** Pin `name` to `version` (must be a live snapshot). Overwrites an
     * existing tag of the same name. */
-  def tag(name: String, version: Long): Unit =
+  def tag(name: String, version: Long): Unit = tagAll(Map(name -> version))
+
+  /** Pin several tags in ONE read-modify-write of the tags file — atomic
+    * for the group (a follower pinning its lag + crash pins per poll pays
+    * one tags-file rewrite, and no crash window exists between its pins).
+    */
+  def tagAll(pins: Map[String, Long]): Unit =
     LakeTable.commitMutex(root).synchronized {
       // read-modify-write under the per-root mutex: two in-process taggers
       // (e.g. two followers pinning cursors) must not drop each other's pins
-      require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
-      require(fs.exists(versionPath(version)), s"no snapshot v$version to tag")
-      writeTags(tags + (name -> version))
+      pins.foreach { case (name, version) =>
+        require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+        require(fs.exists(versionPath(version)), s"no snapshot v$version to tag")
+      }
+      writeTags(tags ++ pins)
     }
+
+  /** The head version — a directory listing, NO manifest-chain fold: the
+    * cheap has-the-table-advanced probe for polling followers.
+    */
+  def headVersion: Option[Long] = latestVersion
+
+  /** The last snapshot THIS handle committed or read (O(1)) — falls back to
+    * a real read. May be stale if another process advanced the table; right
+    * for advisory checks (the auto-compaction trigger) that re-run next
+    * batch anyway, wrong for correctness decisions.
+    */
+  def lastKnownSnapshot: Option[Snapshot] = cachedSnap.orElse(currentSnapshot)
 
   def dropTag(name: String): Unit =
     LakeTable.commitMutex(root).synchronized { writeTags(tags - name) }
@@ -867,6 +887,22 @@ class LakeTable(val spark: SparkSession, val root: String,
     * files) cannot be rebased mechanically and is refused for re-audit, as
     * is any conflicting schema/bucket change.
     */
+  /** Whether `wapId`'s PENDING staged bytes match the head's published
+    * breadcrumb — i.e. a crash landed between the publish commit and the
+    * staged-file delete, and [[publishStaged]] would just clean up. The
+    * audited-ingest gate consults this BEFORE re-running its user
+    * predicate on replay: re-auditing an already-committed batch with a
+    * predicate that consults external state could "quarantine" data that
+    * is durably in the table.
+    */
+  def stagedAlreadyPublished(wapId: String): Boolean = {
+    if (!fs.exists(stagedPath(wapId))) return false
+    val stagedJson = readString(stagedPath(wapId))
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val stamp = java.util.Base64.getEncoder.encodeToString(d.digest(stagedJson.getBytes("UTF-8")))
+    currentSnapshot.exists(_.props.get(LakeTable.publishedProp(wapId)).contains(stamp))
+  }
+
   def publishStaged(wapId: String): Snapshot = {
     if (!fs.exists(stagedPath(wapId)))
       throw new IllegalArgumentException(s"no staged commit '$wapId'")

@@ -25,6 +25,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(lin.map(_.events).sum >= cfg.events)
   }
 
+  test("WAP run identity lives IN the checkpoint: resume keeps it, wipe mints anew") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt"); val quar = tmpDir("quar")
+    ChangeGen.writeWal(spark, GenConfig(events = 1000, segmentSize = 500), wal)
+    val table = new LakeTable(spark, tmpDir("lake"))
+    def run(): Unit =
+      CdcStream.start(spark, wal, table, ckpt, queryId = "rid", mode = "l0",
+        maxFilesPerTrigger = 4, createBuckets = 4,
+        audit = Some((_, _) => true), quarantineDir = Some(quar))
+        .awaitTermination()
+    def marker(): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ckpt/graft-run-id")), "UTF-8").trim
+    run()
+    val id1 = marker()
+    assert(id1.matches("[0-9a-f-]{8}"))
+    run() // resume over the same checkpoint: identity must not change
+    assert(marker() == id1)
+    // wiping the checkpoint mints a FRESH identity — a wiped run's stale
+    // stages can never alias the new run's batch numbering
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    run()
+    assert(marker() != id1)
+  }
+
   test("audited ingest: rejected batch is quarantined, the rest publish and converge") {
     import org.apache.spark.sql.functions.col
     val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt"); val quar = tmpDir("quar")
@@ -53,8 +77,13 @@ class CdcStreamSpec extends SparkSpec {
     assert(published.forall(s => table.versionExists(s.version)))
     // quarantine holds exactly the rejected batch's raw events; its WAL
     // segments identify which DELIVERIES were dropped (an at-least-once
-    // duplicate of the same event arriving in another batch still applies)
-    val quarSegs = spark.read.parquet(s"$quar/batch-1")
+    // duplicate of the same event arriving in another batch still applies).
+    // The record is scoped like the WAP id (<queryId>-b<batch>-<runTag>) so
+    // two streams or re-started runs sharing a dir can't clobber each other.
+    val quarDirs = new java.io.File(quar).listFiles().map(_.getName)
+    assert(quarDirs.length == 1 && quarDirs.head.matches("aud-b1-[0-9a-f-]{8}"),
+      quarDirs.toSeq.toString)
+    val quarSegs = spark.read.parquet(s"$quar/${quarDirs.head}")
       .select("seg").distinct().collect().map(_.getLong(0)).toSet
     assert(quarSegs.nonEmpty)
     assert(table.stagedIds.isEmpty, "no stage left pending")

@@ -215,12 +215,23 @@ object CdcStream {
     // retention contract's answer to an outlagged cursor is the bootstrap
     // degrade — apply it to the race the same way, instead of letting the
     // poll (and a daemon follower thread) die on FileNotFound.
+    // The changelog DataFrame is LAZY — errors surface inside the consumer's
+    // onChanges, so the catch wraps consumer code too. isMissingData is a
+    // message heuristic ("does not exist" is a common substring in ordinary
+    // analysis/path errors from the consumer's own sink), so before
+    // degrading, RE-PROBE the cursor: only when its version is actually gone
+    // is this the expiry race — anything else is the consumer's own failure
+    // and must propagate, not be papered over with a second (bootstrap)
+    // delivery on top of a partial side-effecting first one. The bootstrap
+    // redelivery itself is safe only because from = -1 means
+    // RESET-AND-REPLACE (see above): a consumer honoring that contract
+    // discards whatever the failed partial delivery wrote.
     val delivered =
       try {
         if (exists) { onChanges(table.changes(cursor, head, withPreimages), cursor, head); true }
         else { onChanges(table.changesBootstrap(head), -1L, head); false }
       } catch {
-        case e: Throwable if exists && isMissingData(e) =>
+        case e: Throwable if exists && isMissingData(e) && !table.versionExists(cursor) =>
           onChanges(table.changesBootstrap(head), -1L, head)
           false
       }
@@ -251,19 +262,31 @@ object CdcStream {
     val dir = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val p = new org.apache.hadoop.fs.Path(dir, "graft-run-id")
-    def read(): String = {
+    // a blank marker is ABSENT, not an identity: adopting "" permanently
+    // would collapse every later resume onto one tag and defeat the
+    // stale-stage aliasing defense the marker exists for
+    def read(): Option[String] = {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      Option(s).filter(_.nonEmpty)
     }
-    if (fs.exists(p)) read()
-    else {
+    val existing = if (fs.exists(p)) read() else None
+    existing.getOrElse {
+      // tmp-then-rename, same protocol as the lake's claimByRename: content
+      // is durable before the claim, so a crash can leave only an inert tmp
+      // (or nothing) — never a created-but-empty marker that every later
+      // resume would adopt as runTag ""
       fs.mkdirs(dir)
       val id = java.util.UUID.randomUUID().toString.take(8)
-      try {
-        val out = fs.create(p, false)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-        id
-      } catch { case _: java.io.IOException => read() }
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"graft-run-id.tmp-$id")
+      val out = fs.create(tmp, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p) || !fs.rename(tmp, p)) {
+        // lost a concurrent first-start race — adopt the winner's id
+        fs.delete(tmp, false)
+        read().getOrElse(throw new IllegalStateException(
+          s"run-id marker at $p exists but is blank after a lost claim race"))
+      } else id
     }
   }
 
@@ -288,7 +311,8 @@ object CdcStream {
 
   /** Drain the WAL completely and return the number of COMMITTED batches —
     * watermark-skipped replays don't count (a resume after a crash between
-    * lake commit and checkpoint write replays a batch as a skip). Atomic:
+    * lake commit and checkpoint write replays a batch as a skip), and
+    * neither do quarantined batches (rejected, never published). Atomic:
     * the count is written on the micro-batch thread and read after
     * awaitTermination.
     */
@@ -302,7 +326,7 @@ object CdcStream {
       createBuckets: Int = 64): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong
     val q = start(spark, walDir, table, checkpointDir, queryId, maxFilesPerTrigger,
-      createBuckets, onBatch = st => { if (!st.skipped) batches.incrementAndGet(); () })
+      createBuckets, onBatch = st => { if (!st.skipped && !st.quarantined) batches.incrementAndGet(); () })
     q.awaitTermination()
     batches.get()
   }

@@ -166,9 +166,9 @@ object TqlQueries {
       """SELECT event_id, 'graft.purchase' AS name
          FROM events WHERE event_type = 'purchase'""",
     "q_tql_lambda" ->
-      """SELECT doc_id, coalesce(array_to_string(
+      """SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE coalesce(array_to_string(
            list_transform(list_filter(string_split(text, ' '), w -> len(w) >= 6),
-                          w -> w || ':' || lang), ' '), '') AS joined
+                          w -> w || ':' || lang), ' '), '') END AS joined
          FROM documents""",
     "q_tql_summarize" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty,

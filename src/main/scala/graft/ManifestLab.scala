@@ -115,30 +115,62 @@ object ManifestLab {
         f"median ${steadyHinted.sorted.apply(steadyHinted.size / 2) * 1000}%.0f ms " +
         f"(min ${steadyHinted.min * 1000}%.0f, max ${steadyHinted.max * 1000}%.0f)")
 
-      // 5) force the consolidation commit: pad the chain to the threshold —
-      //    the NEXT commit folds everything into one full manifest (O(table))
-      while (snap.manifests.size + 1 < LakeTable.ManifestConsolidateEvery) {
+      // 5) force the consolidation commit: pad the DELTA chain to the
+      //    threshold — the next commit folds everything into bucket-range
+      //    chunk manifests (content-addressed; first time = all dirty)
+      def deltas(s: graft.lake.Snapshot): Int =
+        s.manifests.count(n => !LakeTable.isChunkManifest(n))
+      while (deltas(snap) + 1 < LakeTable.ManifestConsolidateEvery) {
         val add = synthFiles(root, 2 * nFiles + snap.manifests.size * 10, 10, buckets)
         snap = table.commit(snap.copy(files = snap.files ++ add))
       }
       val add = synthFiles(root, 3 * nFiles, 10, buckets)
       val (s3, tConsol) = timed(table.commit(snap.copy(files = snap.files ++ add)))
       snap = s3
-      require(snap.manifests.size == 1, s"expected consolidated chain: ${snap.manifests}")
-      println(f"[mlab] consolidation commit (full manifest, ${snap.files.size}%,d entries): " +
-        f"$tConsol%.2f s")
+      val chunks1 = snap.manifests.filter(LakeTable.isChunkManifest)
+      require(chunks1.size == snap.manifests.size, s"expected all-chunk chain: ${snap.manifests}")
+      println(f"[mlab] consolidation commit (cold: all ${chunks1.size} chunks dirty, " +
+        f"${snap.files.size}%,d entries): $tConsol%.2f s")
 
-      // 6) reload after consolidation (single full manifest parse)
+      // 5b) steady-state consolidation with LOCALIZED churn (the L0/streaming
+      //     shape): pad the chain with adds confined to ONE bucket, then
+      //     consolidate — only that bucket's chunk should be rewritten
+      while (deltas(snap) + 1 < LakeTable.ManifestConsolidateEvery) {
+        val i = 4 * nFiles + deltas(snap) * 10
+        val one = synthFiles(root, i, 10, buckets).map(_.copy(bucket = 17))
+        snap = table.commit(snap.copy(files = snap.files ++ one))
+      }
+      val one = synthFiles(root, 5 * nFiles, 10, buckets).map(_.copy(bucket = 17))
+      val (s4, tConsolDirty) = timed(table.commit(snap.copy(files = snap.files ++ one)))
+      snap = s4
+      val chunks2 = snap.manifests.filter(LakeTable.isChunkManifest)
+      val fresh = chunks2.toSet -- chunks1.toSet
+      println(f"[mlab] consolidation commit (localized churn: ${fresh.size} of " +
+        f"${chunks2.size} chunks rewritten): $tConsolDirty%.2f s")
+
+      // 6) reload after consolidation (parse the chunk set)
       val cold2 = new LakeTable(spark, root)
       val (_, tLoad2) = timed(cold2.snapshotAt(snap.version))
-      println(f"[mlab] cold load after consolidation: $tLoad2%.2f s")
+      println(f"[mlab] cold full load after consolidation: $tLoad2%.2f s")
+
+      // 6b) chunked cold point prune: fresh handle, NO full manifest fold —
+      //     reads the snapshot header + 1 bucket chunk + the L0 chunk
+      val cold3 = new LakeTable(spark, root)
+      val (hitsC, tPruneC) = timed(cold3.planFilesChunked(snap.version,
+        Set(17), urlHash = Some(probeHash)))
+      println(f"[mlab] COLD chunked point prune (header + touched chunks only): " +
+        f"${tPruneC * 1000}%.0f ms (${hitsC.size} candidate files)")
+      val full = cold2.planFiles(snap, buckets = Some(Set(17)), urlHash = Some(probeHash))
+      require(hitsC.toSet == full.toSet, "chunked prune diverged from full prune")
+
       println(f"[mlab] driver heap: base $memBase%,d MB, with resolved list " +
         f"$memLoaded%,d MB (delta ${memLoaded - memBase}%,d MB)")
       println(f"[mlab] == $nFiles%,d files: load=$tLoad%.2f/$tLoad2%.2f s, " +
-        f"prune=${tPlan * 1000}%.0f ms, steady commit=" +
+        f"prune=${tPlan * 1000}%.0f ms warm / ${tPruneC * 1000}%.0f ms cold-chunked, " +
+        f"steady commit=" +
         f"${steady.sorted.apply(steady.size / 2) * 1000}%.0f ms unhinted / " +
         f"${steadyHinted.sorted.apply(steadyHinted.size / 2) * 1000}%.0f ms hinted, " +
-        f"consolidation=$tConsol%.2f s ==")
+        f"consolidation=$tConsol%.2f s cold / $tConsolDirty%.2f s localized ==")
     } finally { spark.stop(); rmrf(root) }
   }
 }

@@ -54,6 +54,10 @@ object ScalingLab {
     Cfg("mor-mp32", "mor", maxPart = "32m"),
     Cfg("morraw-b256", "morraw", buckets = 256),
     Cfg("cow", "cow", filesPerTrigger = 12),
+    // deletion-vector merge: the read-optimized path that replaced COW
+    Cfg("dv", "dv", tasksPerSlot = 1, openCost = "134217728"),
+    Cfg("dv-ft12", "dv", filesPerTrigger = 12),
+    Cfg("dv-ft96", "dv", tasksPerSlot = 1, openCost = "134217728", filesPerTrigger = 96),
   ).map(c => c.name -> c).toMap
 
   private val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/dev/shm/graft")

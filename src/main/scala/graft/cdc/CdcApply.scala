@@ -287,6 +287,145 @@ object CdcApply {
     } finally winners.unpersist()
   }
 
+  /** Deletion-vector apply (the Iceberg-v2 positional-delete design): the
+    * READ-optimized merge mode that replaces copy-on-write. A batch
+    *
+    *  1. computes its LWW winners (same map-side-combined `max_by` as COW);
+    *  2. reads the CURRENT committed row identity of competing urls from the
+    *     touched buckets — a '''column-pruned masked scan''' of
+    *     `(url, _lsn, _wal_part)` plus each row's physical position
+    *     ([[graft.lake.LakeTable.readFilesSlim]]); payload bytes (html) are
+    *     never read, which is the read-amplification win over COW's full
+    *     rewrite of every touched bucket;
+    *  3. masks superseded committed rows by appending their
+    *     `(file, row-ordinal)` pairs to a per-batch DV sidecar
+    *     ([[graft.lake.LakeTable.writeDvFiles]]) — committed rows that WIN
+    *     the LWW comparison (a stale late batch) are left in place and their
+    *     batch rows are discarded instead;
+    *  4. appends only the winning rows as new bucket files.
+    *
+    * Per-batch cost is O(batch + touched-bucket key columns); write
+    * amplification is O(batch) like merge-on-read — but reads stay a pure
+    * scan + broadcast anti-join (NO url-keyed resolve shuffle), because the
+    * table keeps the single-live-version invariant: every superseded row is
+    * positionally masked the moment its successor lands. Compaction folds
+    * masks into the data and clears the sidecar list.
+    *
+    * Requires a single-version base (no un-compacted MOR deltas / L0
+    * spanning files) — the invariant the mode itself maintains.
+    *
+    * Reference analogue: the reference's only rewrite mechanism is the
+    * whole-partition `rebuild` copy (`builtins/commands/rebuild.cpp:45-77`);
+    * positional deletes give the same read-optimized layout without paying
+    * a rewrite per batch.
+    */
+  def applyBatchDv(
+      table: LakeTable,
+      batch: DataFrame,
+      queryId: String,
+      batchId: Long,
+      createBuckets: Int = 64): ApplyStats = {
+
+    val snap0: Snapshot = phase("snapshot") { table.currentSnapshot.getOrElse {
+      table.create(userSchemaOf(batch.schema), createBuckets)
+    } }
+    if (snap0.watermarks.get(queryId).exists(_ >= batchId))
+      return ApplyStats(queryId, batchId, skipped = true, 0, 0, 0, -1, -1, snap0.version)
+    requireNoStagedGap(table, queryId, batchId)
+    require(!table.needsResolve(snap0),
+      "dv apply requires a single-version base (un-compacted merge-on-read deltas " +
+        "present) — run compact() first")
+    require(!snap0.files.exists(_.bucket < 0),
+      "table has un-flushed L0 spanning files — run compact() before deletion-vector applies")
+
+    val ev = batch.drop("seg")
+    val (mergedUser, evolved, schemaId, mergedFile) = evolveSchema(table, snap0, ev)
+
+    // batch LWW winners + bookkeeping in one aggregation, same two-job shape
+    // as the COW path (stats job, then the write jobs)
+    val evCols = ev.columns
+    val winners = ev
+      .groupBy(col("url"))
+      .agg(
+        max_by(struct(evCols.map(col).toIndexedSeq: _*), ordKey(lit(0))).as("w"),
+        count(lit(1)).as("_n"),
+        min(col("lsn")).as("_minLsn"),
+        max(col("lsn")).as("_maxLsn"))
+      .select(col("w.*"), col("_n"), col("_minLsn"), col("_maxLsn"))
+      .withColumn("_urlhash", xxhash64(col("url")))
+      .withColumn("_bucket", LakeTable.bucketCol(col("_urlhash"), snap0.buckets))
+      .persist()
+
+    try {
+      val perBucket = winners.groupBy(col("_bucket")).agg(
+        sum(col("_n")), min(col("_minLsn")), max(col("_maxLsn")),
+        sum(when(col("op") === "D", 1L).otherwise(0L)),
+        sum(when(col("op") =!= "D", 1L).otherwise(0L))).collect()
+
+      val events = perBucket.map(_.getLong(1)).sum
+      if (events == 0L) { // empty batch: advance the watermark only
+        val s = table.commit(snap0.copy(
+          watermarks = snap0.watermarks + (queryId -> batchId),
+          lineage = snap0.lineage :+ LineageEntry(queryId, batchId, 0, 0, 0, -1, -1, -1)),
+          appendedOnly = Some(Nil))
+        return ApplyStats(queryId, batchId, skipped = false, 0, 0, 0, -1, -1, s.version)
+      }
+      val minLsn = perBucket.map(_.getLong(2)).min
+      val maxLsn = perBucket.map(_.getLong(3)).max
+      val deletes = perBucket.map(_.getLong(4)).sum
+      val upserts = perBucket.map(_.getLong(5)).sum
+      val affected: Set[Int] = perBucket.map(_.getInt(0)).toSet
+      val keyCount = deletes + upserts
+
+      // current committed competitor per url: slim masked identity read of
+      // the touched buckets, semi-restricted to the batch's keys (broadcast
+      // below the same key limit as COW — the pruned scan never shuffles)
+      val candidateFiles = table.planFiles(snap0, buckets = Some(affected))
+      val keysRaw = winners.select(col("url"), col("lsn").as("_b_lsn"))
+      val keys = if (keyCount <= BroadcastKeyLimit) broadcast(keysRaw) else keysRaw
+      // inner join: only committed rows whose url the batch touches matter.
+      // Batch-wins iff _b_lsn > _lsn (at equal LSN the committed row wins —
+      // exactly ordKey's is_table tiebreak, with wal_part never reached
+      // because a url's committed row and its redelivered duplicate share it)
+      val cmp = table.readFilesSlim(snap0, candidateFiles)
+        .join(keys, Seq("url"))
+        .persist()
+      try {
+        val dvRows = cmp.filter(col("_b_lsn") > col("_lsn"))
+          .select(col(LakeTable.DvPathCol), col(LakeTable.DvPosCol))
+        val newDv = phase("dv-sidecar") {
+          table.writeDvFiles(dvRows, nTasks = math.min(8, math.max(1, affected.size)))
+        }
+        // stale batch rows (their committed competitor won) must NOT land —
+        // they would be a second live version with no resolve to hide them
+        val losers = cmp.filter(col("_b_lsn") <= col("_lsn")).select(col("url"))
+        val loserSide = if (keyCount <= BroadcastKeyLimit) broadcast(losers) else losers
+        val appendRows = toFileRows(
+          alignUser(winners.join(loserSide, Seq("url"), "left_anti"), mergedUser),
+          mergedUser)
+        val newFiles = phase("write-job") {
+          table.writeDataFiles(appendRows, schemaId, snap0.buckets,
+            nTasks = math.max(1, affected.size))
+        }
+
+        val schemas =
+          if (evolved) snap0.schemas + (schemaId.toString -> mergedFile.json) else snap0.schemas
+        val committed = phase("commit") { table.commit(snap0.copy(
+          currentSchemaId = schemaId,
+          schemas = schemas,
+          files = snap0.files ++ newFiles,
+          dvFiles = snap0.dvFiles ++ newDv,
+          watermarks = snap0.watermarks + (queryId -> batchId),
+          lineage = snap0.lineage :+
+            LineageEntry(queryId, batchId, events, upserts, deletes, minLsn, maxLsn, -1)),
+          appendedOnly = Some(newFiles)) }
+
+        ApplyStats(queryId, batchId, skipped = false, events, upserts, deletes,
+          minLsn, maxLsn, committed.version)
+      } finally cmp.unpersist()
+    } finally winners.unpersist()
+  }
+
   /** Merge-on-read apply: append the batch's LWW winners as new per-bucket
     * delta files WITHOUT reading or rewriting existing data — per-batch cost is
     * O(batch), not O(table). Readers resolve the row version with the highest

@@ -29,7 +29,11 @@ object CdcStream {
     *
     * @param maxFilesPerTrigger bounds micro-batch size (backpressure knob; the
     *        reference's demand window analogue, `execution_node.cpp:44-67`)
-    * @param mode               `"cow"` (read-optimized copy-on-write MERGE),
+    * @param mode               `"cow"` (copy-on-write MERGE — superseded by
+    *                           `"dv"` as the read-optimized path),
+    *                           `"dv"` (deletion-vector merge: positional
+    *                           delete sidecars + winner appends;
+    *                           [[CdcApply.applyBatchDv]]),
     *                           `"mor"` (merge-on-read append of batch-deduped
     *                           LWW winners; [[CdcApply.applyBatchAppend]]), or
     *                           `"morraw"` (LSM-style raw append, dedup wholly
@@ -100,6 +104,7 @@ object CdcStream {
     def wapId(batchId: Long): String = s"$queryId-b$batchId-$runTag"
     val apply: (DataFrame, Long) => ApplyStats = mode match {
       case "cow" => (b, id) => CdcApply.applyBatch(table, b, queryId, id, createBuckets)
+      case "dv" => (b, id) => CdcApply.applyBatchDv(table, b, queryId, id, createBuckets)
       case "mor" => (b, id) => CdcApply.applyBatchAppend(table, b, queryId, id, createBuckets)
       case "morraw" => (b, id) => CdcApply.applyBatchAppendRaw(table, b, queryId, id,
         createBuckets, stageAs = audit.map(_ => wapId(id)))

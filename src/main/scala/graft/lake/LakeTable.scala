@@ -7,7 +7,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.core.Schemas
 
@@ -268,10 +268,13 @@ class LakeTable(val spark: SparkSession, val root: String,
       name
     }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // consolidation counts only the trailing DELTAS — the chunk files of the
+    // last consolidation are the folded base, not chain growth
+    val deltaCount = oldManifests.count(n => !LakeTable.isChunkManifest(n))
     val manifests =
       if (added.isEmpty && removed.isEmpty) oldManifests
-      else if (oldManifests.size + 1 >= LakeTable.ManifestConsolidateEvery)
-        Seq(writeDelta(f"m-v$v%012d-$nonce%s-full.json", ManifestDelta(snap.files, Nil)))
+      else if (deltaCount + 1 >= LakeTable.ManifestConsolidateEvery)
+        consolidateChunks(snap.files, oldManifests, snap.buckets)
       else
         oldManifests :+ writeDelta(f"m-v$v%012d-$nonce%s.json", ManifestDelta(added, removed))
     val resolved = snap.copy(
@@ -307,10 +310,113 @@ class LakeTable(val spark: SparkSession, val root: String,
     resolved
   }
 
+  /** Two-level consolidation (the Iceberg manifest-list analogue): fold the
+    * delta chain into per-bucket-range CHUNK manifests instead of one full
+    * manifest. Chunks are '''content-addressed''' — the name carries
+    * `<idx>of<C>b<buckets>` plus an MD5 of the chunk's (path-sorted)
+    * entries — so a chunk whose content is unchanged since the previous
+    * consolidation is REUSED by name with zero I/O: the write cost is
+    * O(dirty chunks), and a name that already exists on disk is by
+    * construction byte-equivalent (safe to share across snapshots and
+    * across racing writers). Content addressing also closes the
+    * resurrection hazard a delta-derived dirty set would have: a file
+    * removed since the last consolidation changes its chunk's hash, so the
+    * stale chunk can never be carried forward.
+    *
+    * The L0 chunk (index C) holds spanning files; point prunes always load
+    * it plus the chunks covering their buckets
+    * ([[LakeTable.planFilesChunked]]) — in L0/streaming mode only that one
+    * chunk is dirty per consolidation, so steady-state consolidation I/O is
+    * O(recent batches) there. Bucketed appends touch hash-random buckets and
+    * dirty most chunks — their consolidation stays O(table) in I/O (CPU for
+    * clean-chunk detection is one MD5 pass over the entries).
+    */
+  private def consolidateChunks(allFiles: Seq[DataFile], oldManifests: Seq[String],
+      buckets: Int): Seq[String] = {
+    val c = LakeTable.chunkCountFor(allFiles.size)
+    def idxOf(bucket: Int): Int =
+      if (bucket < 0) c else ((bucket.toLong * c) / buckets).toInt
+    val prev: Set[String] = oldManifests.filter(LakeTable.isChunkManifest).toSet
+    val byIdx = allFiles.groupBy(f => idxOf(f.bucket))
+    byIdx.toSeq.sortBy(_._1).map { case (i, files0) =>
+      val files = files0.sortBy(_.path)
+      val name = f"m-chunk-${i}of${c}b$buckets-${LakeTable.chunkHash(files)}.json"
+      val p = new Path(manifestDir, name)
+      if (!prev.contains(name) && !fs.exists(p)) {
+        try {
+          val out = fs.create(p, false)
+          try out.write(ManifestCodec.deltaToJson(ManifestDelta(files, Nil)).getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          // lost a cross-process race for this name: the winner's bytes are
+          // identical by content addressing — reuse
+          case _: java.io.IOException if fs.exists(p) => ()
+        }
+      }
+      name
+    }
+  }
+
+  /** Bucket-pruned file planning WITHOUT materializing the full file list:
+    * reads the snapshot header, only the consolidated chunks covering
+    * `buckets` (plus the always-loaded L0 chunk and any chunk written under
+    * a different bucket layout — safe after a rebucket), and every
+    * post-consolidation delta (O(recent)). The cold-start point-lookup path
+    * at 10^6-file scale: ~1/C of the manifest bytes instead of all of them.
+    * Equivalent to `planFiles(snapshotAt(version), buckets=…)` — deltas may
+    * remove chunk files and the fold applies them; files added by deltas in
+    * OTHER buckets are dropped by the final filter.
+    */
+  def planFilesChunked(version: Long, buckets: Set[Int],
+      urlHash: Option[Long] = None, lsnAtLeast: Option[Long] = None): Seq[DataFile] = {
+    val base = ManifestCodec.fromJson(readString(versionPath(version)))
+    val byPath = scala.collection.mutable.LinkedHashMap.empty[String, DataFile]
+    base.files.foreach(f => byPath(f.path) = f)
+    base.manifests.foreach { name =>
+      val load = LakeTable.parseChunkName(name) match {
+        case Some((idx, c, bb)) =>
+          idx == c || bb != base.buckets ||
+            buckets.exists(b => ((b.toLong * c) / bb).toInt == idx)
+        case None => true
+      }
+      if (load) {
+        val d = ManifestCodec.deltaFromJson(readString(new Path(manifestDir, name)))
+        d.removedPaths.foreach(byPath.remove)
+        d.added.foreach(f => byPath(f.path) = f)
+      }
+    }
+    byPath.values.toSeq.filter { f =>
+      (f.bucket < 0 || buckets.contains(f.bucket)) &&
+      urlHash.forall(h => h >= f.minUrlHash && h <= f.maxUrlHash) &&
+      lsnAtLeast.forall(l => f.maxLsn >= l)
+    }
+  }
+
+  /** Point lookup through the chunked planner — the cold-start fast path:
+    * no full manifest fold, no full file list in driver heap. Semantics
+    * identical to [[lookupUrl]] at the same version.
+    */
+  def lookupUrlChunked(version: Long, url: String): DataFrame = {
+    val base = ManifestCodec.fromJson(readString(versionPath(version)))
+    val h = LakeTable.urlHash(url)
+    val b = LakeTable.bucketOf(h, base.buckets)
+    val files = planFilesChunked(version, Set(b), urlHash = Some(h))
+    val hit = readFiles(base, files, currentFileSchema(base))
+      .filter(col("url") === lit(url))
+    resolveIfNeeded(base, hit).filter(!col("_deleted"))
+  }
+
   /** Full per-batch lineage history from the append-only commit log (oldest
     * first) — unlike `currentSnapshot.lineage` this is not trimmed to the
     * retention tail and is not lost when `expireSnapshots` deletes old
     * manifest versions. Driver-side: one small file per commit.
+    *
+    * Durability note: the log file is appended AFTER the version claim, so a
+    * hard kill in that window omits (never duplicates or invents) that one
+    * commit's entries — the atomic record is the lineage tail inside the
+    * claimed snapshot JSON itself; consumers needing a gap-free recent
+    * history read the snapshot tail, this log serves the long tail
+    * (ChaosKillSpec exercises exactly this split under real SIGKILL).
     */
   def lineageLog: Seq[LineageEntry] =
     if (!fs.exists(lineageDir)) Nil
@@ -341,9 +447,106 @@ class LakeTable(val spark: SparkSession, val root: String,
     if (files.isEmpty) return emptyDf(target)
     files.groupBy(_.schemaId).map { case (sid, group) =>
       val fileSchema = DataType.fromJson(snap.schemaJson(sid)).asInstanceOf[StructType]
-      val df = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
+      val df = maskIfNeeded(snap,
+        spark.read.schema(fileSchema).parquet(group.map(_.path): _*))
       align(df, target)
     }.reduce(_.unionByName(_))
+  }
+
+  // ------------------------------------------------- deletion-vector masking
+
+  /** Subtract the snapshot's positional deletes from a raw parquet scan
+    * (Iceberg-v2 delete-vector read): tag each row with its physical identity
+    * (`_metadata.file_path`, `_metadata.row_index`), anti-join the DV
+    * sidecar entries, drop the tags. The DV side broadcasts below
+    * [[LakeTable.DvBroadcastLimit]] rows (known from sidecar footers — no
+    * count job), so the big scan side is filtered by a broadcast hash
+    * anti-join with NO shuffle — the whole point of the DV read path vs the
+    * merge-on-read resolve (a full url-keyed exchange). Above the limit it
+    * degrades to a shuffled anti-join; compaction keeps the DV small.
+    */
+  private def maskIfNeeded(snap: Snapshot, scan: DataFrame): DataFrame =
+    if (snap.dvFiles.isEmpty) scan
+    else maskTagged(snap, scan.select(col("*"),
+        col("_metadata.file_path").as(LakeTable.DvPathCol),
+        col("_metadata.row_index").as(LakeTable.DvPosCol)))
+      .drop(LakeTable.DvPathCol, LakeTable.DvPosCol)
+
+  /** Anti-join `tagged` (must carry the DV path/pos columns) against the
+    * snapshot's delete vectors. No-op when the snapshot has none. */
+  private def maskTagged(snap: Snapshot, tagged: DataFrame): DataFrame =
+    if (snap.dvFiles.isEmpty) tagged
+    else {
+      val dv = dvEntries(snap)
+      val side =
+        if (snap.dvFiles.map(_.rows).sum <= LakeTable.DvBroadcastLimit) broadcast(dv)
+        else dv
+      tagged.join(side, Seq(LakeTable.DvPathCol, LakeTable.DvPosCol), "left_anti")
+    }
+
+  private def dvEntries(snap: Snapshot): DataFrame =
+    spark.read.schema(LakeTable.dvSchema).parquet(snap.dvFiles.map(_.path): _*)
+
+  /** Column-pruned masked identity read for the deletion-vector apply: the
+    * current committed row of each url in `files` as
+    * `(url, _lsn, _wal_part, _dv_path, _dv_pos)` — the LWW key plus the
+    * row's physical position, NEVER the payload bytes. On a single-version
+    * base (the DV-mode invariant) this is at most one row per url.
+    */
+  def readFilesSlim(snap: Snapshot, files: Seq[DataFile]): DataFrame = {
+    val slim = StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("_lsn", LongType, nullable = false),
+      StructField("_wal_part", IntegerType, nullable = false)))
+    val out = StructType(slim.fields ++ Seq(
+      StructField(LakeTable.DvPathCol, StringType, nullable = false),
+      StructField(LakeTable.DvPosCol, LongType, nullable = false)))
+    if (files.isEmpty) return emptyDf(out)
+    // one scan across schema groups: the three requested columns are system
+    // columns present with fixed types in every file schema
+    val tagged = spark.read.schema(slim).parquet(files.map(_.path): _*)
+      .select(col("url"), col("_lsn"), col("_wal_part"),
+        col("_metadata.file_path").as(LakeTable.DvPathCol),
+        col("_metadata.row_index").as(LakeTable.DvPosCol))
+    maskTagged(snap, tagged)
+  }
+
+  /** Write a batch of positional deletes (`_dv_path`, `_dv_pos`) as a DV
+    * sidecar commit dir under `data/`; returns the sidecar entries (empty if
+    * the batch deleted nothing — no empty sidecars accumulate). Content is
+    * deterministic: hash-partitioned by file path, sorted within partitions.
+    */
+  def writeDvFiles(deletes: DataFrame, nTasks: Int = 4): Seq[DvFile] = {
+    val dir = new Path(dataDir, java.util.UUID.randomUUID().toString + "-dv")
+    val placed = deletes
+      .repartition(math.max(1, nTasks), col(LakeTable.DvPathCol))
+      .sortWithinPartitions(col(LakeTable.DvPathCol), col(LakeTable.DvPosCol))
+    graft.cdc.CdcApply.phase("dv-write") { placed.write.parquet(dir.toString) }
+    val entries = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map(f => DvFile(f.getPath.toString,
+        LakeTable.footerStats(f.getPath, conf, Nil)._1))
+      .filter(_.rows > 0)
+    if (entries.isEmpty) { fs.delete(dir, true); Nil } else entries
+  }
+
+  /** Drop DV entries pointing at data files a partial compaction rewrote
+    * (their rows are physically gone) and rewrite the survivors as ONE fresh
+    * consolidated sidecar — the mask a long-running stream reads stays
+    * O(still-masked rows), not O(every delete ever). Paths are compared
+    * scheme-normalized: sidecar entries carry `_metadata.file_path` URIs
+    * while DataFile paths are Hadoop `Path.toString`s.
+    */
+  private def consolidateDvs(snap: Snapshot, live: Seq[DataFile]): Seq[DvFile] = {
+    val livePaths = live.map(f => LakeTable.normalizePath(f.path))
+    val liveDf = spark.createDataFrame(
+      livePaths.map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField("_live_path", StringType, nullable = false))))
+    val kept = dvEntries(snap).join(broadcast(liveDf),
+      regexp_replace(col(LakeTable.DvPathCol), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+        === col("_live_path"),
+      "left_semi")
+    writeDvFiles(kept)
   }
 
   private def align(df: DataFrame, target: StructType): DataFrame = {
@@ -767,10 +970,14 @@ class LakeTable(val spark: SparkSession, val root: String,
           (LakeTable.TombstoneGcLsnProp -> math.max(w,
             snap.props.get(LakeTable.TombstoneGcLsnProp).map(_.toLong)
               .getOrElse(Long.MinValue)).toString))
-      return commit(snap.copy(files = newFiles, buckets = nb, props = rbProps))
+      // rebucket rewrites every row through the masked read → no DV survives
+      return commit(snap.copy(files = newFiles, buckets = nb, props = rbProps,
+        dvFiles = Nil))
     }
     val byBucket = snap.files.groupBy(_.bucket)
-    val full = maxFilesPerBucket <= 1 && needsResolve(snap)
+    // a DV'd table at one file per bucket still needs the full pass: the
+    // rewrite applies the masks physically so the sidecar list can be cleared
+    val full = maxFilesPerBucket <= 1 && (needsResolve(snap) || snap.dvFiles.nonEmpty)
     val victims = byBucket.filter(_._2.size > maxFilesPerBucket)
     if (victims.isEmpty && gcTombstonesBelowLsn.isEmpty && !full) return snap
     val target = if (victims.nonEmpty && !full) victims else byBucket
@@ -822,7 +1029,15 @@ class LakeTable(val spark: SparkSession, val root: String,
     val props = gcSafe.fold(props0)(w => props0 +
       (LakeTable.TombstoneGcLsnProp -> math.max(w,
         props0.get(LakeTable.TombstoneGcLsnProp).map(_.toLong).getOrElse(Long.MinValue)).toString))
-    commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage, props = props))
+    // the rewrite read masks, so rewritten rows have their deletes applied
+    // physically: full pass → no DV survives; partial → keep only entries
+    // pointing at files that still exist, rewritten as one fresh sidecar
+    val dvLeft =
+      if (snap.dvFiles.isEmpty) Nil
+      else if (target.size == byBucket.size) Nil
+      else consolidateDvs(snap, untouched)
+    commit(snap.copy(files = untouched ++ newFiles, lineage = snap.lineage,
+      props = props, dvFiles = dvLeft))
   }
 
   // ------------------------------------------- WAP: staged commits (audit)
@@ -1057,8 +1272,9 @@ class LakeTable(val spark: SparkSession, val root: String,
     val keptSnaps = kept.map(snapshotAt)
     // staged (not yet committed) data files are live too — the sweep must
     // not collect a batch that is pending audit
-    val referenced: Set[String] = (keptSnaps ++ stagedSnaps).flatMap(_.files.map(f =>
-      new Path(f.path).toUri.getPath)).toSet
+    val referenced: Set[String] = (keptSnaps ++ stagedSnaps).flatMap(s =>
+      (s.files.map(_.path) ++ s.dvFiles.map(_.path))
+        .map(p => new Path(p).toUri.getPath)).toSet
     // GC manifest delta files referenced by no retained snapshot (incl. delta
     // files orphaned by a crash between delta write and version claim, and
     // chains superseded by consolidation)
@@ -1136,15 +1352,57 @@ object LakeTable {
     */
   val LineageRetention = 1000
 
-  /** Consolidate the manifest-delta chain into one full manifest every K
-    * commits: commit I/O stays O(batch files) amortized (one O(table) fold per
-    * K commits) and snapshot reads open at most K+1 small JSON files. 32
-    * matches Iceberg's default snapshot retention ballpark; at 10^10 events /
-    * 4M-row files (~2.5k files) a full manifest is ~500 KB, so the amortized
-    * overhead is negligible while per-commit writes shrink from O(table) to
-    * O(batch).
+  /** Consolidate the manifest-delta chain every K commits: commit I/O stays
+    * O(batch files) amortized and snapshot reads open at most K + #chunks
+    * small JSON files. Since round 5 the consolidated form is TWO-LEVEL
+    * (bucket-range chunks, content-addressed — see
+    * [[LakeTable.chunkCountFor]]): clean chunks are reused by name, so the
+    * amortized consolidation write is O(dirty chunks), and point prunes can
+    * load only the chunks covering their buckets
+    * ([[LakeTable.planFilesChunked]]). 32 matches Iceberg's default snapshot
+    * retention ballpark. Test-tunable via `-Dgraft.manifestConsolidateEvery`.
     */
-  val ManifestConsolidateEvery = 32
+  def ManifestConsolidateEvery: Int =
+    sys.props.get("graft.manifestConsolidateEvery").map(_.toInt).getOrElse(32)
+
+  /** Chunk count for the two-level consolidated manifest: ~64k file entries
+    * per chunk (a few MB of JSON — the parse unit of a point prune), capped
+    * so tiny tables keep one chunk and huge ones don't fragment. Bucket
+    * space maps contiguously onto chunks (`idx = bucket·C / buckets`); L0
+    * spanning files (bucket −1) live in a dedicated always-loaded chunk
+    * (index C).
+    */
+  def chunkCountFor(nFiles: Int): Int =
+    sys.props.get("graft.manifestChunks").map(_.toInt).getOrElse(
+      math.max(1, math.min(64, nFiles / 65536 + 1)))
+
+  private val ChunkNameRe = """m-chunk-(\d+)of(\d+)b(\d+)-[0-9a-f]{32}\.json""".r
+  def isChunkManifest(name: String): Boolean =
+    ChunkNameRe.matches(name)
+  /** (chunkIdx, chunkCount, bucketsAtWrite) from a chunk manifest name. */
+  private[lake] def parseChunkName(name: String): Option[(Int, Int, Int)] =
+    name match {
+      case ChunkNameRe(i, c, b) => Some((i.toInt, c.toInt, b.toInt))
+      case _ => None
+    }
+
+  /** Content address of a chunk's (path-sorted) entries: MD5 over every
+    * field of every entry — any add, remove, or stat change reroutes the
+    * chunk to a new name. One digest pass, no JSON serialization.
+    */
+  private[lake] def chunkHash(files: Seq[DataFile]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8 * 8)
+    files.foreach { f =>
+      d.update(f.path.getBytes("UTF-8"))
+      buf.clear()
+      buf.putLong(f.bucket.toLong).putLong(f.schemaId.toLong).putLong(f.rows)
+        .putLong(f.bytes).putLong(f.minLsn).putLong(f.maxLsn)
+        .putLong(f.minUrlHash).putLong(f.maxUrlHash)
+      d.update(buf.array())
+    }
+    d.digest().map(b => f"$b%02x").mkString
+  }
 
   /** Snapshot prop set by merge-on-read appends, cleared by full compaction:
     * "this table may hold multiple versions of a url; reads must resolve".
@@ -1176,6 +1434,33 @@ object LakeTable {
     * `.json.tmp-*` file: the JVM commit mutex cannot see other processes, so
     * only age separates a crashed writer's tmp from a live one's. */
   val TmpSweepGraceMs: Long = 10L * 60 * 1000
+
+  // --------------------------------------------------------- deletion vectors
+
+  /** DV sidecar columns: the deleted row's file (as `_metadata.file_path`
+    * reports it — self-consistent with the scan the mask joins against) and
+    * its physical row ordinal (`_metadata.row_index`). */
+  val DvPathCol = "_dv_path"
+  val DvPosCol = "_dv_pos"
+  val dvSchema: StructType = StructType(Seq(
+    StructField(DvPathCol, StringType, nullable = false),
+    StructField(DvPosCol, LongType, nullable = false)))
+
+  /** Below this many total DV entries the mask is a broadcast hash anti-join
+    * (no shuffle of the scan side); above it, a shuffled anti-join. ~100
+    * bytes/entry → the default caps the broadcast near 200 MB. Compaction is
+    * what keeps real tables under it. */
+  def DvBroadcastLimit: Long =
+    sys.props.get("graft.dvBroadcastLimit").map(_.toLong).getOrElse(2L * 1000 * 1000)
+
+  /** Scheme-normalized path for cross-representation comparison: strips the
+    * URI scheme but keeps authority + path, matching the sidecar-side
+    * `regexp_replace(path, "^scheme:/+", "/")` normalization. */
+  def normalizePath(p: String): String = {
+    val u = new Path(p).toUri
+    Option(u.getAuthority).filter(_.nonEmpty)
+      .map(a => s"/$a${u.getPath}").getOrElse(u.getPath)
+  }
 
   /** Per-root intra-process commit lock (see [[LakeTable.commit]]). */
   private val commitMutexes =

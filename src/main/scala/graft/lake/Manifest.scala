@@ -21,6 +21,15 @@ case class DataFile(
     minUrlHash: Long,
     maxUrlHash: Long)
 
+/** One positional-delete sidecar file (Iceberg-v2 delete-vector analogue): a
+  * parquet file of `(_dv_path, _dv_pos)` rows naming data-file row ordinals
+  * superseded by a later writer. Readers subtract these positions from the
+  * scan instead of LWW-resolving the whole table ([[LakeTable.readFiles]]).
+  * `rows` is carried so the read path can choose broadcast vs shuffled
+  * masking without running a count job.
+  */
+case class DvFile(path: String, rows: Long)
+
 /** Per-batch lineage record (north rule: "checkpoints per-partition offsets and
   * lineage (source LSN range, batch id, snapshot id, row counts)").
   */
@@ -58,7 +67,13 @@ case class Snapshot(
     watermarks: Map[String, Long],
     lineage: Seq[LineageEntry],
     props: Map[String, String],
-    manifests: Seq[String] = Nil) {
+    manifests: Seq[String] = Nil,
+    // Positional-delete sidecars in force at this snapshot (deletion-vector
+    // apply mode). Stored inline in the snapshot JSON, NOT in the manifest
+    // delta chain: the list is bounded by batches since the last compaction
+    // (compaction folds the masks into the data and clears it), so it stays
+    // O(recent batches) — unlike `files`, which grows with the table.
+    dvFiles: Seq[DvFile] = Nil) {
   def schemaJson(id: Int): String = schemas(id.toString)
   def currentSchemaJson: String = schemaJson(currentSchemaId)
 }
@@ -86,6 +101,8 @@ object ManifestCodec {
     // small values — normalize through Number to avoid unboxing CCEs.
     val wm = s.watermarks.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
-    s.copy(watermarks = wm)
+    // dvFiles was added after the first on-disk format: manifests written
+    // before it deserialize the field as null, not the default Nil
+    s.copy(watermarks = wm, dvFiles = Option(s.dvFiles).getOrElse(Nil))
   }
 }

@@ -327,6 +327,33 @@ object MLQueries {
         CdcApply.applyBatch(table, batch, "q_cdc", b, createBuckets = 16)
       }.pages().select(col("url"), col("text"), col("lang"))),
 
+    // deletion-vector merge under the same hard oracle: positional-delete
+    // sidecars + winner appends must converge to the identical final state
+    "q_cdc_dv_table" -> ((s, d) =>
+      replayLake(s, d, "graft-q-cdc-dv") { (table, batch, b) =>
+        CdcApply.applyBatchDv(table, batch, "q_dv", b, createBuckets = 16)
+      }.pages().select(col("url"), col("text"), col("lang"))),
+
+    // dv with the lsn windows applied in REVERSE batch order: every batch
+    // after the first is entirely stale vs committed state, so the loser
+    // path (discard batch rows, write no mask) carries the convergence —
+    // the final LWW state is order-independent
+    "q_cdc_dv_stale" -> ((s, d) => {
+      val env = envelope(t(s, d, "events")).cache()
+      try {
+        val maxLsn = env.agg(coalesce(max(col("lsn")), lit(0L))).head().getLong(0)
+        val step = math.max(1L, maxLsn / 4 + 1)
+        val work = s"${System.getProperty("java.io.tmpdir")}/graft-q-cdc-dv-stale"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+        val table = new LakeTable(s, s"$work/lake")
+        (0L to maxLsn / step).reverse.zipWithIndex.foreach { case (w, i) =>
+          val batch = env.filter(col("lsn") >= w * step && col("lsn") < (w + 1) * step)
+          CdcApply.applyBatchDv(table, batch, "q_dv_stale", i.toLong, createBuckets = 16)
+        }
+        table.pages().select(col("url"), col("text"), col("lang"))
+      } finally env.unpersist()
+    }),
+
     // WAP under the same hard oracle: batch 1 is STAGED (invisible) under
     // its own queryId — the multi-writer pattern; committing the main
     // query's later batches past a staged batch of the SAME query is
@@ -810,6 +837,16 @@ object MLQueries {
         |FROM events GROUP BY 1
         |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
     "q_cdc_l0_table" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
+        |  max_by(event_type, event_id) AS lang
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
+    "q_cdc_dv_table" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
+        |  max_by(event_type, event_id) AS lang
+        |FROM events GROUP BY 1
+        |HAVING max_by(CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) <> 'D'""".stripMargin,
+    "q_cdc_dv_stale" ->
       """SELECT concat('u', CAST(user_id AS VARCHAR)) AS url, max_by(props, event_id) AS text,
         |  max_by(event_type, event_id) AS lang
         |FROM events GROUP BY 1

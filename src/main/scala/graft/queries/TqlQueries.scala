@@ -134,6 +134,27 @@ object TqlQueries {
         select doc_id, joined
       """)(t(s, d, "documents"))),
 
+    // context statements end-to-end under the hard oracle: create a lookup
+    // table, TTL-update it from the events stream (write_timeout present but
+    // un-expirable within a run — the TTL columns flow through the liveness
+    // filter deterministically), erase a key slice, then enrich. The
+    // within-update winner per key is the GREATEST value (the documented
+    // deterministic tiebreak), which the oracle reproduces as max().
+    "q_tql_context" -> ((s, d) => {
+      Tql.ctxClearAll()
+      val ev = t(s, d, "events")
+      Tql("""
+        context::create_lookup_table "q5ctx"
+        context::update "q5ctx", key=user_id % 50, value=event_type, write_timeout=365d
+      """)(ev)
+      Tql("""context::erase "q5ctx", key=user_id % 50""")(
+        ev.filter(pmod(col("user_id"), lit(50)) < 10))
+      Tql("""
+        context::enrich "q5ctx", key=user_id % 50, into=tag
+        select event_id, tag
+      """)(ev)
+    }),
+
     // import/export: the store round-trip in the STRING surface — pipe the
     // change envelope into a scratch lake, read it back LWW-resolved with
     // time travel defaulting to head, filter + project in TQL
@@ -165,6 +186,12 @@ object TqlQueries {
     "q_tql_meta" ->
       """SELECT event_id, 'graft.purchase' AS name
          FROM events WHERE event_type = 'purchase'""",
+    "q_tql_context" ->
+      """WITH ctx AS (SELECT user_id % 50 AS k, max(event_type) AS tag
+           FROM events GROUP BY 1),
+         kept AS (SELECT * FROM ctx WHERE k >= 10)
+         SELECT e.event_id, kept.tag
+         FROM events e LEFT JOIN kept ON e.user_id % 50 = kept.k""",
     "q_tql_lambda" ->
       """SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE coalesce(array_to_string(
            list_transform(list_filter(string_split(text, ' '), w -> len(w) >= 6),

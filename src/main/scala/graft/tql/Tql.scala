@@ -1,5 +1,7 @@
 package graft.tql
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -159,6 +161,173 @@ object Tql {
   def dropContext(name: String): Unit = contextsReg.remove(name)
   private[tql] def context(name: String): DataFrame =
     contextsReg.getOrElse(name, sys.error(s"tql: unknown context '$name'"))
+
+  // ------------------------------------------- TQL-managed contexts (context::*)
+
+  /** State of a `context::create_*`-made context. Lookup-table entries:
+    * `(key, value, created_ts, updated_ts, create_timeout_ms,
+    * write_timeout_ms)` — timeouts are per-entry nullable millis, exactly the
+    * reference's lookup-table TTL model (`lookup_table.cpp:218-243`). Bloom
+    * contexts hold raw keys; the filter is built at probe time. Entries are
+    * `localCheckpoint`ed per mutation so a long create→update chain never
+    * accumulates an unbounded plan.
+    */
+  private case class CtxState(kind: String, entries: Option[DataFrame],
+      capacity: Long = 1000000L, fp: Double = 0.01)
+  private val tqlCtxReg = new scala.collection.concurrent.TrieMap[String, CtxState]
+  private def tqlCtx(name: String): CtxState =
+    tqlCtxReg.getOrElse(name, sys.error(s"tql: unknown context '$name' " +
+      "(create it with context::create_lookup_table / create_bloom_filter)"))
+
+  private[tql] def ctxCreate(name: String, kind: String,
+      capacity: Long = 1000000L, fp: Double = 0.01): Unit = {
+    require(!tqlCtxReg.contains(name), s"tql: context '$name' already exists")
+    tqlCtxReg(name) = CtxState(kind, None, capacity, fp)
+  }
+  private[tql] def ctxRemove(name: String): Unit = {
+    tqlCtx(name); tqlCtxReg.remove(name); ()
+  }
+  private[tql] def ctxReset(name: String): Unit =
+    tqlCtxReg(name) = tqlCtx(name).copy(entries = None)
+  /** Test hook: drop every context::* context (suite isolation). */
+  def ctxClearAll(): Unit = tqlCtxReg.clear()
+
+  private def ctxNow(): java.sql.Timestamp =
+    new java.sql.Timestamp(graft.core.IngestClock.now().toEpochMilli)
+
+  /** Entries still alive at `now` under their own per-entry timeouts. */
+  private def liveEntries(df: DataFrame, now: java.sql.Timestamp): DataFrame =
+    df.filter(
+      (col("create_timeout_ms").isNull ||
+        unix_millis(col("created_ts")) + col("create_timeout_ms") > lit(now.getTime)) &&
+      (col("write_timeout_ms").isNull ||
+        unix_millis(col("updated_ts")) + col("write_timeout_ms") > lit(now.getTime)))
+
+  /** `context::update`: upsert the frame's `(key, value)` pairs. Within one
+    * update the winner per key is the greatest value (a deterministic
+    * tiebreak; the reference's "last event wins" has no stable meaning over
+    * an unordered Spark frame). Existing keys keep their `created_ts`
+    * (create_timeout keeps counting from first creation) but take the new
+    * value, `updated_ts`, and timeouts; entries already expired at update
+    * time are dropped first, so re-adding one mints a fresh creation.
+    */
+  private[tql] def ctxUpdate(name: String, frame: DataFrame, key: Column,
+      value: Option[Column], createTimeoutMs: Option[Long],
+      writeTimeoutMs: Option[Long]): Unit = {
+    val st = tqlCtx(name)
+    val now = ctxNow()
+    if (st.kind == "bloom-filter") {
+      require(createTimeoutMs.isEmpty && writeTimeoutMs.isEmpty,
+        "tql: timeouts only apply to lookup tables, not bloom filters")
+      require(value.isEmpty, "tql: a bloom filter stores membership, not values")
+      val add = frame.select(key.as("key")).distinct()
+      val merged = st.entries.fold(add)(_.unionByName(add).distinct())
+      tqlCtxReg(name) = st.copy(entries = Some(merged.localCheckpoint()))
+    } else {
+      val v = value.getOrElse(struct(recordCols(frame).map(n => col(s"`$n`")): _*))
+      val add = frame.select(key.as("key"), v.as("value"))
+        .groupBy(col("key")).agg(max_by(col("value"), col("value")).as("value"))
+        .select(col("key"), col("value"),
+          lit(now).as("created_ts"), lit(now).as("updated_ts"),
+          createTimeoutMs.map(lit(_)).getOrElse(lit(null)).cast("long").as("create_timeout_ms"),
+          writeTimeoutMs.map(lit(_)).getOrElse(lit(null)).cast("long").as("write_timeout_ms"))
+      val merged = st.entries match {
+        case None => add
+        case Some(old0) =>
+          val old = liveEntries(old0, now)
+          val refreshed = add.join(
+              old.select(col("key"), col("created_ts").as("__old_created")),
+              Seq("key"), "left_outer")
+            .select(col("key"), col("value"),
+              coalesce(col("__old_created"), col("created_ts")).as("created_ts"),
+              col("updated_ts"), col("create_timeout_ms"), col("write_timeout_ms"))
+          old.join(add.select("key"), Seq("key"), "left_anti").unionByName(refreshed)
+      }
+      tqlCtxReg(name) = st.copy(entries = Some(merged.localCheckpoint()))
+    }
+  }
+
+  /** `context::erase`: drop the frame's keys from a lookup table. */
+  private[tql] def ctxErase(name: String, frame: DataFrame, key: Column): Unit = {
+    val st = tqlCtx(name)
+    require(st.kind == "lookup-table",
+      s"tql: context::erase needs a lookup table; a ${st.kind} cannot remove " +
+        "members (probabilistic sets have no deletion — reset and rebuild instead)")
+    st.entries.foreach { e =>
+      val gone = frame.select(key.as("key")).distinct()
+      tqlCtxReg(name) =
+        st.copy(entries = Some(e.join(gone, Seq("key"), "left_anti").localCheckpoint()))
+    }
+  }
+
+  /** `context::enrich`: broadcast probe. Lookup tables left-join the live
+    * entries' value into `into` (overwriting it — the reference's
+    * `mode="set"`); bloom filters attach a membership boolean. The event
+    * frame is never shuffled.
+    */
+  private[tql] def ctxEnrich(name: String, frame: DataFrame, key: Column,
+      into: String): DataFrame = {
+    val st = tqlCtx(name)
+    st.kind match {
+      case "bloom-filter" =>
+        val keys = st.entries.getOrElse(frame.sparkSession.emptyDataFrame
+          .select(lit("").as("key")).limit(0))
+        // m for k=2 probes: fp ≈ (1 − e^(−2n/m))² → m = −2n / ln(1 − √fp)
+        val mBits = {
+          val m = math.ceil(-2.0 * math.max(1L, st.capacity) /
+            math.log(1 - math.sqrt(st.fp))).toLong
+          math.max(64L, ((m + 31) / 32) * 32).min(Int.MaxValue.toLong).toInt
+        }
+        val filter = graft.ops.Contexts.bloomBuild(keys, col("key"), mBits)
+        frame.withColumn(into, filter.mightContain(key))
+      case _ =>
+        val now = ctxNow()
+        st.entries.map(e => liveEntries(e, now)) match {
+          case None => frame.withColumn(into, lit(null))
+          case Some(e) =>
+            val ctx = broadcast(e.select(col("key").as("__ctx_key"), col("value").as(into)))
+            frame.drop(into)
+              .join(ctx, key === col("__ctx_key"), "left_outer")
+              .drop("__ctx_key")
+        }
+    }
+  }
+
+  /** `context::inspect`: the context contents as a frame — live lookup
+    * entries as `{key, value}` (the reference's inspect shape), bloom keys
+    * as `{key}`.
+    */
+  private[tql] def ctxInspect(name: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val st = tqlCtx(name)
+    st.entries match {
+      case None =>
+        if (st.kind == "bloom-filter")
+          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("key",
+                org.apache.spark.sql.types.StringType))))
+        else sys.error(s"tql: context '$name' has no entries yet to inspect")
+      case Some(e) =>
+        if (st.kind == "bloom-filter") e.select(col("key"))
+        else liveEntries(e, ctxNow()).select(col("key"), col("value"))
+    }
+  }
+
+  /** `context::list`: one row per context — `{name, kind, entries}`. */
+  private[tql] def ctxList(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val rows = tqlCtxReg.toSeq.sortBy(_._1).map { case (n, st) =>
+      org.apache.spark.sql.Row(n, st.kind,
+        st.entries.map(_.count()).getOrElse(0L))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("entries",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** Extension-dispatched read for `from` (parquet/json/csv/lines). */
   private[tql] def readPath(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
@@ -558,7 +727,10 @@ object Tql {
         // sample <fraction> — deterministic hash sample (Pipe.sample_; the
         // reference's fixed-rate `sample.md` mode; adaptive mode stays on the
         // Scala surface, it needs a time column + period config)
-        val fraction = { val Num(n) = next(): @unchecked; n.toDouble }
+        val fraction = next() match {
+          case Num(n) => n.toDouble
+          case t => sys.error(s"tql: sample expects a fraction, got $t")
+        }
         require(fraction >= 0 && fraction <= 1, "tql: sample expects a fraction in [0,1]")
         // hash the event RECORD only: a per-run @import_time stamp in the
         // hash input would select a different subset on every re-run,
@@ -733,6 +905,103 @@ object Tql {
             index = opts.getOrElse("index", "main"),
             action = opts.getOrElse("action", "create"))
           st
+        }
+      // context::* statements (reference `web/docs/tql2/operators/context/`;
+      // state machinery in the Tql object ctx* helpers, which lower onto the
+      // same broadcast-probe / TTL model as graft.ops.Contexts). Mutations
+      // run at PIPELINE time in statement order — an update consumes the
+      // frame flowing through it and passes it on unchanged.
+      case Ident("context") if peek.contains(Punct("::")) =>
+        next() // '::'
+        val op = next() match {
+          case Ident(n) => n
+          case t => sys.error(s"tql: expected a context operator after 'context::', got $t")
+        }
+        op match {
+          case "create_lookup_table" =>
+            val name = parseStringLit("context::create_lookup_table")
+            st => { Tql.ctxCreate(name, "lookup-table"); st }
+          case "create_bloom_filter" =>
+            // context::create_bloom_filter "name"[, capacity=N, fp_probability=x]
+            val name = parseStringLit("context::create_bloom_filter")
+            var capacity = 1000000L; var fp = 0.01
+            while (accept(",")) next() match {
+              case Ident("capacity") => expect("="); capacity = parseInt().toLong
+              case Ident("fp_probability") =>
+                expect("=")
+                fp = next() match {
+                  case Num(v) => v.toDouble
+                  case t => sys.error(s"tql: fp_probability expects a number, got $t")
+                }
+                require(fp > 0 && fp < 1, s"tql: fp_probability must be in (0,1), got $fp")
+              case t => sys.error(s"tql: create_bloom_filter does not accept $t")
+            }
+            st => { Tql.ctxCreate(name, "bloom-filter", capacity, fp); st }
+          case "update" =>
+            val name = parseStringLit("context::update")
+            expect(",")
+            var key: Option[Column] = None; var value: Option[Column] = None
+            var ct: Option[Long] = None; var wt: Option[Long] = None
+            parseCommaList { () =>
+              next() match {
+                case Ident("key") => expect("="); key = Some(parseExpr())
+                case Ident("value") => expect("="); value = Some(parseExpr())
+                case Ident("create_timeout") => expect("="); ct = Some(parseDurationMs())
+                case Ident("write_timeout") => expect("="); wt = Some(parseDurationMs())
+                case Ident("read_timeout") => sys.error(
+                  "tql: read_timeout is not supported — expiring entries on READ would " +
+                    "make enrich a mutating operator (a probe that rewrites broadcast " +
+                    "state has no declarative Spark plan); use write_timeout")
+                case t => sys.error(s"tql: context::update does not accept $t")
+              }
+              ()
+            }
+            val k = key.getOrElse(sys.error("tql: context::update requires key=<expr>"))
+            st => { Tql.ctxUpdate(name, st.df, k, value, ct, wt); st }
+          case "erase" =>
+            val name = parseStringLit("context::erase")
+            expect(",")
+            val kTok = next()
+            require(kTok == Ident("key"), s"tql: context::erase expects key=<expr>, got $kTok")
+            expect("=")
+            val k = parseExpr()
+            st => { Tql.ctxErase(name, st.df, k); st }
+          case "enrich" =>
+            // context::enrich "name", key=<expr>[, into=<field>]
+            val name = parseStringLit("context::enrich")
+            expect(",")
+            var key: Option[Column] = None; var into: Option[String] = None
+            parseCommaList { () =>
+              next() match {
+                case Ident("key") => expect("="); key = Some(parseExpr())
+                case Ident("into") => expect("="); into = Some(parseTopLevelField("into"))
+                case Ident("mode") => sys.error(
+                  "tql: context::enrich mode is not supported (set semantics only — " +
+                    "append into lists would need per-row mutable state)")
+                case Ident("format") => sys.error(
+                  "tql: context::enrich format is not supported (plain values only)")
+                case t => sys.error(s"tql: context::enrich does not accept $t")
+              }
+              ()
+            }
+            val k = key.getOrElse(sys.error("tql: context::enrich requires key=<expr>"))
+            st => st.next(Tql.ctxEnrich(name, st.df, k, into.getOrElse(name)))
+          case "inspect" =>
+            val name = parseStringLit("context::inspect")
+            st => st.next(Tql.ctxInspect(name, st.df.sparkSession))
+          case "list" =>
+            st => st.next(Tql.ctxList(st.df.sparkSession))
+          case "reset" =>
+            val name = parseStringLit("context::reset")
+            st => { Tql.ctxReset(name); st }
+          case "remove" =>
+            val name = parseStringLit("context::remove")
+            st => { Tql.ctxRemove(name); st }
+          case "save" | "load" => sys.error(
+            s"tql: context::$op is not supported — contexts here are in-session " +
+              "state; persist them as data instead (context::inspect | to \"….parquet\", " +
+              "and rebuild with from + context::update)")
+          case other => sys.error(s"tql: unknown context operator 'context::$other'")
         }
       case Ident("enrich") =>
         // enrich "<context>", key=<field>[, key2=…] — broadcast build-probe
@@ -967,7 +1236,10 @@ object Tql {
     }
 
     private def parsePath(): List[String] = {
-      val Ident(first) = next(): @unchecked
+      val first = next() match {
+        case Ident(n) => n
+        case t => sys.error(s"tql: expected a field name, got $t")
+      }
       val parts = List.newBuilder[String]
       parts += first
       while (peek.contains(Punct(".")) &&
@@ -978,10 +1250,18 @@ object Tql {
       parts.result()
     }
 
-    private def parseInt(): Int = { val Num(n) = next(): @unchecked; n.toInt }
+    // named errors, not MatchErrors: `head` with a missing/non-numeric count
+    // must say so (found by TqlPropertySpec's corruption fuzzing)
+    private def parseInt(): Int = next() match {
+      case Num(n) => n.toInt
+      case t => sys.error(s"tql: expected a number, got $t")
+    }
     private def parseSignedInt(): Long = {
-      val neg = accept("-"); val Num(n) = next(): @unchecked
-      if (neg) -n.toLong else n.toLong
+      val neg = accept("-")
+      next() match {
+        case Num(n) => if (neg) -n.toLong else n.toLong
+        case t => sys.error(s"tql: expected a number, got $t")
+      }
     }
 
     // -------------------------------------------------------- expressions
@@ -1048,7 +1328,10 @@ object Tql {
       var e = parsePrimary()
       while (peek.contains(Punct("."))) {
         next()
-        val Ident(name) = next(): @unchecked
+        val name = next() match {
+          case Ident(n) => n
+          case t => sys.error(s"tql: expected a field or method name after '.', got $t")
+        }
         if (accept("(")) {
           val args = if (accept(")")) Nil else {
             val as = parseCommaList(() => parseCallArg()); expect(")"); as
@@ -1169,7 +1452,14 @@ object Tql {
       isAggCall = isAggCall || aggFns.contains(name)
       val fn = scalarFns.get(name).orElse(aggFns.get(name))
         .getOrElse(sys.error(s"tql: unknown function '$name'"))
-      fn(args)
+      // the registry entries are arity-shaped partial functions: a wrong
+      // argument count must be a NAMED error, not a MatchError (found by
+      // TqlPropertySpec's corruption fuzzing)
+      try fn(args)
+      catch {
+        case _: MatchError =>
+          sys.error(s"tql: wrong number of arguments to '$name' (got ${args.size})")
+      }
     }
   }
 

@@ -17,7 +17,8 @@ import graft.lake.LakeTable
   *     see BASELINE.md "environment calibration"). Headline mode is the
   *     write-optimized L0 spanning append (`mode = "l0"` — zero exchanges);
   *     a second (2, 8) pairing keeps the bus unsaturated at both points, and
-  *     the copy-on-write MERGE (`applyBatch`) is reported alongside.
+  *     the read-optimized merges — deletion vectors (`applyBatchDv`) and the
+  *     retired copy-on-write MERGE — are reported alongside.
   *     After an untimed warmup pair (JIT + codegen), the timed (N, 4N)
   *     replays run INTERLEAVED several times and the fastest of each side
   *     is kept: the VM's noisy-neighbor slowdowns are time-varying, so
@@ -272,9 +273,17 @@ object Bench {
           lo = 2, hi = 8, extraOnVariance = 4,
           buyMoreWhile = r => r.highVariance || r.inconclusiveAt(0.8))
         parts += s""""cdc_mor_unsaturated":{"apply_mode":"l0","cores":"2v8",${modeJson(lo, 2, 8)}}"""
-        // COW (read-optimized MERGE) alongside on the smaller WAL, smaller
-        // triggers so later batches actually merge against a populated table
-        // (one giant batch would just measure a bulk load)
+        // The read-optimized merge paths alongside, on the smaller WAL with
+        // smaller triggers so later batches actually merge against a
+        // populated table (one giant batch would just measure a bulk load):
+        // dv (deletion vectors — the CURRENT read-optimized path) and cow
+        // (retired round 5; kept one more round as the retirement evidence —
+        // BASELINE.md's round-5 write-amp/read-latency table)
+        val dv = cdcPairs(cowWal, warmWal, "dv", pairs = 2, filesPerTrigger = 12)
+        parts += s""""cdc_dv":{${modeJson(dv)}}"""
+        val dvLo = cdcPairs(cowWal, warmWal, "dv", pairs = 2, filesPerTrigger = 12,
+          lo = 2, hi = 8)
+        parts += s""""cdc_dv_unsaturated":{"cores":"2v8",${modeJson(dvLo, 2, 8)}}"""
         val cow = cdcPairs(cowWal, warmWal, "cow", pairs = 2, filesPerTrigger = 12)
         parts += s""""cdc_cow":{${modeJson(cow)}}"""
       } finally {

@@ -61,7 +61,12 @@ object DvLab {
 
   def main(args: Array[String]): Unit = {
     val nEvents = if (args.nonEmpty) args(0).toLong else 2000000L
-    val modes = if (args.length > 1) args(1).split(",").toSeq else Seq("cow", "mor", "dv")
+    // "dv-ac" = dv with auto-compaction (threshold 4 files/bucket): the
+    // production shape — masks fold into the data periodically, so reads
+    // converge back to the compacted-layout latency COW pays 4.5x write-amp
+    // for on every batch
+    val modes = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("cow", "mor", "dv", "dv-ac")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     new java.io.File(scratch).mkdirs()
 
@@ -82,9 +87,14 @@ object DvLab {
         val table = new LakeTable(spark, s"$work/lake")
         var events = 0L
         val t0 = System.nanoTime()
+        // IDENTICAL trigger size for every mode: a per-mode batch size would
+        // confound the strategy comparison with per-batch fixed costs (the
+        // whole point is write-amp/read-latency at the SAME batch cadence)
         CdcStream.start(spark, wal, table, s"$work/ckpt",
-          maxFilesPerTrigger = if (mode == "cow") 12 else 48,
-          createBuckets = 64, mode = mode, onBatch = st => events += st.events)
+          maxFilesPerTrigger = 12,
+          createBuckets = 64, mode = mode.stripSuffix("-ac"),
+          autoCompactFilesPerBucket = if (mode.endsWith("-ac")) 4 else 0,
+          onBatch = st => events += st.events)
           .awaitTermination()
         val applySecs = (System.nanoTime() - t0) / 1e9
         val written = duBytes(s"$work/lake/data")

@@ -28,6 +28,12 @@ object GenSf {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // the text/embedding perturbation families (5 vowel rotations × 2
+    // consonant states) are distinct only up to 10 copies — past that,
+    // copies repeat byte-identically and the near-dup pair queries blow up
+    // quadratically, the exact false artifact this generator exists to avoid
+    require(factor <= 10, s"GenSf supports factor <= 10 (got $factor); add " +
+      "perturbation families before scaling further")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .appName("gen-sf")

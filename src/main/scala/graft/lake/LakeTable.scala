@@ -316,9 +316,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     * `<idx>of<C>b<buckets>` plus an MD5 of the chunk's (path-sorted)
     * entries — so a chunk whose content is unchanged since the previous
     * consolidation is REUSED by name with zero I/O: the write cost is
-    * O(dirty chunks), and a name that already exists on disk is by
-    * construction byte-equivalent (safe to share across snapshots and
-    * across racing writers). Content addressing also closes the
+    * O(dirty chunks), and a COMPLETE file that already carries the name is
+    * by construction byte-equivalent (chunk writes go tmp-then-rename, so
+    * only complete bytes ever carry a final name; sharing across snapshots
+    * is safe, and the manifest GC takes the commit mutex so an in-process
+    * reuse decision cannot race a sweep — cross-process maintenance remains
+    * excluded by the single-writer contract). Content addressing also closes
+    * the
     * resurrection hazard a delta-derived dirty set would have: a file
     * removed since the last consolidation changes its chunk's hash, so the
     * stale chunk can never be carried forward.
@@ -343,14 +347,21 @@ class LakeTable(val spark: SparkSession, val root: String,
       val name = f"m-chunk-${i}of${c}b$buckets-${LakeTable.chunkHash(files)}.json"
       val p = new Path(manifestDir, name)
       if (!prev.contains(name) && !fs.exists(p)) {
-        try {
-          val out = fs.create(p, false)
-          try out.write(ManifestCodec.deltaToJson(ManifestDelta(files, Nil)).getBytes("UTF-8"))
-          finally out.close()
-        } catch {
-          // lost a cross-process race for this name: the winner's bytes are
-          // identical by content addressing — reuse
-          case _: java.io.IOException if fs.exists(p) => ()
+        // tmp-then-rename, NOT a direct create: content addressing means a
+        // later consolidation may adopt this exact name — a crash mid-write
+        // would otherwise leave a TRUNCATED file that reuse-by-name silently
+        // adopts as a complete chunk. With the rename, only complete bytes
+        // ever carry the final name; a lost race leaves identical bytes
+        // (content-addressed), so an existing destination is simply reused.
+        val tmp = new Path(manifestDir,
+          s"$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        try out.write(ManifestCodec.deltaToJson(ManifestDelta(files, Nil)).getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(p))
+            throw new java.io.IOException(s"chunk manifest claim failed: $tmp -> $p")
         }
       }
       name
@@ -445,35 +456,34 @@ class LakeTable(val spark: SparkSession, val root: String,
     */
   def readFiles(snap: Snapshot, files: Seq[DataFile], target: StructType): DataFrame = {
     if (files.isEmpty) return emptyDf(target)
-    files.groupBy(_.schemaId).map { case (sid, group) =>
+    val masked = snap.dvFiles.nonEmpty
+    val parts = files.groupBy(_.schemaId).map { case (sid, group) =>
       val fileSchema = DataType.fromJson(snap.schemaJson(sid)).asInstanceOf[StructType]
-      val df = maskIfNeeded(snap,
-        spark.read.schema(fileSchema).parquet(group.map(_.path): _*))
-      align(df, target)
+      val scan = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
+      // the mask is applied ONCE over the schema-group union below — masking
+      // per group would build one anti-join (and one DV broadcast) per
+      // schema id of the same sidecar set
+      if (!masked) align(scan, target)
+      else align(scan.select(col("*"),
+          col("_metadata.file_path").as(LakeTable.DvPathCol),
+          col("_metadata.row_index").as(LakeTable.DvPosCol)),
+        target,
+        extra = Seq(col(LakeTable.DvPathCol), col(LakeTable.DvPosCol)))
     }.reduce(_.unionByName(_))
+    if (masked) maskTagged(snap, parts).drop(LakeTable.DvPathCol, LakeTable.DvPosCol)
+    else parts
   }
 
   // ------------------------------------------------- deletion-vector masking
 
-  /** Subtract the snapshot's positional deletes from a raw parquet scan
-    * (Iceberg-v2 delete-vector read): tag each row with its physical identity
-    * (`_metadata.file_path`, `_metadata.row_index`), anti-join the DV
-    * sidecar entries, drop the tags. The DV side broadcasts below
-    * [[LakeTable.DvBroadcastLimit]] rows (known from sidecar footers — no
-    * count job), so the big scan side is filtered by a broadcast hash
-    * anti-join with NO shuffle — the whole point of the DV read path vs the
-    * merge-on-read resolve (a full url-keyed exchange). Above the limit it
-    * degrades to a shuffled anti-join; compaction keeps the DV small.
-    */
-  private def maskIfNeeded(snap: Snapshot, scan: DataFrame): DataFrame =
-    if (snap.dvFiles.isEmpty) scan
-    else maskTagged(snap, scan.select(col("*"),
-        col("_metadata.file_path").as(LakeTable.DvPathCol),
-        col("_metadata.row_index").as(LakeTable.DvPosCol)))
-      .drop(LakeTable.DvPathCol, LakeTable.DvPosCol)
-
   /** Anti-join `tagged` (must carry the DV path/pos columns) against the
-    * snapshot's delete vectors. No-op when the snapshot has none. */
+    * snapshot's delete vectors — the Iceberg-v2 delete-vector read. The DV
+    * side broadcasts below [[LakeTable.DvBroadcastLimit]] rows (known from
+    * sidecar footers — no count job), so the big scan side is filtered by a
+    * broadcast hash anti-join with NO shuffle — the whole point of the DV
+    * read path vs the merge-on-read resolve (a full url-keyed exchange).
+    * Above the limit it degrades to a shuffled anti-join; compaction keeps
+    * the DV small. No-op when the snapshot has none. */
   private def maskTagged(snap: Snapshot, tagged: DataFrame): DataFrame =
     if (snap.dvFiles.isEmpty) tagged
     else {
@@ -549,12 +559,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     writeDvFiles(kept)
   }
 
-  private def align(df: DataFrame, target: StructType): DataFrame = {
+  private def align(df: DataFrame, target: StructType,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val present = df.columns.toSet
-    df.select(target.fields.map { f =>
+    df.select((target.fields.map { f =>
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq ++ extra): _*)
   }
 
   private def emptyDf(schema: StructType): DataFrame =
@@ -1275,13 +1286,23 @@ class LakeTable(val spark: SparkSession, val root: String,
     val referenced: Set[String] = (keptSnaps ++ stagedSnaps).flatMap(s =>
       (s.files.map(_.path) ++ s.dvFiles.map(_.path))
         .map(p => new Path(p).toUri.getPath)).toSet
-    // GC manifest delta files referenced by no retained snapshot (incl. delta
-    // files orphaned by a crash between delta write and version claim, and
-    // chains superseded by consolidation)
+    // GC manifest delta/chunk files referenced by no retained snapshot
+    // (incl. files orphaned by a crash between write and version claim, and
+    // chains superseded by consolidation). Under the commit mutex: a
+    // consolidating commit may REUSE an on-disk chunk by content-addressed
+    // name before its version file exists — sweeping that name between the
+    // reuse decision and the claim would brick the new snapshot. The mutex
+    // serializes in-process maintenance against commits; cross-process
+    // maintenance stays excluded by the single-writer contract above. Only
+    // completed `.json` names are swept here — `.json.tmp-*` in-flight
+    // writes belong to the age-graced sweep below, not this one.
     val keptManifests = keptSnaps.flatMap(_.manifests).toSet
-    fs.listStatus(manifestDir).map(_.getPath).filter(_.getName.startsWith("m-"))
-      .filterNot(p => keptManifests.contains(p.getName))
-      .foreach(p => fs.delete(p, false))
+    LakeTable.commitMutex(root).synchronized {
+      fs.listStatus(manifestDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("m-") && p.getName.endsWith(".json"))
+        .filterNot(p => keptManifests.contains(p.getName))
+        .foreach(p => fs.delete(p, false))
+    }
     // sweep tmps left by commits/stages that crashed mid-serialization
     // (inert but accumulating) — under the commit mutex, so the sweep can
     // never delete the tmp of an IN-FLIGHT in-process commit between its

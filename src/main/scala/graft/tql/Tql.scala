@@ -272,11 +272,15 @@ object Tql {
       case "bloom-filter" =>
         val keys = st.entries.getOrElse(frame.sparkSession.emptyDataFrame
           .select(lit("").as("key")).limit(0))
-        // m for k=2 probes: fp ≈ (1 − e^(−2n/m))² → m = −2n / ln(1 − √fp)
+        // m for k=2 probes: fp ≈ (1 − e^(−2n/m))² → m = −2n / ln(1 − √fp).
+        // The upper clamp must itself be a multiple of 32 (bloomBuild packs
+        // 32 bits/word and requires it) — clamping to a raw Int.MaxValue
+        // made every probe of a ≥ ~113M-capacity filter throw.
         val mBits = {
           val m = math.ceil(-2.0 * math.max(1L, st.capacity) /
             math.log(1 - math.sqrt(st.fp))).toLong
-          math.max(64L, ((m + 31) / 32) * 32).min(Int.MaxValue.toLong).toInt
+          val maxM = (Int.MaxValue.toLong / 32) * 32
+          math.max(64L, ((m + 31) / 32) * 32).min(maxM).toInt
         }
         val filter = graft.ops.Contexts.bloomBuild(keys, col("key"), mBits)
         frame.withColumn(into, filter.mightContain(key))
@@ -313,11 +317,17 @@ object Tql {
     }
   }
 
-  /** `context::list`: one row per context — `{name, kind, entries}`. */
+  /** `context::list`: one row per context — `{name, kind, entries}`. The
+    * entry count uses the same probe-time liveness as inspect/enrich, so
+    * the three surfaces never disagree about an expired entry.
+    */
   private[tql] def ctxList(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val now = ctxNow()
     val rows = tqlCtxReg.toSeq.sortBy(_._1).map { case (n, st) =>
       org.apache.spark.sql.Row(n, st.kind,
-        st.entries.map(_.count()).getOrElse(0L))
+        st.entries.map(e =>
+          if (st.kind == "bloom-filter") e.count() else liveEntries(e, now).count())
+          .getOrElse(0L))
     }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -926,7 +936,14 @@ object Tql {
             val name = parseStringLit("context::create_bloom_filter")
             var capacity = 1000000L; var fp = 0.01
             while (accept(",")) next() match {
-              case Ident("capacity") => expect("="); capacity = parseInt().toLong
+              case Ident("capacity") =>
+                expect("=")
+                // as Long: `parseInt`'s Int.toInt would silently saturate a
+                // >2^31 capacity instead of honoring or rejecting it
+                capacity = next() match {
+                  case Num(n) => n.toLong
+                  case t => sys.error(s"tql: capacity expects a number, got $t")
+                }
               case Ident("fp_probability") =>
                 expect("=")
                 fp = next() match {

@@ -133,15 +133,17 @@ object ManifestLab {
         f"${snap.files.size}%,d entries): $tConsol%.2f s")
 
       // 5b) steady-state consolidation with LOCALIZED churn (the L0/streaming
-      //     shape): pad the chain with adds confined to ONE bucket, then
-      //     consolidate — only that bucket's chunk should be rewritten
+      //     shape): pad the chain with HINTED adds confined to ONE bucket —
+      //     exactly what the streaming appenders commit — then consolidate;
+      //     only that bucket's chunk should be rewritten, with O(dirty) CPU
       while (deltas(snap) + 1 < LakeTable.ManifestConsolidateEvery) {
         val i = 4 * nFiles + deltas(snap) * 10
         val one = synthFiles(root, i, 10, buckets).map(_.copy(bucket = 17))
-        snap = table.commit(snap.copy(files = snap.files ++ one))
+        snap = table.commit(snap.copy(files = snap.files ++ one), appendedOnly = Some(one))
       }
       val one = synthFiles(root, 5 * nFiles, 10, buckets).map(_.copy(bucket = 17))
-      val (s4, tConsolDirty) = timed(table.commit(snap.copy(files = snap.files ++ one)))
+      val (s4, tConsolDirty) = timed(table.commit(snap.copy(files = snap.files ++ one),
+        appendedOnly = Some(one)))
       snap = s4
       val chunks2 = snap.manifests.filter(LakeTable.isChunkManifest)
       val fresh = chunks2.toSet -- chunks1.toSet

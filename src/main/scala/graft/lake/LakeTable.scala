@@ -274,7 +274,8 @@ class LakeTable(val spark: SparkSession, val root: String,
     val manifests =
       if (added.isEmpty && removed.isEmpty) oldManifests
       else if (deltaCount + 1 >= LakeTable.ManifestConsolidateEvery)
-        consolidateChunks(snap.files, oldManifests, snap.buckets)
+        consolidateChunks(snap.files, oldManifests, snap.buckets,
+          added, removed, oldFiles)
       else
         oldManifests :+ writeDelta(f"m-v$v%012d-$nonce%s.json", ManifestDelta(added, removed))
     val resolved = snap.copy(
@@ -336,13 +337,74 @@ class LakeTable(val spark: SparkSession, val root: String,
     * clean-chunk detection is one MD5 pass over the entries).
     */
   private def consolidateChunks(allFiles: Seq[DataFile], oldManifests: Seq[String],
-      buckets: Int): Seq[String] = {
+      buckets: Int, addedNow: Seq[DataFile], removedNow: Seq[String],
+      oldFiles: Seq[DataFile]): Seq[String] = {
     val c = LakeTable.chunkCountFor(allFiles.size)
     def idxOf(bucket: Int): Int =
       if (bucket < 0) c else ((bucket.toLong * c) / buckets).toInt
     val prev: Set[String] = oldManifests.filter(LakeTable.isChunkManifest).toSet
-    val byIdx = allFiles.groupBy(f => idxOf(f.bucket))
-    byIdx.toSeq.sortBy(_._1).map { case (i, files0) =>
+    // O(dirty) CPU: a SOUND delta-derived dirty set lets clean chunks skip
+    // even the hash pass (the content hash in their reused NAME still
+    // guarantees integrity — this set only decides what gets re-derived).
+    // Soundness: every add in the window names its bucket; every removal is
+    // attributed via the parent list, the final list, or an earlier window
+    // add — and any removal that cannot be attributed (a base-chunk file
+    // removed mid-window, i.e. compaction/expiry shapes) degrades to
+    // ALL-dirty, never to a wrongly-clean chunk.
+    val prevByIdx: Map[Int, String] = oldManifests
+      .flatMap(n => LakeTable.parseChunkName(n).collect {
+        case (i, cc, bb) if cc == c && bb == buckets => i -> n
+      }).toMap
+    val dirtyOpt: Option[Set[Int]] =
+      if (prevByIdx.isEmpty) None
+      else {
+        val windowDeltas = oldManifests.filterNot(LakeTable.isChunkManifest)
+          .map(n => ManifestCodec.deltaFromJson(readString(new Path(manifestDir, n))))
+        val dirty = scala.collection.mutable.Set.empty[Int]
+        var sound = true
+        // removal attribution map built LAZILY — the append-only steady
+        // state (L0/streaming, the common case) has no removals and skips
+        // the O(table) seeding entirely
+        lazy val bucketOf: java.util.HashMap[String, Integer] = {
+          val m = new java.util.HashMap[String, Integer](
+            (oldFiles.size + allFiles.size) * 2)
+          oldFiles.foreach(f => m.put(f.path, f.bucket))
+          allFiles.foreach(f => m.put(f.path, f.bucket))
+          windowDeltas.foreach(_.added.foreach(f => m.put(f.path, f.bucket)))
+          m
+        }
+        def attribute(p: String): Unit = {
+          val b = bucketOf.get(p)
+          if (b == null) sound = false else dirty += idxOf(b)
+        }
+        windowDeltas.foreach { d =>
+          d.added.foreach(f => dirty += idxOf(f.bucket))
+          d.removedPaths.foreach(attribute)
+        }
+        addedNow.foreach(f => dirty += idxOf(f.bucket))
+        removedNow.foreach(attribute)
+        if (sound) Some(dirty.toSet) else None
+      }
+    dirtyOpt match {
+      case Some(dirty) =>
+        // O(dirty) path: group only the files of dirty chunks; clean chunks
+        // reuse their previous names with zero hashing and zero I/O
+        val byIdx = allFiles.iterator.filter(f => dirty(idxOf(f.bucket)))
+          .toSeq.groupBy(f => idxOf(f.bucket))
+        val freshIdx = dirty ++ byIdx.keySet
+        val kept = prevByIdx.filterNot { case (i, _) => freshIdx(i) }
+        (kept.toSeq.sortBy(_._1).map(_._2) ++
+          byIdx.toSeq.sortBy(_._1).map { case (i, files0) =>
+            writeChunk(i, c, buckets, files0, prev)
+          })
+      case None =>
+        allFiles.groupBy(f => idxOf(f.bucket)).toSeq.sortBy(_._1)
+          .map { case (i, files0) => writeChunk(i, c, buckets, files0, prev) }
+    }
+  }
+
+  private def writeChunk(i: Int, c: Int, buckets: Int, files0: Seq[DataFile],
+      prev: Set[String]): String = {
       val files = files0.sortBy(_.path)
       val name = f"m-chunk-${i}of${c}b$buckets-${LakeTable.chunkHash(files)}.json"
       val p = new Path(manifestDir, name)
@@ -365,7 +427,6 @@ class LakeTable(val spark: SparkSession, val root: String,
         }
       }
       name
-    }
   }
 
   /** Bucket-pruned file planning WITHOUT materializing the full file list:

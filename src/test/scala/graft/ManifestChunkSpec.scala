@@ -137,10 +137,12 @@ class ManifestChunkSpec extends SparkSpec {
       snap = t.commit(snap.copy(files = snap.files :+ df(root, 100 + k, k)))
     }
     val chunks1 = snap.manifests.filter(LakeTable.isChunkManifest)
-    // churn everything → next consolidation rewrites all chunks
+    // churn everything — remove+re-add every file under a NEW path (the
+    // compaction shape; DataFile entries are path-immutable, in-place stat
+    // mutation is not a real commit) → next consolidation rewrites all chunks
     (0 to Threshold).foreach { k =>
       snap = t.commit(snap.copy(files = snap.files.map(f =>
-        f.copy(rows = f.rows + 1)) :+ df(root, 300 + k, k)))
+        f.copy(path = f.path + s".r$k")) :+ df(root, 300 + k, k)))
     }
     val chunks2 = snap.manifests.filter(LakeTable.isChunkManifest)
     assert((chunks1.toSet intersect chunks2.toSet).isEmpty)

@@ -147,16 +147,22 @@ object StreamQueries {
          |  count(*) AS n, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
          |FROM x GROUP BY 1, 2""".stripMargin,
 
+    // TOTAL order (ts, event_id) in BOTH windows: with duplicate (user_id,
+    // ts) rows (the sf1 tier's shape) an ORDER BY ts alone lets the two
+    // windows order ties independently — the session-start marker row can
+    // then sit at a different tie position in the cumulative sum than in the
+    // lag, yielding overlapping "sessions" (caught at sf1: 3 net rows, ~40
+    // sessions split wrong; the engine's session_window was correct)
     "q_window_session" ->
       """WITH s AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              <= INTERVAL 30 MINUTE
         |         THEN 0 ELSE 1 END AS new_s
         |  FROM events
         |), g AS (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM s
         |)

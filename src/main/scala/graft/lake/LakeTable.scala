@@ -212,7 +212,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     */
   def commit(snap: Snapshot): Snapshot = commit(snap, None)
 
-  /** Commit with an append-only hint: `appendedOnly = Some(newFiles)` asserts
+  /** CONTRACT: [[DataFile]] entries are immutable per path — a commit may
+    * ADD new paths and REMOVE old ones, never mutate an existing entry's
+    * stats in place. The delta chain diffs by path (an in-place stat change
+    * produces an empty delta and is silently dropped), and chunk-manifest
+    * reuse assumes a path's entry never changes. Rewrites (compaction,
+    * rebucket) honor this by writing new files under new paths.
+    *
+    * Commit with an append-only hint: `appendedOnly = Some(newFiles)` asserts
     * this commit ADDED exactly those files and removed none, skipping the
     * O(table) file-list diff — at 10^6 manifest entries that diff costs
     * ~1.7 s PER COMMIT (ManifestLab), which would dominate every streaming
@@ -322,11 +329,15 @@ class LakeTable(val spark: SparkSession, val root: String,
     * only complete bytes ever carry a final name; sharing across snapshots
     * is safe, and the manifest GC takes the commit mutex so an in-process
     * reuse decision cannot race a sweep — cross-process maintenance remains
-    * excluded by the single-writer contract). Content addressing also closes
-    * the
-    * resurrection hazard a delta-derived dirty set would have: a file
-    * removed since the last consolidation changes its chunk's hash, so the
-    * stale chunk can never be carried forward.
+    * excluded by the single-writer contract).
+    *
+    * The reuse DECISION is the delta-derived dirty set below, and IT is the
+    * resurrection guard — clean chunks are never re-hashed, so the dirty
+    * derivation must stay conservative: any removal it cannot attribute to
+    * a chunk degrades to ALL-dirty, never to a wrongly-clean chunk. The
+    * content hash in the name guarantees what a NAME means (truncation/race
+    * safety), not that a kept chunk is current. This all rests on the
+    * [[DataFile]] path-immutability contract (see [[commit]]).
     *
     * The L0 chunk (index C) holds spanning files; point prunes always load
     * it plus the chunks covering their buckets
@@ -373,7 +384,10 @@ class LakeTable(val spark: SparkSession, val root: String,
           windowDeltas.foreach(_.added.foreach(f => m.put(f.path, f.bucket)))
           m
         }
-        def attribute(p: String): Unit = {
+        // once ONE removal is unattributable the result is discarded (full
+        // rewrite) — stop attributing so the O(table) map isn't built and
+        // walked for nothing
+        def attribute(p: String): Unit = if (sound) {
           val b = bucketOf.get(p)
           if (b == null) sound = false else dirty += idxOf(b)
         }
@@ -391,8 +405,7 @@ class LakeTable(val spark: SparkSession, val root: String,
         // reuse their previous names with zero hashing and zero I/O
         val byIdx = allFiles.iterator.filter(f => dirty(idxOf(f.bucket)))
           .toSeq.groupBy(f => idxOf(f.bucket))
-        val freshIdx = dirty ++ byIdx.keySet
-        val kept = prevByIdx.filterNot { case (i, _) => freshIdx(i) }
+        val kept = prevByIdx.filterNot { case (i, _) => dirty(i) }
         (kept.toSeq.sortBy(_._1).map(_._2) ++
           byIdx.toSeq.sortBy(_._1).map { case (i, files0) =>
             writeChunk(i, c, buckets, files0, prev)

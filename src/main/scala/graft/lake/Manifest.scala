@@ -3,7 +3,12 @@ package graft.lake
 import com.fasterxml.jackson.databind.json.JsonMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
-/** Per-file column statistics used for scan pruning — the analogue of the
+/** One immutable data-file entry — IMMUTABLE PER PATH: once committed, an
+  * entry's stats never change (the manifest delta chain diffs by path and
+  * chunk reuse depends on it — see [[graft.lake.LakeTable.commit]]); a
+  * rewrite lands under a new path.
+  *
+  * Per-file column statistics used for scan pruning — the analogue of the
   * reference's per-partition synopses (min/max + bloom,
   * `libtenzir/include/tenzir/partition_synopsis.hpp:30-44`,
   * `libtenzir/src/synopsis.cpp:70-110`). We track min/max over `_lsn` and

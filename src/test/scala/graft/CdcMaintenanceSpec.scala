@@ -510,6 +510,41 @@ class CdcMaintenanceSpec extends SparkSpec {
     assert(table.tags("follower-a") == cursor) // pin advanced with the cursor
   }
 
+  test("followChanges: a consumer's own 'does not exist' failure propagates (no spurious bootstrap)") {
+    val table = new LakeTable(spark, tmpDir())
+    segGroups(allEvents, 6).take(2).zipWithIndex.foreach { case (g, i) =>
+      CdcApply.applyBatchAppendRaw(table, spark.createDataset(g).toDF(), "q", i.toLong,
+        createBuckets = 8)
+    }
+    var cursor = 0L
+    cursor = CdcStream.followChanges(table, cursor) { (_, _, _) => () } // establish cursor
+    CdcApply.applyBatchAppendRaw(table,
+      spark.createDataset(segGroups(allEvents, 6)(2)).toDF(), "q", 2L, createBuckets = 8)
+    // The changelog frame is lazy, so consumer-side failures surface inside
+    // followChanges' try. A message merely CONTAINING "does not exist"
+    // (Spark's phrasing for e.g. a missing sink path in the consumer's own
+    // code) must NOT be misread as the cursor-expiry race while the cursor
+    // version is still live - it must propagate, with no second (bootstrap)
+    // delivery on top of the failed one.
+    var deliveries = 0
+    val e = intercept[RuntimeException] {
+      CdcStream.followChanges(table, cursor) { (_, _, _) =>
+        deliveries += 1
+        throw new RuntimeException("Path /some/consumer/sink does not exist")
+      }
+    }
+    assert(e.getMessage.contains("does not exist"))
+    assert(deliveries == 1, "the consumer must not be re-invoked with a bootstrap")
+    // the real race still degrades: cursor version actually gone -> bootstrap
+    table.expireSnapshots(keepLast = 1)
+    assert(!table.versionExists(cursor))
+    var sawBootstrap = false
+    CdcStream.followChanges(table, cursor) { (_, from, _) =>
+      if (from < 0) sawBootstrap = true
+    }
+    assert(sawBootstrap, "an actually-expired cursor must degrade to the bootstrap")
+  }
+
   test("followChanges: crash before cursor-persist re-polls the still-pinned old base") {
     val table = new LakeTable(spark, tmpDir())
     val groups = segGroups(allEvents, 6)

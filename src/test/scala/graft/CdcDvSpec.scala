@@ -218,6 +218,46 @@ class CdcDvSpec extends SparkSpec {
     assert(pagesMap(table.pages()) == expectedMap(g.head ++ g(1)))
   }
 
+  test("mask correctness survives the shuffled anti-join fallback (DvBroadcastLimit=0)") {
+    sys.props("graft.dvBroadcastLimit") = "0" // force the non-broadcast path
+    try {
+      val table = new LakeTable(spark, tmpDir())
+      replayDv(table, segGroups(allEvents, 8), "q")
+      val snap = table.currentSnapshot.get
+      assert(snap.dvFiles.nonEmpty)
+      assert(pagesMap(table.pages(snap)) == golden)
+      val dupes = table.scanRaw(snap).groupBy(col("url"))
+        .count().filter(col("count") > 1).count()
+      assert(dupes == 0)
+    } finally { sys.props.remove("graft.dvBroadcastLimit"); () }
+  }
+
+  test("streaming dv mode: checkpoint resume applies nothing; auto-compaction folds masks") {
+    val work = tmpDir()
+    val wal = s"$work/wal"
+    graft.gen.ChangeGen.writeWal(spark,
+      graft.gen.GenConfig(events = 8000, segmentSize = 512), wal)
+    val table = new LakeTable(spark, s"$work/lake")
+    var applied = 0
+    graft.cdc.CdcStream.start(spark, wal, table, s"$work/ckpt",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "dv",
+      autoCompactFilesPerBucket = 3,
+      onBatch = st => if (!st.skipped) applied += 1).awaitTermination()
+    assert(applied > 1)
+    val snap = table.currentSnapshot.get
+    assert(pagesMap(table.pages(snap)) == golden)
+    // auto-compaction ran mid-stream: per-bucket file counts are bounded and
+    // the consolidated DV list reflects only still-live files
+    assert(snap.files.groupBy(_.bucket).values.forall(_.size <= 3 + 1))
+    // checkpoint resume: nothing new to apply, state unchanged
+    var applied2 = 0
+    graft.cdc.CdcStream.start(spark, wal, table, s"$work/ckpt",
+      maxFilesPerTrigger = 4, createBuckets = 16, mode = "dv",
+      onBatch = st => if (!st.skipped) applied2 += 1).awaitTermination()
+    assert(applied2 == 0)
+    assert(pagesMap(table.pages()) == golden)
+  }
+
   test("exactly-once watermark skips a replayed dv batch") {
     val table = new LakeTable(spark, tmpDir())
     val groups = segGroups(allEvents, 8)
